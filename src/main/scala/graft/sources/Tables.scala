@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed catalog over the driver-provided parquet tables.
+  *
+  * Readers are plain `spark.read.parquet` — schema comes from the footer
+  * and Catalyst prunes columns / pushes filters into the scan, which is
+  * the property that matters at 100 TB (check `PushedFilters` +
+  * `ReadSchema` in `.explain("formatted")`).
+  *
+  * Mirrors the reference's entity model (see
+  * reference common/src/main/java/com/ververica/platform/entities/): the
+  * `events` table stands in for the commit/activity stream, `documents`
+  * for mailing-list bodies, `orders` for pull requests (SURVEY.md §3).
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+
+  /** Events with the timestamp truncated to whole seconds.
+    *
+    * The parquet column is nanosecond-precision; Spark truncates to
+    * microseconds on read while other engines keep nanos, so every
+    * time-based operator in graft keys off the second-truncated `ts` to
+    * stay engine-portable (sub-second precision carries no analytic
+    * meaning for these windows).
+    */
+  def events: DataFrame = {
+    // events.parquet stores INT64 TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects; read nanos as long and convert exactly (integer div,
+    // no double round-trip). Second granularity is the engine-portable
+    // contract for every time-based operator (DuckDB keeps full nanos).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts", expr("timestamp_seconds(ts div 1000000000)"))
+  }
+}
