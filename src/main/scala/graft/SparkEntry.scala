@@ -7,9 +7,15 @@ object SparkEntry {
     QueriesRef.componentActivity(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesRef.queries
+    QueriesRef.queries ++ QueriesFn.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    QueriesRef.oracle
+    QueriesRef.oracle ++ QueriesFn.oracle
+  /** Headline queries benched per round (SURVEY.md §6); every key must
+    * exist in [[queries]]. */
+  def headline: Seq[String] =
+    Seq("q_component_activity", "q_session_windows", "q_email_threads",
+      "q_agg_email_aliases_company")
+      .filter(queries.contains)
 }
