@@ -17,6 +17,11 @@ object GraftSession {
       .appName(appName)
       .master(s"local[$cores]")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's
+      // vectorized reader rejects; read nanos as long (Tables.events
+      // converts exactly). Set here so every graft-owned session agrees;
+      // Tables re-sets it defensively for driver-owned sessions.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -103,13 +103,19 @@ object QueriesFn {
       .agg(max_by(col("val"), when(col("val").isNotNull, col("mail_date"))).as("last_val"))
 
   /** LargestStringArrayAggFunction.java — keep the largest array
-    * (doc_id tiebreak for determinism). */
+    * (doc_id tiebreak for determinism). The ordering key is a fixed-width
+    * zero-padded string (len, doc_id): lexicographic order == numeric
+    * order, no overflow at any doc_id (a packed `len*1e6 + doc_id` long
+    * flips once doc_id >= 1e6), and DuckDB's arg_max accepts it (it has
+    * no struct-keyed overload). */
   val aggLargestArray: Q = (s, dir) =>
     stream(s, dir)
       .groupBy(col("user_id"))
       .agg(max_by(
         array_join(col("arr"), " "),
-        size(col("arr")).cast("long") * 1000000L + col("doc_id")).as("largest_arr"))
+        concat(
+          lpad(size(col("arr")).cast("string"), 10, "0"),
+          lpad(col("doc_id").cast("string"), 19, "0"))).as("largest_arr"))
 
   /** LastValueStringArrayAggFunction.java — keep the latest array by time. */
   val aggLastArray: Q = (s, dir) =>
@@ -143,10 +149,11 @@ object QueriesFn {
         when(lag(col("domain"), 1).over(byUser).isNull ||
           lag(col("domain"), 1).over(byUser) =!= col("domain"), 1).otherwise(0))
       .withColumn("run_id", sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-    val lastRun = runs
-      .groupBy(col("user_id"))
-      .agg(max(col("run_id")).as("max_run"))
-    val company = runs.join(lastRun, Seq("user_id"))
+    // max over an unordered window on the SAME partitioning the lag/sum
+    // windows already shuffled on — zero extra shuffles, vs a
+    // groupBy(max)+join-back which re-shuffles the full runs relation.
+    val company = runs
+      .withColumn("max_run", max(col("run_id")).over(Window.partitionBy(col("user_id"))))
       .filter(col("run_id") === col("max_run"))
       .groupBy(col("user_id"))
       .agg(
@@ -263,7 +270,8 @@ FROM stream GROUP BY 1"""),
     "q_agg_largest_array" -> (
       "WITH " + streamCte + """
 SELECT user_id,
-  arg_max(array_to_string(arr, ' '), CAST(len(arr) AS BIGINT) * 1000000 + doc_id) AS largest_arr
+  arg_max(array_to_string(arr, ' '),
+          lpad(CAST(len(arr) AS VARCHAR), 10, '0') || lpad(CAST(doc_id AS VARCHAR), 19, '0')) AS largest_arr
 FROM stream GROUP BY 1"""),
 
     "q_agg_last_array" -> (

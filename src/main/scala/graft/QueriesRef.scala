@@ -145,7 +145,7 @@ object QueriesRef {
 
     "q_component_activity_month" ->
       """SELECT e - (e % 2592000) AS w_start, event_type,
-        |  SUM(CAST(FLOOR(value) AS BIGINT)) AS lines_changed
+        |  CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS lines_changed
         |FROM (SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS e, event_type, value FROM events) t
         |GROUP BY 1, 2 HAVING SUM(CAST(FLOOR(value) AS BIGINT)) > 1000""".stripMargin,
 
@@ -174,7 +174,7 @@ object QueriesRef {
         |  FROM marked
         |)
         |SELECT MIN(es) AS sess_start, MAX(es) + 7200 AS sess_end, user_id,
-        |  COUNT(*) AS n_events, SUM(fv) AS sum_value
+        |  COUNT(*) AS n_events, CAST(SUM(fv) AS BIGINT) AS sum_value
         |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     "q_explode_files" -> (
@@ -185,7 +185,7 @@ exploded AS (
   SELECT fc.filename AS filename, fc.linesChanged AS lines FROM exploded
 )
 SELECT """ + Synth.componentCaseSql.linesIterator.mkString(" ") + """ AS component,
-  SUM(CAST(lines AS BIGINT)) AS lines_changed, COUNT(*) AS n_files
+  CAST(SUM(CAST(lines AS BIGINT)) AS BIGINT) AS lines_changed, COUNT(*) AS n_files
 FROM flat GROUP BY 1"""),
 
     "q_pull_request_stats" -> (

@@ -31,7 +31,9 @@ object Synth {
     * (10-space indented, reference PatternUtils.java:33) on every 6th. */
   def emails(documents: DataFrame): DataFrame = documents.selectExpr(
     "doc_id", "lang", "source", "n_chars", "text",
-    "timestampadd(MINUTE, CAST(doc_id*37 AS INT), TIMESTAMP'2024-03-01 00:00:00') AS mail_date",
+    // BIGINT-safe arithmetic: a CAST(doc_id*37 AS INT) would wrap silently
+    // (non-ANSI) once doc_id exceeds ~58M; make_interval keeps it exact.
+    "TIMESTAMP'2024-03-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, CAST(doc_id*2220 AS DECIMAL(18,6))) AS mail_date",
     s"""CASE WHEN doc_id % 3 = 0
         THEN concat('[jira] [', element_at(array($actions), CAST(doc_id%5 AS INT)+1),
                     '] (FLINK-', CAST(10000+doc_id AS STRING), ') Question about ', substr(text,1,10))

@@ -44,6 +44,14 @@ def main():
             print(f"COLS  {name}: spark={list(a.columns)} duck={list(b.columns)}"); n_bad += 1; continue
         if len(a) != len(b):
             print(f"ROWS  {name}: spark={len(a)} duck={len(b)}"); n_bad += 1; continue
+        # dtype *kind* must match (int vs float vs object): the driver's
+        # hash compare diverges on e.g. DuckDB HUGEINT->float64 vs Spark
+        # int64 even when values are numerically equal.
+        kinds_a = [d.kind for d in a.dtypes]
+        kinds_b = [d.kind for d in b.dtypes]
+        if kinds_a != kinds_b:
+            print(f"DTYPE {name}: spark={list(zip(a.columns,kinds_a))} duck={list(zip(b.columns,kinds_b))}")
+            n_bad += 1; continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             print(f"OK    {name} ({len(a)} rows)"); n_ok += 1
