@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.c — the general join/agg/window substrate the reference's SQL
+  * examples run on (reference README.md:219-266 composes windows, joins
+  * and HAVING over exactly this kind of core).
+  *
+  * Numeric discipline (engine-portable hashing): sums are computed in
+  * exact DECIMAL and cast to DOUBLE only at the output edge, so the value
+  * is independent of aggregation order on both engines; averages are a
+  * single double division of two exact values.
+  *
+  * Scale posture: every query here is the plan you'd run at 100 TB —
+  * dims broadcast (zero-shuffle joins), facts shuffle at most once on the
+  * aggregation key, skew handled by two-phase salting where keys are hot.
+  */
+object QueriesCore {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  import graft.sources.Tables
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** TPC-H Q1 shape: multi-aggregate pricing summary over the fact table.
+    * One shuffle on the (tiny-cardinality) group key; all heavy work is
+    * map-side partial aggregation — the same pre-aggregation story as the
+    * reference's ComponentChangedAggeragator (commit-analytics). */
+  val q1Agg: Q = (s, dir) =>
+    Tables(s, dir).lineitem
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
+          * (lit(1).cast("decimal(18,2)") + dec("l_tax"))).cast("double").as("sum_charge"),
+        (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** 4-way star join: fact `orders` ⋈ dims customer/nation/region.
+    * nation + region are broadcast explicitly (a few KB at any SF);
+    * customer rides under autoBroadcastJoinThreshold at test SFs and
+    * becomes the one shuffled join at SFs where it outgrows the
+    * threshold — either way the fact table shuffles at most once and the
+    * two tiny dims never shuffle anything. */
+  val qJoinStar: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.orders
+      .join(t.customer.hint("broadcast"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("revenue"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+  }
+
+  /** Top-k per group via ranked window — the distributed replacement for
+    * a driver-side sort: one shuffle on the group key, heap-bounded
+    * WindowGroupLimit pushdown prunes each partition to k rows before the
+    * full sort (Spark's rank-limit optimization). */
+  val qTopkPerGroup: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables(s, dir).orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+  }
+
+  /** Multi-level ROLLUP aggregate — Spark's Expand + single shuffle.
+    * grouping_id disambiguates "rolled up" from a genuine NULL key, with
+    * the same bit convention as DuckDB's GROUPING(a, b). */
+  val qRollup: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("revenue"))
+      .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+        col("n_orders"), col("revenue"))
+
+  /** EXISTS / NOT EXISTS: left-semi and left-anti joins on the same key,
+    * aggregated per nation. Both joins shuffle on c_custkey/o_custkey —
+    * the only co-partitioning the query needs; orders is never
+    * materialized wider than its join key. */
+  val qSemiAnti: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val orderKeys = t.orders.select(col("o_custkey"))
+    val cust = t.customer.select(col("c_custkey"), col("c_nationkey"))
+    val withO = cust.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with_orders"))
+    val without = cust.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without_orders"))
+    withO.join(without, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+  }
+
+  /** Skew-resistant two-phase aggregation: salt the hot key space into 16
+    * shards, partially aggregate per (key, salt), then combine per key.
+    * At 100 TB a single hot event_type would otherwise pin one reducer;
+    * the salted plan bounds any reducer at ~1/16th of the hottest key
+    * (and composes with AQE skew handling for joins). Results are
+    * identical to the direct groupBy — the oracle is the plain GROUP BY. */
+  val qSkewAgg: Q = (s, dir) =>
+    Tables(s, dir).events
+      .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(
+        sum(floor(col("value")).cast("long")).as("psum"),
+        count(lit(1)).as("pcnt"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("psum")).as("total_value"),
+        sum(col("pcnt")).as("n_events"))
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg"           -> q1Agg,
+    "q_join_star"      -> qJoinStar,
+    "q_topk_per_group" -> qTopkPerGroup,
+    "q_rollup"         -> qRollup,
+    "q_semi_anti"      -> qSemiAnti,
+    "q_skew_agg"       -> qSkewAgg)
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_join_star" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_nationkey,
+        |  CAST(COALESCE(SUM(CASE WHEN has_o THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_with_orders,
+        |  CAST(COALESCE(SUM(CASE WHEN has_o THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_without_orders
+        |FROM (
+        |  SELECT c_custkey, c_nationkey,
+        |    EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+        |  FROM customer) t
+        |GROUP BY 1""".stripMargin,
+
+    "q_skew_agg" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS total_value,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}

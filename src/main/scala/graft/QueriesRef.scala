@@ -155,8 +155,9 @@ object QueriesRef {
         |GROUP BY 1""".stripMargin,
 
     // Session semantics follow Spark's session_window: a row whose gap to
-    // the previous row is >= the gap duration opens a new session; the
-    // session end is last_ts + gap.
+    // the previous row is STRICTLY greater than the gap duration opens a
+    // new session (an event exactly `gap` later still merges — verified
+    // in FunctionsSpec); the session end is last_ts + gap.
     "q_session_windows" ->
       """WITH e AS (
         |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
@@ -165,7 +166,7 @@ object QueriesRef {
         |), marked AS (
         |  SELECT user_id, es, fv,
         |    CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
-        |           OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es) >= 7200
+        |           OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es) > 7200
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM e
         |), sess AS (

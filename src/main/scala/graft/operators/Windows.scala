@@ -23,13 +23,14 @@ object Windows {
   }
 
   /** Adds `session_id` (0-based per key) for a gap-based session split.
-    * Rows whose `ts` is `gapSeconds` or more after the previous row of the
-    * same key start a new session — the same boundary rule as Spark's
-    * `session_window` (a session covers `[first, last + gap)`). */
+    * Rows whose `ts` is STRICTLY more than `gapSeconds` after the previous
+    * row of the same key start a new session — empirically verified to be
+    * Spark `session_window`'s boundary rule (an event exactly `gap` after
+    * the previous one still merges; see FunctionsSpec). */
   def sessionIds(df: DataFrame, key: Column, ts: Column, gapSeconds: Long): DataFrame = {
     val byKey   = Window.partitionBy(key).orderBy(ts)
     val prev    = lag(ts.cast("long"), 1).over(byKey)
-    val isNew   = when(prev.isNull || (ts.cast("long") - prev) >= gapSeconds, 1).otherwise(0)
+    val isNew   = when(prev.isNull || (ts.cast("long") - prev) > gapSeconds, 1).otherwise(0)
     df.withColumn("session_id", sum(isNew).over(byKey.rowsBetween(Window.unboundedPreceding, 0)) - 1)
   }
 }
