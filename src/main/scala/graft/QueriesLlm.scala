@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.sources.Tables
+
+/** §2.d — LLM-training-data pipeline operators over the `documents`
+  * corpus: dedup (exact / Jaccard / MinHash-LSH / SimHash), text
+  * analysis (langid / quality / tokens / fingerprint), multimodal binary
+  * metadata. Every query here has an exact DuckDB twin — dedup included,
+  * because all hashing is md5-based and portable.
+  */
+object QueriesLlm {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+
+  // ---- dedup ---------------------------------------------------------------
+
+  val dedupExact: Q = (s, dir) => Dedup.exact(docs(s, dir))
+
+  val dedupNgramJaccard: Q = (s, dir) =>
+    Dedup.jaccardPairs(docs(s, dir), k = 3, maxDf = 50, minCommon = 2, minJaccard = 0.3)
+
+  val dedupMinhash: Q = (s, dir) =>
+    Dedup.minhashCandidates(docs(s, dir), k = 3, perms = 8, bands = 4)
+
+  val dedupSimhash: Q = (s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 8)
+
+  // ---- text analysis -------------------------------------------------------
+
+  val textLangid: Q = (s, dir) =>
+    TextAnalysis.langId(docs(s, dir))
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("top_score"))
+
+  val textQuality: Q = (s, dir) =>
+    TextAnalysis.quality(docs(s, dir))
+      .select(col("doc_id"), col("n_words"), col("distinct_ratio"),
+        col("avg_word_len"), col("stop_ratio"), col("quality_score"), col("keep"))
+
+  val textTokens: Q = (s, dir) =>
+    TextAnalysis.tokenCounts(docs(s, dir))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("ws_total"),
+        sum(col("bpe_tokens")).as("bpe_total"),
+        (sum(col("bpe_tokens")).cast("double") / count(lit(1))).as("avg_bpe_per_doc"))
+
+  val textFingerprint: Q = (s, dir) =>
+    TextAnalysis.fingerprint(docs(s, dir))
+      .select(col("doc_id"), col("fp"), col("cluster_size"), col("is_canonical"))
+
+  // ---- multimodal ----------------------------------------------------------
+
+  val multimodalMeta: Q = (s, dir) =>
+    Multimodal.withMeta(docs(s, dir))
+      .select(col("doc_id"), col("byte_len"), col("sha256"), col("magic"), col("modality"))
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact"         -> dedupExact,
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "q_dedup_minhash"       -> dedupMinhash,
+    "q_dedup_simhash"       -> dedupSimhash,
+    "q_text_langid"         -> textLangid,
+    "q_text_quality"        -> textQuality,
+    "q_text_tokens"         -> textTokens,
+    "q_text_fingerprint"    -> textFingerprint,
+    "q_multimodal_meta"     -> multimodalMeta)
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  /** Distinct word-3-shingles CTE (DuckDB twin of Dedup.shingled). */
+  private val shinglesCte =
+    """words AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM words, unnest(generate_series(1, greatest(len(w)-2, 0))) t(i)
+      |)""".stripMargin
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map("'" + _ + "'").mkString("[", ",", "]")
+
+  private val langScores = TextAnalysis.Stopwords
+    .map { case (l, ws) =>
+      s"CAST(len(list_intersect(dw, ${sqlList(ws)})) AS INT) AS s_$l"
+    }.mkString(",\n  ")
+  private val mx = TextAnalysis.Stopwords.map { case (l, _) => s"s_$l" }
+    .mkString("greatest(", ", ", ")")
+  private val predCase = TextAnalysis.Stopwords
+    .map { case (l, _) => s"WHEN s_$l = $mx THEN '$l'" }
+    .mkString(s"CASE WHEN $mx = 0 THEN 'und' ", " ", " END")
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS digest, MIN(doc_id) AS survivor, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_ngram_jaccard" -> (
+      "WITH " + shinglesCte + """,
+sh AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
+  WHERE df <= 50
+), sizes AS (
+  SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT doc_a, doc_b, n_common,
+  CAST(n_common AS DOUBLE) / (na.nsh + nb.nsh - n_common) AS jaccard
+FROM common
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (na.nsh + nb.nsh - n_common) >= 0.3"""),
+
+    "q_dedup_minhash" -> (
+      "WITH " + shinglesCte + """,
+perm AS (
+  SELECT doc_id, p, min(md5(CAST(p AS VARCHAR) || '|' || s)) AS sig
+  FROM sh0, unnest(generate_series(0, 7)) t(p)
+  GROUP BY 1, 2
+), sigs AS (
+  SELECT doc_id, list(sig ORDER BY p) AS sig FROM perm GROUP BY 1
+), bands AS (
+  SELECT doc_id, b, md5(sig[b*2+1] || sig[b*2+2]) AS bk
+  FROM sigs, unnest(generate_series(0, 3)) t(b)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+GROUP BY 1, 2"""),
+
+    "q_dedup_simhash" ->
+      """WITH wc AS (
+        |  SELECT doc_id, w AS word, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2
+        |), votes AS (
+        |  SELECT doc_id, i,
+        |    SUM(cnt * (2 * (((strpos('0123456789abcdef', substr(md5(word), (i // 4) + 1, 1)) - 1)
+        |                     >> (3 - i % 4)) & 1) - 1)) AS v
+        |  FROM wc, unnest(generate_series(0, 63)) t(i)
+        |  GROUP BY 1, 2
+        |), sigs AS (
+        |  SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+        |  FROM votes GROUP BY 1
+        |), chunks AS (
+        |  SELECT doc_id, sig, j, substr(sig, j*16 + 1, 16) AS chunk
+        |  FROM sigs, unnest(generate_series(0, 3)) t(j)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM chunks a JOIN chunks b
+        |    ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, hamming(sig_a, sig_b) AS hamming
+        |FROM cand WHERE hamming(sig_a, sig_b) <= 8""".stripMargin,
+
+    "q_text_langid" -> (
+      """WITH words AS (
+  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS dw FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+  """ + langScores + """
+  FROM words
+)
+SELECT doc_id, lang, """ + predCase + s""" AS pred_lang, $mx AS top_score
+FROM scored"""),
+
+    "q_text_quality" -> (
+      s"""WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+), f AS (
+  SELECT doc_id,
+    CAST(len(ws) AS INT) AS n_words,
+    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio,
+    CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws) AS avg_word_len,
+    CAST(len(list_filter(ws, x -> list_contains(${sqlList(TextAnalysis.Stopwords.flatMap(_._2))}, x))) AS DOUBLE) / len(ws) AS stop_ratio
+  FROM w
+)
+SELECT doc_id, n_words, distinct_ratio, avg_word_len, stop_ratio,
+  distinct_ratio * 0.5 + least(avg_word_len / 10.0, 1.0) * 0.3 + stop_ratio * 0.2 AS quality_score,
+  n_words >= 20 AND distinct_ratio > 0.2 AS keep
+FROM f"""),
+
+    "q_text_tokens" -> (
+      s"""SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(CAST(len(string_split(text, ' ')) AS INT)) AS BIGINT) AS ws_total,
+  CAST(SUM(CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS INT)) AS BIGINT) AS bpe_total,
+  CAST(SUM(CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS INT)) AS DOUBLE) / COUNT(*) AS avg_bpe_per_doc
+FROM documents GROUP BY 1"""),
+
+    "q_text_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |)
+        |SELECT doc_id, fp,
+        |  count(*) OVER (PARTITION BY fp) AS cluster_size,
+        |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
+        |FROM f""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS sha256,
+        |  hex(encode(substr(text, 1, 4))) AS magic,
+        |  (['image','audio','video'])[(ascii(substr(text, 1, 1)) % 3) + 1] AS modality
+        |FROM documents""".stripMargin
+  )
+}

@@ -7,11 +7,11 @@ object SparkEntry {
     QueriesRef.componentActivity(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesRef.queries ++ QueriesFn.queries ++ QueriesCore.queries
+    QueriesRef.queries ++ QueriesFn.queries ++ QueriesCore.queries ++ QueriesLlm.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    QueriesRef.oracle ++ QueriesFn.oracle ++ QueriesCore.oracle
+    QueriesRef.oracle ++ QueriesFn.oracle ++ QueriesCore.oracle ++ QueriesLlm.oracle
   /** Headline queries benched per round (SURVEY.md §6); every key must
     * exist in [[queries]]. */
   def headline: Seq[String] =

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: language ID, quality
+  * scoring, token counting, fingerprinting. All pure column arithmetic —
+  * zero or one shuffle per operator, no UDFs. */
+object TextAnalysis {
+
+  /** Public small stopword/marker lists per language (heuristic n-gram
+    * language ID — the classic stopword-hit scorer). */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"),
+    "es" -> Seq("el", "los", "las", "que", "y", "un", "una", "por", "como"),
+    "fr" -> Seq("le", "les", "et", "une", "est", "dans", "pour", "sur", "avec"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和"))
+
+  private def words(text: Column): Column = split(text, " ")
+
+  /** Stopword-hit score for one language's list (distinct-word hits). */
+  def langScore(text: Column, lang: String): Column = {
+    val list = Stopwords.toMap.apply(lang)
+    size(array_intersect(array_distinct(words(text)), array(list.map(lit): _*)))
+  }
+
+  /** Adds pred_lang + top_score: argmax of the per-language stopword
+    * scores, ties broken by list order, no hits at all → "und". */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = Stopwords.foldLeft(docs) { case (df, (l, _)) =>
+      df.withColumn(s"s_$l", langScore(col("text"), l))
+    }
+    val mx = greatest(Stopwords.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = Stopwords.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"s_$l") === mx, lit(l)).otherwise(acc)
+    }
+    // NOTE foldRight: the FIRST matching language in list order wins
+    scored
+      .withColumn("top_score", mx)
+      .withColumn("pred_lang", when(mx === 0, "und").otherwise(pred))
+  }
+
+  /** Quality features + a composite score. One projection, no shuffle:
+    * at 100 TB this runs at scan speed and is the filter you push first. */
+  def quality(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w)
+    val nDistinct = size(array_distinct(w))
+    val stopList = Stopwords.flatMap(_._2)
+    val nStop = size(filter(w, x => array_contains(array(stopList.map(lit): _*), x)))
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("distinct_ratio", nDistinct.cast("double") / nWords)
+      .withColumn("avg_word_len",
+        (length(col("text")) - nWords + 1).cast("double") / nWords)
+      .withColumn("stop_ratio", nStop.cast("double") / nWords)
+      .withColumn("quality_score",
+        col("distinct_ratio") * 0.5 +
+          least(col("avg_word_len") / 10.0, lit(1.0)) * 0.3 +
+          col("stop_ratio") * 0.2)
+      .withColumn("keep", col("n_words") >= 20 && col("distinct_ratio") > 0.2)
+  }
+
+  /** Whitespace + BPE-ish-regex token counts. The regex splits text into
+    * short letter runs / digits / single symbols — a cheap stand-in for a
+    * subword tokenizer's piece count, engine-portable (no lookarounds). */
+  val TokenPattern = "[a-z]{1,4}|[0-9]|[^a-z0-9 ]"
+
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(words(col("text"))))
+      .withColumn("bpe_tokens", regexp_count(col("text"), lit(TokenPattern)))
+
+  /** Normalized-content fingerprint (lower + squashed whitespace → md5)
+    * plus cluster stats via a window over the fingerprint — one shuffle
+    * keyed on the 16-byte digest. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val byFp = Window.partitionBy(col("fp"))
+    docs
+      .withColumn("fp", fp)
+      .withColumn("cluster_size", count(lit(1)).over(byFp))
+      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(byFp))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.sources.Tables
+
+/** LLM-pipeline operator specs: plan-shape guarantees (candidate
+  * generation must be equi-joins on bucket keys, never an all-pairs
+  * product) and the multimodal binary plumbing contract. */
+class LlmOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs = Tables(spark, sfDir).documents
+
+  test("dedup joins are equi-joins — no cartesian / nested-loop join in any plan") {
+    for (df <- Seq(
+        Dedup.jaccardPairs(docs, 3, 50, 2, 0.3),
+        Dedup.minhashCandidates(docs, 3, 8, 4),
+        Dedup.simhashPairs(docs, 8))) {
+      val plan = physicalPlan(df)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
+  test("minhash signatures are fixed-width (perms entries, 32-hex each)") {
+    val sig = Dedup.minhashSignatures(docs, 3, 8)
+      .select(size(col("sig")).as("n"),
+        array_min(transform(col("sig"), s => length(s))).as("mn"),
+        array_max(transform(col("sig"), s => length(s))).as("mx"))
+      .agg(min("n"), max("n"), min("mn"), max("mx")).collect()(0)
+    assert(sig.getInt(0) == 8 && sig.getInt(1) == 8)
+    assert(sig.getInt(2) == 32 && sig.getInt(3) == 32)
+  }
+
+  test("simhash signature is a 64-char bitstring") {
+    val r = Dedup.simhashSignatures(docs.limit(20))
+      .select(length(col("sig")).as("l")).distinct().collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(64))
+  }
+
+  test("near-dup recall: the jaccard>=0.3 pairs are found by minhash LSH banding") {
+    val jac = Dedup.jaccardPairs(docs, 3, 50, 2, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashCandidates(docs, 3, 8, 4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH with 4 bands of 2 rows catches essentially all >=0.8 pairs
+    assert(jac.nonEmpty, "corpus should contain planted near-dups")
+    assert((jac -- mh).isEmpty, s"missed: ${jac -- mh}")
+  }
+
+  test("multimodal decodeStub: schema, determinism, batch shape") {
+    val withBytes = Multimodal.withMeta(docs.limit(50))
+    val feats = Multimodal.decodeStub(withBytes)
+    assert(feats.schema.fieldNames.contains("features"))
+    val rows = feats.select(col("doc_id"), col("features")).collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getSeq[Float](1).length == Multimodal.featureDim))
+    // deterministic across runs
+    val again = Multimodal.decodeStub(withBytes)
+      .select(col("doc_id"), col("features")).collect()
+    assert(rows.map(r => (r.getLong(0), r.getSeq[Float](1))).toMap ==
+      again.map(r => (r.getLong(0), r.getSeq[Float](1))).toMap)
+  }
+
+  test("quality keeps are a strict subset and langid only emits known codes") {
+    val q = TextAnalysis.quality(docs)
+    assert(q.filter(col("keep")).count() < q.count())
+    val codes = TextAnalysis.langId(docs).select("pred_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(codes.subsetOf(TextAnalysis.Stopwords.map(_._1).toSet + "und"))
+  }
+}
