@@ -55,6 +55,28 @@ object QueriesLlm {
     TextAnalysis.fingerprint(docs(s, dir))
       .select(col("doc_id"), col("fp"), col("cluster_size"), col("is_canonical"))
 
+  // ---- similarity search ---------------------------------------------------
+
+  private def annQueries(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+
+  private def annCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings.filter(col("vec_id") >= 5)
+      .select(col("label").as("cell"), col("vec_id").as("corpus_id"),
+        col("embedding").as("ce"))
+
+  /** Brute-force cosine top-10 baseline (exact). */
+  val simTopk: Q = (s, dir) =>
+    operators.Ann.bruteForceTopK(annQueries(s, dir),
+        annCorpus(s, dir).drop("cell"), k = 10)
+      .select(col("query_id"), col("corpus_id"), col("rnk"), col("score_q"))
+
+  /** IVF-style ANN: nearest-centroid probe (nprobe=1), exact within cell. */
+  val simIvf: Q = (s, dir) =>
+    operators.Ann.ivfTopK(annQueries(s, dir), annCorpus(s, dir), k = 10, nprobe = 1)
+      .select(col("query_id"), col("cell"), col("corpus_id"), col("rnk"), col("score_q"))
+
   // ---- multimodal ----------------------------------------------------------
 
   val multimodalMeta: Q = (s, dir) =>
@@ -70,6 +92,8 @@ object QueriesLlm {
     "q_text_quality"        -> textQuality,
     "q_text_tokens"         -> textTokens,
     "q_text_fingerprint"    -> textFingerprint,
+    "q_sim_topk"            -> simTopk,
+    "q_sim_ivf"             -> simIvf,
     "q_multimodal_meta"     -> multimodalMeta)
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -204,6 +228,64 @@ FROM documents GROUP BY 1"""),
         |  count(*) OVER (PARTITION BY fp) AS cluster_size,
         |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
         |FROM f""".stripMargin,
+
+    "q_sim_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 5
+        |), c AS (
+        |  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings WHERE vec_id >= 5
+        |), s AS (
+        |  SELECT query_id, corpus_id,
+        |    CAST(floor(list_dot_product(qe, ce)
+        |          / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))
+        |          * 1000000) AS BIGINT) AS score_q
+        |  FROM q, c
+        |)
+        |SELECT query_id, corpus_id, CAST(rnk AS INT) AS rnk, score_q FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                               ORDER BY score_q DESC, corpus_id ASC) AS rnk
+        |  FROM s) t
+        |WHERE rnk <= 10""".stripMargin,
+
+    "q_sim_ivf" ->
+      """WITH cent AS (
+        |  SELECT label AS cell, i,
+        |    CAST(SUM(CAST(embedding[i+1] AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c
+        |  FROM embeddings, unnest(generate_series(0, 63)) t(i)
+        |  WHERE vec_id >= 5
+        |  GROUP BY 1, 2
+        |), cvec AS (
+        |  SELECT cell, list(c ORDER BY i) AS ce FROM cent GROUP BY 1
+        |), q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 5
+        |), probe AS (
+        |  SELECT query_id, qe, cell FROM (
+        |    SELECT query_id, qe, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |                         ORDER BY cscore DESC, cell ASC) AS crnk
+        |    FROM (
+        |      SELECT q.query_id, q.qe, cv.cell,
+        |        CAST(floor(list_dot_product(q.qe, cv.ce)
+        |              / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(cv.ce, cv.ce)))
+        |              * 1000000) AS BIGINT) AS cscore
+        |      FROM q, cvec cv) x) y
+        |  WHERE crnk <= 1
+        |), scored AS (
+        |  SELECT p.query_id, e.label AS cell, e.vec_id AS corpus_id,
+        |    CAST(floor(list_dot_product(p.qe, CAST(e.embedding AS DOUBLE[]))
+        |          / (sqrt(list_dot_product(p.qe, p.qe))
+        |             * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+        |          * 1000000) AS BIGINT) AS score_q
+        |  FROM probe p JOIN embeddings e ON e.label = p.cell AND e.vec_id >= 5
+        |)
+        |SELECT query_id, cell, corpus_id, CAST(rnk AS INT) AS rnk, score_q FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                               ORDER BY score_q DESC, corpus_id ASC) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 10""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

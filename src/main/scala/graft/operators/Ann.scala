@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Cosine runs through the native codegen'd
+  * [[graft.plans.CosineSimilarity]] expression (via the registered
+  * `graft_cosine` SQL function). Scores are quantized to 1e-6 ticks with
+  * ties broken by id, making rank output engine-portable.
+  *
+  * Scale posture: the query set and the centroid codebook are broadcast
+  * (both tiny by construction); the corpus — the 100 TB side — only
+  * streams: brute force is one scan with no shuffle before the per-query
+  * top-k, IVF prunes that scan to the probed cells first.
+  */
+object Ann {
+
+  /** Quantized cosine via the codegen expression (see Similarity.cosineQ). */
+  private def cosQ(a: Column, b: Column): Column =
+    floor(call_function("graft_cosine", a, b) * lit(1000000.0)).cast("long")
+
+  /** Brute-force exact top-k: corpus ⨯ broadcast(queries), ranked per
+    * query. The rank window partitions by query id — with many queries
+    * this parallelizes naturally; WindowGroupLimit bounds each partition
+    * to k rows before the sort. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.join(broadcast(queries))
+      .select(col("query_id"), col("corpus_id"),
+        cosQ(col("qe"), col("ce")).as("score_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("corpus_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Per-cell mean centroids ("trained" coarse quantizer — the given
+    * cell assignment plays the role of a k-means codebook). Sums run in
+    * exact DECIMAL per dimension so centroid doubles are independent of
+    * aggregation order. */
+  def centroids(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("cell"), posexplode(col("ce")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("col").cast("decimal(27,10)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("ce"))
+
+  /** IVF-style ANN: probe the nearest `nprobe` centroid cells only, then
+    * exact top-k within the probed cells. The centroid table (cells ×
+    * dim doubles) is broadcast; the corpus is pruned by cell via an
+    * equi-join on the cell id — at scale this is the difference between
+    * scanning 100 TB and scanning 100 TB / n_cells × nprobe. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(corpus)
+    val probed = queries.join(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("cell"),
+        cosQ(col("qe"), col("ce")).as("cscore"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("cell").asc)))
+      .filter(col("crnk") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    val scored = corpus.join(broadcast(probed), Seq("cell"))
+      .select(col("query_id"), col("cell"), col("corpus_id"),
+        cosQ(col("qe"), col("ce")).as("score_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("corpus_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+}

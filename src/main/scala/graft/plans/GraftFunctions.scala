@@ -2,11 +2,72 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{BinaryType, StringType}
 
-/** SQL-name registry for graft functions (populated as functions land). */
+import graft.functions.Patterns
+
+/** SQL-name registry for the graft function surface — the Spark-native
+  * analogue of the reference registering every UDF with
+  * `tEnv.createTemporaryFunction` (sql-functions README): after
+  * [[GraftExtensions]] is installed, `spark.sql` can call each of these
+  * (and so can `functions.call_function`).
+  *
+  * Builders construct Catalyst expression trees directly from the same
+  * [[Patterns]] the Column API uses, so the SQL path and the Column path
+  * are the same codegen'd expressions.
+  */
 object GraftFunctions {
   type FunctionDescription = (FunctionIdentifier, ExpressionInfo, FunctionBuilder)
 
-  def registry: Seq[FunctionDescription] = Seq.empty
+  private def nullIfEmpty(e: Expression): Expression = new NullIf(e, Literal(""))
+
+  private def rx(subject: Expression, pattern: String, group: Int): Expression =
+    RegExpExtract(subject, Literal(pattern), Literal(group))
+
+  private def fn(name: String, usage: String)(builder: FunctionBuilder): FunctionDescription =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(GraftFunctions.getClass.getCanonicalName, null, name, usage, ""),
+      builder)
+
+  /** md5-short(6) of the email local part, domain kept (Obfuscate.java). */
+  private def obfuscate(e: Expression): Expression = {
+    val local  = SubstringIndex(e, Literal("@"), Literal(1))
+    val domain = SubstringIndex(e, Literal("@"), Literal(-1))
+    val hashed = Substring(Md5(Cast(local, BinaryType)), Literal(1), Literal(6))
+    If(IsNull(e), Literal(null, StringType),
+      If(Contains(e, Literal("@")),
+        Concat(Seq(hashed, Literal("@"), domain)),
+        hashed))
+  }
+
+  val registry: Seq[FunctionDescription] = Seq(
+    fn("graft_source_component", "component of a repo file path") {
+      case Seq(e) => nullIfEmpty(rx(e, Patterns.SourceComponent, 1))
+    },
+    fn("graft_email_thread", "subject normalized to its thread (reply prefixes stripped)") {
+      case Seq(e) => rx(e, Patterns.EmailThread, 1)
+    },
+    fn("graft_jira_ticket_action", "Jira action from a subject, NULL if not a Jira mail") {
+      case Seq(e) => nullIfEmpty(rx(e, Patterns.JiraSubject, 1))
+    },
+    fn("graft_jira_ticket_number", "Jira ticket number from a subject") {
+      case Seq(e) => nullIfEmpty(rx(e, Patterns.JiraSubject, 2))
+    },
+    fn("graft_jira_ticket_from", "Jira ticket author from the From field") {
+      case Seq(e) => nullIfEmpty(rx(e, Patterns.JiraFrom, 1))
+    },
+    fn("graft_is_jira_ticket", "whether the From field is Jira's sender format") {
+      case Seq(e) => Coalesce(Seq(RLike(e, Literal(Patterns.JiraFrom)), Literal(false)))
+    },
+    fn("graft_obfuscate", "md5-short(6) of the email local part, domain kept") {
+      case Seq(e) => obfuscate(e)
+    },
+    fn("graft_components_split", "bracket-aware split of a component list") {
+      case Seq(e) => StringSplit(e, Literal(Patterns.ComponentsSplit), Literal(-1))
+    },
+    fn("graft_cosine", "cosine similarity of two float/double arrays") {
+      case Seq(a, b) => CosineSimilarity(a, b)
+    }
+  )
 }
