@@ -113,8 +113,25 @@ object QueriesRef {
       .filter(col("n_messages") > 1)
   }
 
+  /** The reference's flagship "Emails with no Reply within 30 Days"
+    * (README.md:229-235): sessionize by normalized thread with a 30-day
+    * gap, keep sessions with a single message
+    * (SESSION(date, INTERVAL '30' DAY), NormalizeEmailThread(subject),
+    * HAVING COUNT(*) < 2). */
+  val emailsNoReply: Q = (s, dir) => {
+    val emails = Synth.emails(Tables(s, dir).documents)
+    emails
+      .select(normalizeEmailThread(col("subject")).as("thread"), col("mail_date"))
+      .groupBy(session_window(col("mail_date"), "30 days"), col("thread"))
+      .agg(count(lit(1)).as("n_messages"))
+      .filter(col("n_messages") < 2)
+      .select(col("session_window.start").cast("long").as("sess_start"),
+        col("thread"), col("n_messages"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_component_activity"        -> componentActivity,
+    "q_emails_no_reply"           -> emailsNoReply,
     "q_component_activity_month"  -> componentActivityMonth,
     "q_distinct_users_per_window" -> distinctUsersPerWindow,
     "q_session_windows"           -> sessionWindows,
@@ -177,6 +194,26 @@ object QueriesRef {
         |SELECT MIN(es) AS sess_start, MAX(es) + 7200 AS sess_end, user_id,
         |  COUNT(*) AS n_events, CAST(SUM(fv) AS BIGINT) AS sum_value
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "q_emails_no_reply" -> (
+      "WITH " + Synth.emailsCte + """,
+th AS (
+  SELECT regexp_extract(subject, '(?i)^\s*(?:(?:Re|AW):\s*)*(.*?)\s*$', 1) AS thread,
+         CAST(epoch(mail_date) AS BIGINT) AS es
+  FROM emails
+), marked AS (
+  SELECT thread, es,
+    CASE WHEN lag(es) OVER (PARTITION BY thread ORDER BY es) IS NULL
+           OR es - lag(es) OVER (PARTITION BY thread ORDER BY es) > 2592000
+         THEN 1 ELSE 0 END AS is_new
+  FROM th
+), sess AS (
+  SELECT thread, es,
+    SUM(is_new) OVER (PARTITION BY thread ORDER BY es ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT MIN(es) AS sess_start, thread, COUNT(*) AS n_messages
+FROM sess GROUP BY thread, sid HAVING COUNT(*) < 2"""),
 
     "q_explode_files" -> (
       "WITH " + Synth.commitsCte + """,

@@ -168,7 +168,7 @@ object Synth {
     "CASE WHEN o_orderstatus <> 'O' THEN timestampadd(DAY, CAST(o_orderkey%90 AS INT)+1, o_orderdate) END AS closed_at",
     "CASE WHEN o_orderstatus = 'P' THEN timestampadd(DAY, CAST(o_orderkey%90 AS INT)+1, o_orderdate) END AS merged_at",
     "CAST(o_orderkey % 23 AS INT) AS comments_count",
-    "o_totalprice")
+    "o_totalprice AS weight")
 
   val pullsCte: String =
     """pulls AS (
@@ -179,7 +179,7 @@ object Synth {
       |    CASE WHEN o_orderstatus <> 'O' THEN o_orderdate + to_days(CAST(o_orderkey%90 AS INT)+1) END AS closed_at,
       |    CASE WHEN o_orderstatus = 'P' THEN o_orderdate + to_days(CAST(o_orderkey%90 AS INT)+1) END AS merged_at,
       |    CAST(o_orderkey % 23 AS INT) AS comments_count,
-      |    o_totalprice
+      |    o_totalprice AS weight
       |  FROM orders
       |)""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Typed catalog over the driver-provided parquet tables.
@@ -44,4 +44,21 @@ final case class Tables(spark: SparkSession, dir: String) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events").withColumn("ts", expr("timestamp_seconds(ts div 1000000000)"))
   }
+
+  // ---- typed entity accessors (reference entity POJOs ≙ case classes) ----
+
+  /** Commit stream as `Dataset[Commit]` (Commit.java shape, nested
+    * files_changed ARRAY<STRUCT>). */
+  def commitsTyped: Dataset[Commit] =
+    Synth.commits(events).as(Encoders.product[Commit])
+
+  /** Mailing-list stream as `Dataset[Email]` (Email.java shape). */
+  def emailsTyped: Dataset[Email] =
+    Synth.emails(documents)
+      .select("doc_id", "mail_date", "subject", "from_raw", "from_email", "text_body")
+      .as(Encoders.product[Email])
+
+  /** Pull requests as `Dataset[PullRequest]` (PullRequest.java shape). */
+  def pullsTyped: Dataset[PullRequest] =
+    Synth.pulls(orders).as(Encoders.product[PullRequest])
 }

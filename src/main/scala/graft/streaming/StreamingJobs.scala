@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming twins of the reference's DataStream pipelines.
+  * Each job is a pure DataFrame→DataFrame transform, so it runs
+  * identically over `readStream` sources and over batch frames (the
+  * batch/streaming unification the reference lacks — Flink's DataStream
+  * and Table programs are separate codebases).
+  *
+  * State size at scale is bounded by the watermark in every job: windows
+  * close and state evicts once event time passes window end + delay.
+  */
+object StreamingJobs {
+
+  /** Keyed tumbling-window aggregate with watermark — the streaming twin
+    * of the reference's flagship pipeline
+    * (commit-analytics FlinkCommitProgram.java:74-88:
+    * keyBy(component) → timeWindow(1h) → aggregate(sum linesChanged)).
+    * Spark's partial aggregation plays the reference's
+    * ComponentChangedAggeragator pre-aggregator role. */
+  def tumbleAgg(events: DataFrame, windowDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(
+        sum(floor(col("value")).cast("long")).as("lines_changed"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("lines_changed"), col("n_events"))
+
+  /** Streaming session windows (README "Emails with no Reply" shape):
+    * gap-merged sessions per key, state evicted by watermark. */
+  def sessionAgg(events: DataFrame, gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("user_id"), col("n_events"))
+
+  /** Streaming dedup: drop rows whose key was already seen within the
+    * watermark horizon — bounded state, unlike a global dropDuplicates. */
+  def dedupWithinWatermark(df: DataFrame, keyCol: String, watermarkDelay: String): DataFrame =
+    df.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCol)
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming.StreamingJobs
+
+/** Streaming twins (SURVEY rows 42-44) driven through MemoryStream:
+  * watermarked tumble agg, session windows, dedup-within-watermark. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  private def feed(q: StreamingQuery)(add: => Any): Unit = {
+    add
+    q.processAllAvailable()
+  }
+
+  test("watermarked tumble agg finalizes windows once the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF.toDF("ts", "event_type", "value")
+    val q = StreamingJobs.tumbleAgg(df, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("tumble_out").outputMode("append").start()
+    try {
+      // two events in hour 0, one in hour 1; then advance event time far
+      // enough that hour-0 and hour-1 windows are both final
+      feed(q)(in.addData((ts(5), "core", 10.0), (ts(20), "core", 5.0), (ts(70), "docs", 1.0)))
+      feed(q)(in.addData((ts(300), "core", 1.0)))
+      val rows = spark.table("tumble_out")
+        .select("event_type", "lines_changed", "n_events").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains(("core", 15L, 2L)), s"got $rows")
+      assert(rows.contains(("docs", 1L, 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("streaming session windows merge by gap and emit on watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF.toDF("ts", "user_id")
+    val q = StreamingJobs.sessionAgg(df, "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // user 1: events at 0 and 20min (one session), then 120min (new session)
+      feed(q)(in.addData((ts(0), 1L), (ts(20), 1L), (ts(120), 1L)))
+      feed(q)(in.addData((ts(1000), 2L)))
+      val rows = spark.table("sess_out")
+        .filter($"user_id" === 1L).select("n_events").collect().map(_.getLong(0)).sorted
+      assert(rows.toSeq == Seq(1L, 2L), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses re-deliveries inside the horizon") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF.toDF("ts", "digest")
+    val q = StreamingJobs.dedupWithinWatermark(df, "digest", "1 hour")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      feed(q)(in.addData((ts(0), "a"), (ts(1), "a"), (ts(2), "b"), (ts(3), "a")))
+      val n = spark.table("dedup_out").count()
+      assert(n == 2, s"expected a,b once each, got $n rows")
+    } finally q.stop()
+  }
+}
