@@ -16,18 +16,30 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.headline.map { name =>
-      val fn = SparkEntry.queries(name)
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Three executions per query: the first ("cold") pays JVM/codegen/JIT
+    // warmup; the min of the remaining two is steady-state engine
+    // throughput — the number comparable across rounds and against
+    // BASELINE.md (whose DuckDB timings use the same best-of policy).
+    // Min, not mean: this host shows 10x wall-clock noise spikes, and
+    // min-of-k is the standard noise-robust estimator for that regime.
+    val timed = SparkEntry.headline.map { name =>
       try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        name -> (System.nanoTime() - t0) / 1e9
+        val cold = once(name)
+        val steady = math.min(once(name), once(name))
+        (name, cold, steady)
       } catch {
         case e: Throwable =>
           errors ::= (name -> e.toString.take(200))
-          name -> -1.0
+          (name, -1.0, -1.0)
       }
     }
+    val results = timed.map { case (n, _, s) => n -> s }
+    val colds = timed.map { case (n, c, _) => n -> c }
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -36,10 +48,11 @@ object Bench {
         case c => c.toString
       } + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val cs = colds.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

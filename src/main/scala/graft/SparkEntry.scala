@@ -13,9 +13,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     QueriesRef.oracle ++ QueriesFn.oracle ++ QueriesCore.oracle ++ QueriesLlm.oracle
   /** Headline queries benched per round (SURVEY.md §6); every key must
-    * exist in [[queries]]. */
-  def headline: Seq[String] =
-    Seq("q_component_activity", "q_session_windows", "q_email_threads",
-      "q_agg_email_aliases_company")
-      .filter(queries.contains)
+    * exist in [[queries]] — no silent filtering. */
+  def headline: Seq[String] = {
+    val hs = Seq("q1_agg", "q_join_star", "q_component_activity",
+      "q_dedup_minhash", "q_sim_topk", "q_text_quality", "q_session_windows")
+    val missing = hs.filterNot(queries.contains)
+    require(missing.isEmpty, s"headline queries not implemented: $missing")
+    hs
+  }
 }

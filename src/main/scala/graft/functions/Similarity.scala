@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Distinct word k-shingles of a space-separated text, in first-seen
-    * positional order then de-duplicated. Documents with fewer than k
-    * words yield an empty array. */
-  def shingles(text: Column, k: Int): Column = {
-    val w = split(text, " ")
+  /** Distinct word k-shingles from a pre-split words array, in first-seen
+    * positional order then de-duplicated. Rows with fewer than k words
+    * yield an empty array.
+    *
+    * Pass a MATERIALIZED array column (project `split(text, " ")` in a
+    * separate select first): handing `split(text)` in directly would
+    * re-evaluate the split inside every `element_at` lambda invocation —
+    * O(words²) per document (CollapseProject keeps a non-cheap alias in
+    * its own projection, so the boundary is what prevents the inlining). */
+  def shinglesOfWords(w: Column, k: Int): Column = {
     val n = size(w)
     array_distinct(
       when(n >= k,

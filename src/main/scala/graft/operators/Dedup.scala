@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Similarity
@@ -25,30 +24,51 @@ object Dedup {
       .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_copies"))
 
-  /** (doc_id, shingle) pairs — distinct word-k-shingles, exploded. */
+  /** (doc_id, shingle) pairs — distinct word-k-shingles, exploded. The
+    * words array is materialized in its own projection first (see
+    * Similarity.shinglesOfWords on why that boundary matters). */
   def shingled(docs: DataFrame, k: Int): DataFrame =
     docs
-      .filter(size(split(col("text"), " ")) >= k)
-      .select(col("doc_id"), explode(Similarity.shingles(col("text"), k)).as("s"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(Similarity.shinglesOfWords(col("w"), k)).as("s"))
 
-  /** Exact n-gram Jaccard near-dup pairs via an inverted-index self-join.
+  /** Ordered (a < b) id pairs within each bucket: sorted distinct ids per
+    * bucket, then per-element pair explosion — the self-join-free inverted
+    * index. A self-join would recompute the (expensive) bucket-derivation
+    * subtree once per side; this shape scans it once, shuffles once on
+    * the bucket key, and emits exactly the same pairs. Bucket fan-out is
+    * n², which is fine precisely because near-dup buckets are small; cap
+    * membership upstream where a hot bucket is possible. */
+  private def pairsInBucket(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("a"), y.as("b")))))
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted index.
     *
-    * The join keys on the shingle (equi-join — the classic set-similarity
-    * join), shingles hotter than `maxDf` documents are dropped first
-    * (stop-shingle guard: bounds any join group at maxDf², and a shingle
-    * in >maxDf docs carries ~no similarity signal), and pairs sharing
-    * fewer than `minCommon` shingles are pruned before the Jaccard math.
+    * Buckets key on the shingle (the classic set-similarity join, without
+    * the self-join — see [[pairsInBucket]]); shingles in more than
+    * `maxDf` documents are dropped (stop-shingle guard: bounds any
+    * bucket's pair fan-out at maxDf², and a shingle in >maxDf docs
+    * carries ~no similarity signal); pairs sharing fewer than `minCommon`
+    * shingles are pruned before the Jaccard math.
     */
   def jaccardPairs(docs: DataFrame, k: Int, maxDf: Int, minCommon: Int,
       minJaccard: Double): DataFrame = {
     val sh = shingled(docs, k)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df") <= maxDf)
-      .select(col("doc_id"), col("s"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // per-doc distinct-shingle count is a pure projection (array size) —
+    // no explode, no shuffle; it lands in the final joins as a broadcast
+    val sizes = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), size(Similarity.shinglesOfWords(col("w"), k)).cast("long").as("nsh"))
+    val common = sh
+      .groupBy(col("s"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(explode(pairsInBucket(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)
     common
@@ -61,24 +81,28 @@ object Dedup {
   }
 
   /** MinHash signatures: one row per doc, `perms` minhashes in
-    * permutation order. Single shuffle on doc_id after the per-(doc,perm)
-    * partial min (map-side combine does the heavy lifting). */
-  def minhashSignatures(docs: DataFrame, k: Int, perms: Int): DataFrame =
+    * permutation order.
+    *
+    * All `perms` mins are computed as parallel aggregates in a SINGLE
+    * groupBy over the shingle rows — no perms× row explosion, one
+    * shuffle on doc_id (map-side partial mins shrink it to one row per
+    * (doc, partition)), and no second aggregation to re-assemble the
+    * signature. Values are identical to the explode-per-permutation
+    * formulation (the oracle's shape). */
+  def minhashSignatures(docs: DataFrame, k: Int, perms: Int): DataFrame = {
+    val mins = (0 until perms).map(p =>
+      min(Similarity.permHash(lit(p), col("s"))).as(s"m$p"))
     shingled(docs, k)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), lit(perms - 1))).as("p"),
-        col("s"))
-      .select(col("doc_id"), col("p"), Similarity.permHash(col("p"), col("s")).as("h"))
-      .groupBy(col("doc_id"), col("p"))
-      .agg(min(col("h")).as("sig"))
       .groupBy(col("doc_id"))
-      .agg(transform(array_sort(collect_list(struct(col("p"), col("sig")))),
-        x => x.getField("sig")).as("sig"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
+  }
 
   /** LSH banding over MinHash signatures: `bands` bands of `perms/bands`
     * rows each; docs sharing any band bucket become a candidate pair.
-    * The self-join keys on (band, md5-of-band-slice) — fixed 16-byte
-    * bucket keys, never signatures or text. */
+    * Buckets key on (band, md5-of-band-slice) — fixed 16-byte keys, never
+    * signatures or text — and pairs come from [[pairsInBucket]], so the
+    * signature pipeline is computed exactly once. */
   def minhashCandidates(docs: DataFrame, k: Int, perms: Int, bands: Int): DataFrame = {
     val rows = perms / bands
     val sigs = minhashSignatures(docs, k, perms)
@@ -90,11 +114,12 @@ object Dedup {
             element_at(col("sig"), b * lit(rows) + lit(r + 1))): _*)).as("bk"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    banded
+      .groupBy(col("band"), col("bk"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(pairsInBucket(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
   }
 
@@ -124,18 +149,21 @@ object Dedup {
   /** Hamming-near pairs over SimHash signatures. Candidates come from a
     * 4×16-bit chunk LSH (two signatures within hamming distance 3 of
     * each other must agree on at least one 16-bit chunk; wider distances
-    * trade recall for the same bounded cost). */
+    * trade recall for the same bounded cost). Bucket members carry their
+    * signature into the pair explosion, so the signature pipeline runs
+    * once and no join-back is needed. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sigs = simhashSignatures(docs)
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(3))).as("j"))
       .withColumn("chunk", expr("substring(sig, j * 16 + 1, 16)"))
-    val cand = chunks.as("a")
-      .join(chunks.as("b"),
-        col("a.j") === col("b.j") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    val cand = chunks
+      .groupBy(col("j"), col("chunk"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("sig")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(pairsInBucket(col("ds"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.sig").as("sig_a"), col("p.b.sig").as("sig_b"))
       .distinct()
     val ham = (0 until 4).map(j =>
       expr(s"bit_count(CAST(conv(substring(sig_a, ${j * 16 + 1}, 16), 2, 10) AS BIGINT) ^ " +
