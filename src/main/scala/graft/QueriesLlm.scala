@@ -66,6 +66,13 @@ object QueriesLlm {
       .select(col("label").as("cell"), col("vec_id").as("corpus_id"),
         col("embedding").as("ce"))
 
+  /** Embedding-cosine near-dup pairs: 8 tables × 4-bit random-hyperplane
+    * LSH, exact quantized-cosine verify at 0.45. */
+  val dedupEmbCos: Q = (s, dir) =>
+    Dedup.embeddingCosPairs(
+      Tables(s, dir).embeddings.select(col("vec_id"), col("embedding").as("ce")),
+      tables = 8, bitsPerTable = 4, minCosQ = 450000L)
+
   /** Brute-force cosine top-10 baseline (exact). */
   val simTopk: Q = (s, dir) =>
     operators.Ann.bruteForceTopK(annQueries(s, dir),
@@ -88,6 +95,7 @@ object QueriesLlm {
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_dedup_minhash"       -> dedupMinhash,
     "q_dedup_simhash"       -> dedupSimhash,
+    "q_dedup_embcos"        -> dedupEmbCos,
     "q_text_langid"         -> textLangid,
     "q_text_quality"        -> textQuality,
     "q_text_tokens"         -> textTokens,
@@ -184,6 +192,36 @@ GROUP BY 1, 2"""),
         |)
         |SELECT doc_a, doc_b, hamming(sig_a, sig_b) AS hamming
         |FROM cand WHERE hamming(sig_a, sig_b) <= 8""".stripMargin,
+
+    "q_dedup_embcos" ->
+      """WITH hp AS (
+        |  SELECT p,
+        |    list((strpos('0123456789abcdef',
+        |            substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 7.5
+        |         ORDER BY i) AS r
+        |  FROM range(0, 32) t1(p), unnest(generate_series(0, 63)) t2(i)
+        |  GROUP BY p
+        |), e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), bits AS (
+        |  SELECT vec_id, p // 4 AS t, p,
+        |    CASE WHEN list_dot_product(v, r) >= 0 THEN '1' ELSE '0' END AS b
+        |  FROM e, hp
+        |), buckets AS (
+        |  SELECT vec_id, t, string_agg(b, '' ORDER BY p) AS bucket
+        |  FROM bits GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM buckets a JOIN buckets b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |)
+        |SELECT vec_a, vec_b, cos_q FROM (
+        |  SELECT vec_a, vec_b,
+        |    CAST(floor(list_dot_product(ea.v, eb.v)
+        |          / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+        |          * 1000000) AS BIGINT) AS cos_q
+        |  FROM cand JOIN e ea ON vec_a = ea.vec_id JOIN e eb ON vec_b = eb.vec_id) t
+        |WHERE cos_q >= 450000""".stripMargin,
 
     "q_text_langid" -> (
       """WITH words AS (

@@ -123,6 +123,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Embedding-cosine near-dup pairs via banded random-hyperplane LSH.
+    *
+    * `tables`×`bitsPerTable` deterministic hyperplanes are derived from
+    * md5 (r_p[i] = first-nibble(md5("p|i")) - 7.5, the portable stand-in
+    * for a seeded gaussian); each vector's bucket in table t is the
+    * `bitsPerTable`-bit sign pattern of its hyperplane dots. Candidates
+    * share a bucket in ANY table (OR-amplification: recall ≈
+    * 1-(1-p^b)^T for per-bit agreement p), then exact quantized cosine
+    * filters. The hyperplane codebook is broadcast; the corpus streams
+    * through one scan + one shuffle on (table, bucket); candidate
+    * verification joins back on vec_id only. */
+  def embeddingCosPairs(emb: DataFrame, tables: Int, bitsPerTable: Int,
+      minCosQ: Long): DataFrame = {
+    val planes = tables * bitsPerTable
+    val spark = emb.sparkSession
+    val hp = spark.range(planes).select(
+      col("id").cast("int").as("p"),
+      transform(sequence(lit(0), lit(63)), i =>
+        conv(substring(md5(concat_ws("|", col("id"), i)), 1, 1), 16, 10)
+          .cast("double") - 7.5).as("r"))
+    val bits = emb.join(broadcast(hp))
+      .select(col("vec_id"), (col("p") / bitsPerTable).cast("int").as("t"), col("p"),
+        when(Similarity.dot(col("ce"), col("r")) >= 0, "1").otherwise("0").as("b"))
+    val buckets = bits
+      .groupBy(col("vec_id"), col("t"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("b")))),
+        x => x.getField("b")), "").as("bucket"))
+    val cand = buckets
+      .groupBy(col("t"), col("bucket"))
+      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(pairsInBucket(col("ids"))).as("pp"))
+      .select(col("pp.a").as("vec_a"), col("pp.b").as("vec_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id"), col("ce").as("ca")), col("vec_a") === col("vec_id")).drop("vec_id")
+      .join(emb.select(col("vec_id"), col("ce").as("cb")), col("vec_b") === col("vec_id")).drop("vec_id")
+      .select(col("vec_a"), col("vec_b"),
+        floor(Similarity.cosine(col("ca"), col("cb")) * lit(1000000.0)).cast("long").as("cos_q"))
+      .filter(col("cos_q") >= minCosQ)
+  }
+
   /** 64-bit SimHash signature per doc as a '0'/'1' bitstring.
     *
     * Word weights = term frequency; each word votes its md5-derived 64

@@ -50,6 +50,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((jac -- mh).isEmpty, s"missed: ${jac -- mh}")
   }
 
+  test("embedding-cosine LSH finds high-cosine pairs without an all-pairs join") {
+    import graft.sources.Tables
+    val emb = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").as("ce"))
+    val df = Dedup.embeddingCosPairs(emb, tables = 8, bitsPerTable = 4, minCosQ = 400000L)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val pairs = df.collect()
+    // every reported pair really is above threshold (exact verify ran)
+    assert(pairs.forall(_.getLong(2) >= 400000L))
+  }
+
   test("multimodal decodeStub: schema, determinism, batch shape") {
     val withBytes = Multimodal.withMeta(docs.limit(50))
     val feats = Multimodal.decodeStub(withBytes)
