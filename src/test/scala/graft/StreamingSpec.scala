@@ -12,7 +12,9 @@ class StreamingSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
-  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+  // base offset keeps test events strictly above the initial watermark
+  // (epoch-0 rows are dropped as late by stateful operators)
+  private def ts(min: Long): Timestamp = new Timestamp((86400L + min * 60L) * 1000L)
 
   private def feed(q: StreamingQuery)(add: => Any): Unit = {
     add
@@ -51,6 +53,30 @@ class StreamingSpec extends AnyFunSuite {
       val rows = spark.table("sess_out")
         .filter($"user_id" === 1L).select("n_events").collect().map(_.getLong(0)).sorted
       assert(rows.toSeq == Seq(1L, 2L), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer closes by gap and by count") {
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.Event
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val out = StatefulSessions.sessionize(in.toDS(), gapSeconds = 1800L, maxEvents = 3)
+    val q = out.writeStream.format("memory").queryName("mgws_out").outputMode("append").start()
+    try {
+      // user 1: 4 events close together -> count-close at 3, 1 left open;
+      // user 2: 1 event, then silence -> gap-close via timeout
+      feed(q)(in.addData(
+        Event(1L, ts(0), 1.0), Event(1L, ts(1), 2.0), Event(1L, ts(2), 3.0),
+        Event(1L, ts(3), 4.0), Event(2L, ts(0), 9.0)))
+      feed(q)(in.addData(Event(3L, ts(500), 0.0))) // advance watermark far past gaps
+      feed(q)(in.addData(Event(3L, ts(1000), 0.0)))
+      val rows = spark.table("mgws_out")
+        .select("user_id", "n_events", "sum_value", "closed_by").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSet
+      assert(rows.contains((1L, 3, 6.0, "count")), s"got $rows")
+      assert(rows.contains((1L, 1, 4.0, "gap")), s"got $rows")
+      assert(rows.contains((2L, 1, 9.0, "gap")), s"got $rows")
     } finally q.stop()
   }
 
