@@ -27,7 +27,8 @@ object GraftFunctions {
 
   private def fn(name: String, usage: String)(builder: FunctionBuilder): FunctionDescription =
     (new FunctionIdentifier(name),
-      new ExpressionInfo(GraftFunctions.getClass.getCanonicalName, null, name, usage, ""),
+      new ExpressionInfo(GraftFunctions.getClass.getCanonicalName, null, name, usage,
+        "", "", "", "", "", "", "built-in"),
       builder)
 
   /** md5-short(6) of the email local part, domain kept (Obfuscate.java). */

@@ -46,6 +46,15 @@ class PlanSpec extends AnyFunSuite {
     assert(salted.except(direct).isEmpty && direct.except(salted).isEmpty)
   }
 
+  test("ANN plans broadcast the small side (queries / centroid codebook), corpus only streams") {
+    val topk = physicalPlan(QueriesLlm.simTopk(spark, sfDir))
+    assert(topk.contains("BroadcastExchange"), topk)
+    assert(!topk.contains("CartesianProduct"), topk)
+    val ivf = physicalPlan(QueriesLlm.simIvf(spark, sfDir))
+    assert("BroadcastExchange".r.findAllIn(ivf).length >= 2, ivf) // codebook + probed queries
+    assert(!ivf.contains("SortMergeJoin"), ivf)
+  }
+
   test("q_component_activity is a single-shuffle partial-agg plan") {
     val plan = physicalPlan(QueriesRef.componentActivity(spark, sfDir))
     val nExchange = "Exchange".r.findAllIn(plan).length

@@ -24,7 +24,7 @@ class StreamingSpec extends AnyFunSuite {
   test("watermarked tumble agg finalizes windows once the watermark passes") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
-    val df = in.toDF.toDF("ts", "event_type", "value")
+    val df = in.toDF().toDF("ts", "event_type", "value")
     val q = StreamingJobs.tumbleAgg(df, "1 hour", "10 minutes")
       .writeStream.format("memory").queryName("tumble_out").outputMode("append").start()
     try {
@@ -43,7 +43,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming session windows merge by gap and emit on watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
-    val df = in.toDF.toDF("ts", "user_id")
+    val df = in.toDF().toDF("ts", "user_id")
     val q = StreamingJobs.sessionAgg(df, "30 minutes", "10 minutes")
       .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
     try {
@@ -83,7 +83,7 @@ class StreamingSpec extends AnyFunSuite {
   test("dropDuplicatesWithinWatermark suppresses re-deliveries inside the horizon") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
-    val df = in.toDF.toDF("ts", "digest")
+    val df = in.toDF().toDF("ts", "digest")
     val q = StreamingJobs.dedupWithinWatermark(df, "digest", "1 hour")
       .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
     try {
