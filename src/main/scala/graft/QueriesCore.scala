@@ -77,6 +77,13 @@ object QueriesCore {
       .filter(col("rk") <= 3)
   }
 
+  /** Same contract as [[qTopkPerGroup]] through the typed bounded-heap
+    * Aggregator (operators.TopK): the shuffle carries only k rows per
+    * group per map partition instead of every row — the plan you want
+    * when groups are few and the fact table is 100 TB. */
+  val qTopkAgg: Q = (s, dir) =>
+    operators.TopK.topOrdersPerPriority(s, Tables(s, dir).orders, 3)
+
   /** Multi-level ROLLUP aggregate — Spark's Expand + single shuffle.
     * grouping_id disambiguates "rolled up" from a genuine NULL key, with
     * the same bit convention as DuckDB's GROUPING(a, b). */
@@ -130,6 +137,7 @@ object QueriesCore {
     "q1_agg"           -> q1Agg,
     "q_join_star"      -> qJoinStar,
     "q_topk_per_group" -> qTopkPerGroup,
+    "q_topk_agg"       -> qTopkAgg,
     "q_rollup"         -> qRollup,
     "q_semi_anti"      -> qSemiAnti,
     "q_skew_agg"       -> qSkewAgg)
@@ -162,7 +170,15 @@ object QueriesCore {
         |GROUP BY 1, 2""".stripMargin,
 
     "q_topk_per_group" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
         |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk

@@ -231,7 +231,8 @@ GROUP BY 1, 2"""),
   """ + langScores + """
   FROM words
 )
-SELECT doc_id, lang, """ + predCase + s""" AS pred_lang, $mx AS top_score
+SELECT doc_id, lang, """ + predCase + s""" AS pred_lang,
+  CAST($mx AS INT) AS top_score
 FROM scored"""),
 
     "q_text_quality" -> (

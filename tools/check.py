@@ -44,13 +44,16 @@ def main():
             print(f"COLS  {name}: spark={list(a.columns)} duck={list(b.columns)}"); n_bad += 1; continue
         if len(a) != len(b):
             print(f"ROWS  {name}: spark={len(a)} duck={len(b)}"); n_bad += 1; continue
-        # dtype *kind* must match (int vs float vs object): the driver's
+        # dtype must match exactly for integers (int32 vs int64 can change
+        # the driver's value hashing), and by kind otherwise: the driver's
         # hash compare diverges on e.g. DuckDB HUGEINT->float64 vs Spark
         # int64 even when values are numerically equal.
-        kinds_a = [d.kind for d in a.dtypes]
-        kinds_b = [d.kind for d in b.dtypes]
-        if kinds_a != kinds_b:
-            print(f"DTYPE {name}: spark={list(zip(a.columns,kinds_a))} duck={list(zip(b.columns,kinds_b))}")
+        def sig(d):
+            return str(d) if d.kind in "iu" else d.kind
+        sigs_a = [sig(d) for d in a.dtypes]
+        sigs_b = [sig(d) for d in b.dtypes]
+        if sigs_a != sigs_b:
+            print(f"DTYPE {name}: spark={list(zip(a.columns,sigs_a))} duck={list(zip(b.columns,sigs_b))}")
             n_bad += 1; continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
