@@ -13,6 +13,16 @@ object Probe {
     val spark = GraftSession.builder("probe", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] heap max = ${Runtime.getRuntime.maxMemory() / (1 << 20)} MiB")
+    if (args.headOption.contains("shuffles")) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val n = "Exchange hashpartitioning".r.findAllIn(plan).length +
+          "Exchange rangepartitioning".r.findAllIn(plan).length
+        val b = "BroadcastExchange".r.findAllIn(plan).length
+        println(f"[probe] shuffles $name%-28s exchanges=$n broadcasts=$b")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("explain")) {
       for (name <- args.drop(1)) {
         println(s"==== $name ====")

@@ -38,15 +38,18 @@ object Ann {
   /** Per-cell mean centroids ("trained" coarse quantizer — the given
     * cell assignment plays the role of a k-means codebook). Sums run in
     * exact DECIMAL per dimension so centroid doubles are independent of
-    * aggregation order. */
-  def centroids(corpus: DataFrame): DataFrame =
+    * aggregation order; the `dim` per-dimension means are parallel
+    * aggregates in ONE groupBy(cell) — a posexplode would 64× the corpus
+    * and add a (cell, pos) shuffle before the per-cell one. */
+  def centroids(corpus: DataFrame, dim: Int = 64): DataFrame = {
+    val means = (0 until dim).map(i =>
+      (sum(element_at(col("ce"), i + 1).cast("decimal(27,10)")).cast("double") /
+        count(lit(1))).as(s"c$i"))
     corpus
-      .select(col("cell"), posexplode(col("ce")))
-      .groupBy(col("cell"), col("pos"))
-      .agg((sum(col("col").cast("decimal(27,10)")).cast("double") / count(lit(1))).as("c"))
       .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        x => x.getField("c")).as("ce"))
+      .agg(means.head, means.tail: _*)
+      .select(col("cell"), array((0 until dim).map(i => col(s"c$i")): _*).as("ce"))
+  }
 
   /** IVF-style ANN: probe the nearest `nprobe` centroid cells only, then
     * exact top-k within the probed cells. The centroid table (cells ×

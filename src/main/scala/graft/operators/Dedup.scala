@@ -170,23 +170,26 @@ object Dedup {
     * Word weights = term frequency; each word votes its md5-derived 64
     * bits (+tf for a set bit, -tf for unset); signature bit = sign of the
     * vote. All bit math runs on hex nibbles so the identical computation
-    * is expressible in portable SQL. */
-  def simhashSignatures(docs: DataFrame): DataFrame =
-    docs
+    * is expressible in portable SQL.
+    *
+    * The 64 bit-votes are 64 parallel sum aggregates in a single
+    * groupBy(doc_id) — no 64× bit-explosion (which would materialize
+    * 64·|words| rows and force a second keyed shuffle on (doc, bit));
+    * the signature assembles from the 64 vote columns directly. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val wc = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col("doc_id"), col("cnt"), md5(col("word")).as("h"),
-        explode(sequence(lit(0), lit(63))).as("i"))
-      .withColumn("bit",
-        expr("((CAST(position(substring(h, (i div 4) + 1, 1) IN '0123456789abcdef') AS INT) - 1) >> (3 - i % 4)) & 1"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("v"))
-      .groupBy(col("doc_id"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("i"),
-          when(col("v") > 0, "1").otherwise("0").as("b")))), x => x.getField("b")),
-        "").as("sig"))
+      .withColumn("h", md5(col("word")))
+    def bit(i: Int) = expr(
+      s"((CAST(position(substring(h, ${i / 4 + 1}, 1) IN '0123456789abcdef') AS INT) - 1) >> ${3 - i % 4}) & 1")
+    val votes = (0 until 64).map(i => sum(col("cnt") * (bit(i) * 2 - 1)).as(s"v$i"))
+    wc.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 64).map(i => when(col(s"v$i") > 0, "1").otherwise("0")): _*).as("sig"))
+  }
 
   /** Hamming-near pairs over SimHash signatures. Candidates come from a
     * 4×16-bit chunk LSH (two signatures within hamming distance 3 of

@@ -55,6 +55,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!ivf.contains("SortMergeJoin"), ivf)
   }
 
+  test("shuffle budget: every query stays within its audited exchange count") {
+    // Measured with Probe's `shuffles` mode; a regression here means a
+    // plan gained a shuffle (the thing that breaks first at 100 TB).
+    // Counts exclude broadcasts (those are the point) and are upper
+    // bounds. Two-phase exact distinct and salted aggs legitimately
+    // need 2; dedup pipelines need one per keyed stage.
+    val budget = Map(
+      "q1_agg" -> 1, "q_component_activity" -> 1, "q_component_activity_month" -> 1,
+      "q_distinct_users_per_window" -> 2, "q_session_windows" -> 1,
+      "q_emails_no_reply" -> 1, "q_jira_tickets_per_month" -> 1,
+      "q_explode_files" -> 1, "q_pull_request_stats" -> 1, "q_email_threads" -> 2,
+      "q_agg_email_aliases_company" -> 2, "q_topk_per_group" -> 1, "q_topk_agg" -> 1,
+      "q_rollup" -> 1, "q_join_star" -> 2, "q_semi_anti" -> 2, "q_skew_agg" -> 2,
+      "q_dedup_exact" -> 1, "q_dedup_ngram_jaccard" -> 2, "q_dedup_minhash" -> 3,
+      "q_dedup_simhash" -> 4, "q_dedup_embcos" -> 3,
+      "q_sim_topk" -> 1, "q_sim_ivf" -> 3,
+      "q_text_langid" -> 0, "q_text_quality" -> 0, "q_text_tokens" -> 1,
+      "q_text_fingerprint" -> 1, "q_multimodal_meta" -> 0)
+    val over = budget.flatMap { case (name, max) =>
+      val plan = physicalPlan(SparkEntry.queries(name)(spark, sfDir))
+      val n = "Exchange hashpartitioning".r.findAllIn(plan).length +
+        "Exchange rangepartitioning".r.findAllIn(plan).length
+      if (n > max) Some(s"$name: $n > $max") else None
+    }
+    assert(over.isEmpty, s"shuffle budget exceeded: ${over.mkString("; ")}")
+  }
+
   test("q_component_activity is a single-shuffle partial-agg plan") {
     val plan = physicalPlan(QueriesRef.componentActivity(spark, sfDir))
     val nExchange = "Exchange".r.findAllIn(plan).length
