@@ -90,6 +90,25 @@ class PlanSpec extends AnyFunSuite {
     assert(nExchange == 1, s"expected exactly 1 shuffle:\n$plan")
   }
 
+  test("hot paths compile into whole-stage codegen, including graft_cosine") {
+    import org.apache.spark.sql.execution.debug
+    // AQE wraps the plan and defers codegen until execution; disable it
+    // for this static inspection only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (name <- Seq("q1_agg", "q_text_quality", "q_component_activity")) {
+        val gen = debug.codegenString(
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
+        assert(!gen.startsWith("Found 0 WholeStageCodegen"), s"$name left codegen:\n${gen.take(300)}")
+      }
+      // the cosine expression's doGenCode must actually land in generated
+      // code (a janino failure would silently fall back to interpreted)
+      val topk = QueriesLlm.simTopk(spark, sfDir)
+      val gen = debug.codegenString(topk.queryExecution.executedPlan)
+      assert(gen.contains(".getFloat("), "CosineSimilarity codegen missing from generated source")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q_agg_email_aliases_company has no join-back (window max instead)") {
     val plan = physicalPlan(QueriesFn.aggEmailAliasesCompany(spark, sfDir))
     val joins = "Join".r.findAllIn(plan).length
