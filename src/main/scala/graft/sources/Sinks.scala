@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Result sinks — the Spark-native analogue of the reference's
+  * Elasticsearch sink (commit-analytics FlinkCommitProgram.java
+  * `addSink(getElasticsearchSink(...))`: window aggregates indexed for
+  * dashboards). No ES client exists in this environment; the durable
+  * contract the reference's sink provides — append of keyed window
+  * results, idempotent re-writes, time-bounded reads — maps to a
+  * date-partitioned parquet store:
+  *
+  *  - writes partition by the window date, and GraftSession sets
+  *    `partitionOverwriteMode=dynamic`, so re-running a window job
+  *    replaces exactly the partitions it touches (the reference gets
+  *    the same idempotence from ES doc ids);
+  *  - readers filtering on `p_date` prune partitions at planning time
+  *    (`PartitionFilters` in the scan) — the property that keeps
+  *    dashboard queries off the 100 TB history.
+  */
+object Sinks {
+
+  val PartitionCol = "p_date"
+
+  /** Write window-keyed results date-partitioned by `epochSecCol`. */
+  def writePartitioned(df: DataFrame, path: String, epochSecCol: String): Unit =
+    df.withColumn(PartitionCol, to_date(timestamp_seconds(col(epochSecCol))))
+      .write
+      .mode("overwrite")
+      .partitionBy(PartitionCol)
+      .parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Streaming twin: checkpointed append parquet sink (exactly-once file
+    * sink; the streaming analogue of the reference's ES sink). */
+  def streamToParquet(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+}

@@ -19,6 +19,51 @@ class SourcesSpec extends AnyFunSuite {
     assert(p.closed_at.isDefined)
   }
 
+  test("partitioned result sink: idempotent dynamic overwrite + partition-pruned reads") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_sink_test"
+    val res = QueriesRef.componentActivity(spark, sfDir)
+    Sinks.writePartitioned(res, dir, "w_start")
+    // pruned read: the scan must carry a partition filter, not a data filter
+    val oneDay = Sinks.readPartitioned(spark, dir)
+      .filter(col(Sinks.PartitionCol) === "2024-01-02")
+    val plan = formattedPlan(oneDay)
+    assert(plan.contains("PartitionFilters: [isnotnull(p_date"), plan)
+    // dynamic overwrite: re-writing a SUBSET only replaces its partitions
+    val minStart = res.agg(min(col("w_start"))).collect()(0).getLong(0)
+    val firstDay = res.filter(col("w_start") < minStart + 86400)
+    val total = Sinks.readPartitioned(spark, dir).count()
+    Sinks.writePartitioned(firstDay, dir, "w_start")
+    assert(Sinks.readPartitioned(spark, dir).count() == total,
+      "dynamic partitionOverwrite must keep untouched partitions")
+  }
+
+  test("streaming parquet sink appends with checkpointing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val out = "/tmp/graft_stream_sink/out"
+    val q = Sinks.streamToParquet(
+      graft.streaming.StreamingJobs.tumbleAgg(df, "1 hour", "10 minutes"),
+      out, "/tmp/graft_stream_sink/ckpt")
+    try {
+      in.addData((new Timestamp(90000L * 1000), "core", 5.0))
+      q.processAllAvailable()
+      in.addData((new Timestamp(990000L * 1000), "core", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+      assert(got.count() >= 1)
+      assert(got.columns.toSet == Set("w_start", "event_type", "lines_changed", "n_events"))
+    } finally {
+      q.stop()
+      // clean checkpoints so re-runs in the same /tmp start fresh
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File("/tmp/graft_stream_sink"))
+    }
+  }
+
   test("JSON lines round-trip preserves the typed entities exactly") {
     val t = Tables(spark, sfDir)
     val dir = "/tmp/graft_json_test"
