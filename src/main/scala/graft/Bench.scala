@@ -41,18 +41,12 @@ object Bench {
     val results = timed.map { case (n, _, s) => n -> s }
     val colds = timed.map { case (n, c, _) => n -> c }
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val cs = colds.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => s"${Jsons.str(k)}:$v" }.mkString("{", ",", "}")
+    val cs = colds.map { case (k, v) => s"${Jsons.str(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${Jsons.str(k)}:${Jsons.str(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"errors":$es,"n_failed":${errors.size},"sf":${Jsons.str(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -161,11 +161,13 @@ perm AS (
 ), sigs AS (
   SELECT doc_id, list(sig ORDER BY p) AS sig FROM perm GROUP BY 1
 ), bands AS (
-  SELECT doc_id, b, md5(sig[b*2+1] || sig[b*2+2]) AS bk
-  FROM sigs, unnest(generate_series(0, 3)) t(b)
+  SELECT doc_id, b, bk, count(*) OVER (PARTITION BY b, bk) AS bsz FROM (
+    SELECT doc_id, b, md5(sig[b*2+1] || sig[b*2+2]) AS bk
+    FROM sigs, unnest(generate_series(0, 3)) t(b))
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
 FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+WHERE a.bsz <= 10000
 GROUP BY 1, 2"""),
 
     "q_dedup_simhash" ->
@@ -183,12 +185,14 @@ GROUP BY 1, 2"""),
         |  SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
         |  FROM votes GROUP BY 1
         |), chunks AS (
-        |  SELECT doc_id, sig, j, substr(sig, j*16 + 1, 16) AS chunk
-        |  FROM sigs, unnest(generate_series(0, 3)) t(j)
+        |  SELECT doc_id, sig, j, chunk, count(*) OVER (PARTITION BY j, chunk) AS bsz FROM (
+        |    SELECT doc_id, sig, j, substr(sig, j*16 + 1, 16) AS chunk
+        |    FROM sigs, unnest(generate_series(0, 3)) t(j))
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
         |  FROM chunks a JOIN chunks b
         |    ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        |  WHERE a.bsz <= 10000
         |)
         |SELECT doc_a, doc_b, hamming(sig_a, sig_b) AS hamming
         |FROM cand WHERE hamming(sig_a, sig_b) <= 8""".stripMargin,
@@ -208,12 +212,14 @@ GROUP BY 1, 2"""),
         |    CASE WHEN list_dot_product(v, r) >= 0 THEN '1' ELSE '0' END AS b
         |  FROM e, hp
         |), buckets AS (
-        |  SELECT vec_id, t, string_agg(b, '' ORDER BY p) AS bucket
-        |  FROM bits GROUP BY 1, 2
+        |  SELECT vec_id, t, bucket, count(*) OVER (PARTITION BY t, bucket) AS bsz FROM (
+        |    SELECT vec_id, t, string_agg(b, '' ORDER BY p) AS bucket
+        |    FROM bits GROUP BY 1, 2)
         |), cand AS (
         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         |  FROM buckets a JOIN buckets b
         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE a.bsz <= 10000
         |)
         |SELECT vec_a, vec_b, cos_q FROM (
         |  SELECT vec_a, vec_b,

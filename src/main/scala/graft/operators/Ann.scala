@@ -56,8 +56,9 @@ object Ann {
     * dim doubles) is broadcast; the corpus is pruned by cell via an
     * equi-join on the cell id — at scale this is the difference between
     * scanning 100 TB and scanning 100 TB / n_cells × nprobe. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val cents = centroids(corpus)
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
+      dim: Int = 64): DataFrame = {
+    val cents = centroids(corpus, dim)
     val probed = queries.join(broadcast(cents))
       .select(col("query_id"), col("qe"), col("cell"),
         cosQ(col("qe"), col("ce")).as("cscore"))

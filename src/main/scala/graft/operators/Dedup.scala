@@ -56,17 +56,21 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, k: Int, maxDf: Int, minCommon: Int,
       minJaccard: Double): DataFrame = {
-    val sh = shingled(docs, k)
-    // per-doc distinct-shingle count is a pure projection (array size) —
-    // no explode, no shuffle; it lands in the final joins as a broadcast
-    val sizes = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"), size(Similarity.shinglesOfWords(col("w"), k)).cast("long").as("nsh"))
-    val common = sh
+    // The similarity universe is the df-FILTERED shingle sets: stop
+    // -shingles (df > maxDf) are removed before BOTH the pair counts and
+    // the per-doc sizes, so numerator and denominator are consistent
+    // (Jaccard over the filtered sets — anything else under-reports
+    // similarity of docs containing hot shingles).
+    val buckets = shingled(docs, k)
       .groupBy(col("s"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
+      .filter(size(col("ids")) <= maxDf)
+    val sizes = buckets
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nsh"))
+    val common = buckets
+      .filter(size(col("ids")) >= 2)
       .select(explode(pairsInBucket(col("ids"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -103,7 +107,9 @@ object Dedup {
     * Buckets key on (band, md5-of-band-slice) — fixed 16-byte keys, never
     * signatures or text — and pairs come from [[pairsInBucket]], so the
     * signature pipeline is computed exactly once. */
-  def minhashCandidates(docs: DataFrame, k: Int, perms: Int, bands: Int): DataFrame = {
+  def minhashCandidates(docs: DataFrame, k: Int, perms: Int, bands: Int,
+      maxBucket: Int = 10000): DataFrame = {
+    require(perms % bands == 0, s"perms ($perms) must be a multiple of bands ($bands)")
     val rows = perms / bands
     val sigs = minhashSignatures(docs, k, perms)
     val banded = sigs.select(
@@ -117,7 +123,10 @@ object Dedup {
     banded
       .groupBy(col("band"), col("bk"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      // a bucket larger than maxBucket is a mass-duplicate cluster whose
+      // n² pair fan-out belongs to EXACT dedup (same digest), not LSH —
+      // drop it here to bound the explosion (oracle mirrors the cap)
+      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(pairsInBucket(col("ids"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
@@ -135,12 +144,12 @@ object Dedup {
     * through one scan + one shuffle on (table, bucket); candidate
     * verification joins back on vec_id only. */
   def embeddingCosPairs(emb: DataFrame, tables: Int, bitsPerTable: Int,
-      minCosQ: Long): DataFrame = {
+      minCosQ: Long, dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
     val planes = tables * bitsPerTable
     val spark = emb.sparkSession
     val hp = spark.range(planes).select(
       col("id").cast("int").as("p"),
-      transform(sequence(lit(0), lit(63)), i =>
+      transform(sequence(lit(0), lit(dim - 1)), i =>
         conv(substring(md5(concat_ws("|", col("id"), i)), 1, 1), 16, 10)
           .cast("double") - 7.5).as("r"))
     val bits = emb.join(broadcast(hp))
@@ -153,7 +162,8 @@ object Dedup {
     val cand = buckets
       .groupBy(col("t"), col("bucket"))
       .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      // mass-duplicate buckets belong to exact dedup; cap the fan-out
+      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(pairsInBucket(col("ids"))).as("pp"))
       .select(col("pp.a").as("vec_a"), col("pp.b").as("vec_b"))
       .distinct()
@@ -197,7 +207,7 @@ object Dedup {
     * trade recall for the same bounded cost). Bucket members carry their
     * signature into the pair explosion, so the signature pipeline runs
     * once and no join-back is needed. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
     val sigs = simhashSignatures(docs)
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(3))).as("j"))
@@ -205,7 +215,8 @@ object Dedup {
     val cand = chunks
       .groupBy(col("j"), col("chunk"))
       .agg(sort_array(collect_set(struct(col("doc_id"), col("sig")))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      // mass-duplicate buckets belong to exact dedup; cap the fan-out
+      .filter(size(col("ds")).between(2, maxBucket))
       .select(explode(pairsInBucket(col("ds"))).as("p"))
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("p.a.sig").as("sig_a"), col("p.b.sig").as("sig_b"))

@@ -16,9 +16,10 @@ import org.apache.spark.sql.types._
   * operators, executed |queries|×|corpus| times.
   *
   * Float elements are widened exactly to double before any arithmetic
-  * (bit-exact parity with engines that compute on DOUBLE[]). Null or
-  * length-mismatched arrays yield NULL; null ELEMENTS are not supported
-  * (embedding vectors are dense).
+  * (bit-exact parity with engines that compute on DOUBLE[]). Null,
+  * length-mismatched, or zero-norm arrays yield NULL (never NaN — a NaN
+  * would rank unpredictably and diverge across engines once quantized);
+  * null ELEMENTS are not supported (embedding vectors are dense).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -56,7 +57,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += va * vb; na += va * va; nb += vb * vb
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -81,7 +83,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    double $vb = ${get(b, right, i)};
          |    $dot += $va * $vb; $na += $va * $va; $nb += $vb * $vb;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if ($na == 0.0 || $nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

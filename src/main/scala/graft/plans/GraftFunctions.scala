@@ -25,11 +25,18 @@ object GraftFunctions {
   private def rx(subject: Expression, pattern: String, group: Int): Expression =
     RegExpExtract(subject, Literal(pattern), Literal(group))
 
-  private def fn(name: String, usage: String)(builder: FunctionBuilder): FunctionDescription =
+  private def fn(name: String, usage: String, arity: Int)(
+      builder: FunctionBuilder): FunctionDescription =
     (new FunctionIdentifier(name),
       new ExpressionInfo(GraftFunctions.getClass.getCanonicalName, null, name, usage,
         "", "", "", "", "", "", "built-in"),
-      builder)
+      exprs => {
+        // a clean arity error instead of the builder's MatchError
+        if (exprs.length != arity)
+          throw new IllegalArgumentException(
+            s"$name requires $arity argument(s), got ${exprs.length}")
+        builder(exprs)
+      })
 
   /** md5-short(6) of the email local part, domain kept (Obfuscate.java). */
   private def obfuscate(e: Expression): Expression = {
@@ -43,31 +50,31 @@ object GraftFunctions {
   }
 
   val registry: Seq[FunctionDescription] = Seq(
-    fn("graft_source_component", "component of a repo file path") {
+    fn("graft_source_component", "component of a repo file path", 1) {
       case Seq(e) => nullIfEmpty(rx(e, Patterns.SourceComponent, 1))
     },
-    fn("graft_email_thread", "subject normalized to its thread (reply prefixes stripped)") {
+    fn("graft_email_thread", "subject normalized to its thread (reply prefixes stripped)", 1) {
       case Seq(e) => rx(e, Patterns.EmailThread, 1)
     },
-    fn("graft_jira_ticket_action", "Jira action from a subject, NULL if not a Jira mail") {
+    fn("graft_jira_ticket_action", "Jira action from a subject, NULL if not a Jira mail", 1) {
       case Seq(e) => nullIfEmpty(rx(e, Patterns.JiraSubject, 1))
     },
-    fn("graft_jira_ticket_number", "Jira ticket number from a subject") {
+    fn("graft_jira_ticket_number", "Jira ticket number from a subject", 1) {
       case Seq(e) => nullIfEmpty(rx(e, Patterns.JiraSubject, 2))
     },
-    fn("graft_jira_ticket_from", "Jira ticket author from the From field") {
+    fn("graft_jira_ticket_from", "Jira ticket author from the From field", 1) {
       case Seq(e) => nullIfEmpty(rx(e, Patterns.JiraFrom, 1))
     },
-    fn("graft_is_jira_ticket", "whether the From field is Jira's sender format") {
+    fn("graft_is_jira_ticket", "whether the From field is Jira's sender format", 1) {
       case Seq(e) => Coalesce(Seq(RLike(e, Literal(Patterns.JiraFrom)), Literal(false)))
     },
-    fn("graft_obfuscate", "md5-short(6) of the email local part, domain kept") {
+    fn("graft_obfuscate", "md5-short(6) of the email local part, domain kept", 1) {
       case Seq(e) => obfuscate(e)
     },
-    fn("graft_components_split", "bracket-aware split of a component list") {
+    fn("graft_components_split", "bracket-aware split of a component list", 1) {
       case Seq(e) => StringSplit(e, Literal(Patterns.ComponentsSplit), Literal(-1))
     },
-    fn("graft_cosine", "cosine similarity of two float/double arrays") {
+    fn("graft_cosine", "cosine similarity of two float/double arrays", 2) {
       case Seq(a, b) => CosineSimilarity(a, b)
     }
   )

@@ -68,7 +68,11 @@ class PlanSpec extends AnyFunSuite {
       "q_explode_files" -> 1, "q_pull_request_stats" -> 1, "q_email_threads" -> 2,
       "q_agg_email_aliases_company" -> 2, "q_topk_per_group" -> 1, "q_topk_agg" -> 1,
       "q_rollup" -> 1, "q_join_star" -> 2, "q_semi_anti" -> 2, "q_skew_agg" -> 2,
-      "q_dedup_exact" -> 1, "q_dedup_ngram_jaccard" -> 2, "q_dedup_minhash" -> 3,
+      // jaccard: sizes and pairs both derive from the df-filtered bucket
+      // relation (consistency requires it), and the static plan
+      // sort-merge-joins sizes on; AQE reuses the bucket exchange and
+      // converts the joins to broadcast at runtime when sizes is small
+      "q_dedup_exact" -> 1, "q_dedup_ngram_jaccard" -> 6, "q_dedup_minhash" -> 3,
       "q_dedup_simhash" -> 4, "q_dedup_embcos" -> 3,
       "q_sim_topk" -> 1, "q_sim_ivf" -> 3,
       "q_text_langid" -> 0, "q_text_quality" -> 0, "q_text_tokens" -> 1,

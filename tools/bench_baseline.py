@@ -15,7 +15,13 @@ HEADLINE = ["q1_agg", "q_join_star", "q_component_activity", "q_dedup_minhash",
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    # optional: override the headline list (keep in sync with SparkEntry.headline)
+    headline = sys.argv[3].split(",") if len(sys.argv) > 3 else HEADLINE
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    missing = [q for q in headline if q not in oracles]
+    if missing:
+        sys.exit(f"headline queries missing from oracle dump (drifted from "
+                 f"SparkEntry.headline?): {missing}")
     con = duckdb.connect()
     con.execute("SET threads TO 32")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -24,7 +30,7 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     total = 0.0
-    for name in HEADLINE:
+    for name in headline:
         times = []
         for _ in range(3):
             t0 = time.time()
