@@ -60,11 +60,23 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(e.eval(null).asInstanceOf[Double] == viaSql)
   }
 
-  test("graft_cosine null/mismatch semantics") {
+  test("graft_cosine null/mismatch/zero-norm semantics") {
     val r = spark.sql(
       """SELECT graft_cosine(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)) a,
-        |       graft_cosine(array(1.0F), array(1.0F, 2.0F)) b""".stripMargin).collect()(0)
+        |       graft_cosine(array(1.0F), array(1.0F, 2.0F)) b,
+        |       graft_cosine(array(0.0F, 0.0F), array(1.0F, 2.0F)) c""".stripMargin).collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.isNullAt(2), "zero-norm must be NULL, never NaN")
+    // interpreted path agrees
+    val e = graft.plans.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(0.0f, 0.0f)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1.0f, 2.0f)))
+    assert(e.eval(null) == null)
+  }
+
+  test("graft_* functions report wrong arity cleanly") {
+    val ex = intercept[Exception](spark.sql("SELECT graft_cosine(array(1.0F))"))
+    assert(ex.getMessage.contains("requires 2 argument"), ex.getMessage)
   }
 
   test("ANN: IVF top-k within the probed cell matches brute force restricted to that cell") {
