@@ -24,6 +24,21 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard's final adaptive plan reuses the bucket exchange and broadcasts sizes") {
+    val df = Dedup.jaccardPairs(docs, 3, 50, 2, 0.3)
+    df.collect() // finalize AQE on THIS QueryExecution
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(500))
+    // consistency derives sizes and pairs from one bucket relation: the
+    // shared shuffle must be computed once...
+    assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("TableCacheQueryStage"),
+      s"bucket exchange not reused:\n${finalPlan.take(4000)}")
+    // ...and the static sort-merge joins must convert to broadcast at
+    // this size under AQE
+    assert(finalPlan.contains("BroadcastHashJoin"), s"sizes joins not broadcast:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan.take(4000))
+  }
+
   test("minhash signatures are fixed-width (perms entries, 32-hex each)") {
     val sig = Dedup.minhashSignatures(docs, 3, 8)
       .select(size(col("sig")).as("n"),
