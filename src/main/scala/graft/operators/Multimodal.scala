@@ -30,6 +30,21 @@ object Multimodal {
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (ascii(substring(col("text"), 1, 1)) % 3).cast("int") + 1))
 
+  /** Frame sampling: fan one media row out to `n` evenly-spaced frame
+    * rows (frame_idx, pts_sec, frame_bytes). The fan-out shape — explode
+    * of a computed per-row frame list, no shuffle, downstream operators
+    * see one row per frame — is the real contract; actual container
+    * demuxing is STUBBED as even byte-range slices (no codecs here), and
+    * the fake pts assumes a fixed 25 fps "duration" from byte length. */
+  def frameSample(withBytes: DataFrame, n: Int): DataFrame =
+    withBytes
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("pts_sec",
+        col("frame_idx").cast("double") * octet_length(col("bytes")) / n / 25.0)
+      .withColumn("frame_bytes",
+        expr(s"substring(bytes, CAST(frame_idx * octet_length(bytes) / $n AS INT) + 1, " +
+          s"greatest(CAST(octet_length(bytes) / $n AS INT), 1))"))
+
   /** Feature-extraction schema: input rows + fixed-width float vector. */
   def featureSchema(input: StructType): StructType =
     StructType(input.fields :+ StructField("features", ArrayType(FloatType), nullable = false))

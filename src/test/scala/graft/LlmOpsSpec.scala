@@ -91,6 +91,19 @@ class LlmOpsSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getSeq[Float](1))).toMap)
   }
 
+  test("frameSample fans one media row into n frame rows without a shuffle") {
+    val media = Multimodal.withMeta(docs.filter(col("doc_id") < 10))
+    val frames = Multimodal.frameSample(media, n = 4)
+    assert(frames.count() == 40)
+    val plan = physicalPlan(frames)
+    assert(!plan.contains("Exchange"), s"frame fan-out must be shuffle-free:\n$plan")
+    val r = frames.filter(col("doc_id") === 0)
+      .select("frame_idx", "pts_sec", "frame_bytes").collect().sortBy(_.getInt(0))
+    assert(r.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    assert(r(0).getDouble(1) == 0.0 && r(3).getDouble(1) > 0.0)
+    assert(r.forall(_.getAs[Array[Byte]](2).nonEmpty))
+  }
+
   test("quality keeps are a strict subset and langid only emits known codes") {
     val q = TextAnalysis.quality(docs)
     assert(q.filter(col("keep")).count() < q.count())
