@@ -11,11 +11,10 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(appName: String = "graft", cores: String = "32"): SparkSession.Builder =
-    SparkSession
+  def builder(appName: String = "graft", cores: String = "32"): SparkSession.Builder = {
+    val b = SparkSession
       .builder()
       .appName(appName)
-      .master(s"local[$cores]")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's
       // vectorized reader rejects; read nanos as long (Tables.events
@@ -32,6 +31,14 @@ object GraftSession {
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    // Cluster-deployable: under spark-submit (or any pre-configured
+    // deployment) `spark.master` arrives as a system property / existing
+    // SparkConf entry — respect it. Only default to local[cores] when
+    // nothing has chosen a master, so the same builder serves local tests
+    // and a 1000-executor cluster without a fork.
+    if (sys.props.contains("spark.master") || sys.env.contains("MASTER")) b
+    else b.master(s"local[$cores]")
+  }
 
   def get(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()

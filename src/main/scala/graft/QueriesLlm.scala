@@ -87,8 +87,9 @@ object QueriesLlm {
   // ---- multimodal ----------------------------------------------------------
 
   val multimodalMeta: Q = (s, dir) =>
-    Multimodal.withMeta(docs(s, dir))
-      .select(col("doc_id"), col("byte_len"), col("sha256"), col("magic"), col("modality"))
+    Multimodal.withMetaFromDocs(docs(s, dir))
+      .select(col("doc_id"), col("byte_len"), col("sha256"), col("magic"),
+        col("container"), col("modality"))
 
   val queries: Map[String, Q] = Map(
     "q_dedup_exact"         -> dedupExact,
@@ -332,12 +333,39 @@ FROM documents GROUP BY 1"""),
         |  FROM scored) t
         |WHERE rnk <= 10""".stripMargin,
 
+    // magic/sha256 are computed over the hex encoding by construction
+    // (installed DuckDB can neither slice nor sha256 a BLOB); Spark
+    // derives both from the real binary column — same values.
     "q_multimodal_meta" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  sha256(text) AS sha256,
-        |  hex(encode(substr(text, 1, 4))) AS magic,
-        |  (['image','audio','video'])[(ascii(substr(text, 1, 1)) % 3) + 1] AS modality
-        |FROM documents""".stripMargin
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN 'FFD8FFE000104A464946'
+        |      WHEN 1 THEN '89504E470D0A1A0A'
+        |      WHEN 2 THEN '524946460A00000057415645'
+        |      WHEN 3 THEN '00000018667479706D703432'
+        |      ELSE '' END || hex(encode(text)) AS full_hex
+        |  FROM documents
+        |), meta AS (
+        |  SELECT doc_id,
+        |    CAST(length(full_hex) // 2 AS BIGINT) AS byte_len,
+        |    sha256(full_hex) AS sha256,
+        |    substr(full_hex, 1, 24) AS magic
+        |  FROM b
+        |), sniffed AS (
+        |  SELECT *,
+        |    CASE WHEN magic LIKE 'FFD8FF%' THEN 'jpeg'
+        |         WHEN magic LIKE '89504E47%' THEN 'png'
+        |         WHEN magic LIKE '52494646%' AND substr(magic, 17, 8) = '57415645' THEN 'wav'
+        |         WHEN substr(magic, 9, 8) = '66747970' THEN 'mp4'
+        |         ELSE 'none' END AS container
+        |  FROM meta
+        |)
+        |SELECT doc_id, byte_len, sha256, magic, container,
+        |  CASE WHEN container IN ('jpeg', 'png') THEN 'image'
+        |       WHEN container = 'wav' THEN 'audio'
+        |       WHEN container = 'mp4' THEN 'video'
+        |       ELSE 'text' END AS modality
+        |FROM sniffed""".stripMargin
   )
 }

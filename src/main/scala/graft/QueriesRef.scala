@@ -129,7 +129,28 @@ object QueriesRef {
         col("thread"), col("n_messages"))
   }
 
+  /** The composed README flagship "Commit Activity per Month and Flink
+    * Component" (reference README.md:241-252): 30d tumble ×
+    * GetSourceComponent(filename) over CROSS JOIN UNNEST(filesChanged),
+    * HAVING SUM(linesChanged) > 1000. Explode + regex run before the
+    * single shuffle on (window, component); partial aggregation shrinks
+    * the exploded rows map-side — the plan holds at any fact size. */
+  val commitActivityComponent: Q = (s, dir) => {
+    val commits = Synth.commits(Tables(s, dir).events)
+    commits
+      .select(col("commit_date"), explode(col("files_changed")).as("fc"))
+      .select(col("commit_date"),
+        sourceComponent(col("fc.filename")).as("component"),
+        col("fc.linesChanged").cast("long").as("lines"))
+      .groupBy(window(col("commit_date"), "30 days"), col("component"))
+      .agg(sum(col("lines")).as("lines_changed"))
+      .filter(col("lines_changed") > 1000)
+      .select((col("window.start").cast("long") + 2592000L).as("w_end"),
+        col("component"), col("lines_changed"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_commit_activity_component" -> commitActivityComponent,
     "q_component_activity"        -> componentActivity,
     "q_emails_no_reply"           -> emailsNoReply,
     "q_component_activity_month"  -> componentActivityMonth,
@@ -225,6 +246,18 @@ exploded AS (
 SELECT """ + Synth.componentCaseSql.linesIterator.mkString(" ") + """ AS component,
   CAST(SUM(CAST(lines AS BIGINT)) AS BIGINT) AS lines_changed, COUNT(*) AS n_files
 FROM flat GROUP BY 1"""),
+
+    "q_commit_activity_component" -> (
+      "WITH " + Synth.commitsCte + """,
+exploded AS (
+  SELECT CAST(epoch(commit_date) AS BIGINT) AS e, unnest(files_changed) AS fc FROM commits
+), flat AS (
+  SELECT e, fc.filename AS filename, CAST(fc.linesChanged AS BIGINT) AS lines FROM exploded
+)
+SELECT e - (e % 2592000) + 2592000 AS w_end,
+  """ + Synth.componentCaseSql.linesIterator.mkString(" ") + """ AS component,
+  CAST(SUM(lines) AS BIGINT) AS lines_changed
+FROM flat GROUP BY 1, 2 HAVING SUM(lines) > 1000"""),
 
     "q_pull_request_stats" -> (
       "WITH " + Synth.pullsCte + """

@@ -2,9 +2,11 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The composed README flagship (reference README.md:241-252): commit
+    * activity per 30d window and source component. */
   def entry(spark: SparkSession): DataFrame =
-    QueriesRef.componentActivity(spark, "/root/testdata/sf0.001")
+    QueriesRef.commitActivityComponent(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRef.queries ++ QueriesFn.queries ++ QueriesCore.queries ++ QueriesLlm.queries

@@ -33,17 +33,24 @@ object Dedup {
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), explode(Similarity.shinglesOfWords(col("w"), k)).as("s"))
 
-  /** Ordered (a < b) id pairs within each bucket: sorted distinct ids per
-    * bucket, then per-element pair explosion — the self-join-free inverted
-    * index. A self-join would recompute the (expensive) bucket-derivation
-    * subtree once per side; this shape scans it once, shuffles once on
-    * the bucket key, and emits exactly the same pairs. Bucket fan-out is
-    * n², which is fine precisely because near-dup buckets are small; cap
-    * membership upstream where a hot bucket is possible. */
-  private def pairsInBucket(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), size(ids)),
-        y => struct(x.as("a"), y.as("b")))))
+  /** Ordered (a < b) element pairs within each bucket, as columns
+    * `a`/`b` — the self-join-free inverted index. A self-join would
+    * recompute the (expensive) bucket-derivation subtree once per side;
+    * this shape scans it once, shuffles once on the bucket key, and emits
+    * exactly the same pairs.
+    *
+    * TWO-LEVEL explosion: first each member (with its position), then
+    * that member's partner slice `ids[i+1..]`. No intermediate row ever
+    * holds more than one bucket's member list (O(n) per row), whereas a
+    * single flatten-of-pairs would materialize all C(n,2) pair structs
+    * inside ONE row before exploding — gigabytes in one task for a hot
+    * 10k bucket. The C(n,2) output rows still stream through the
+    * bucket's task, but as rows, never as one array. */
+  private[operators] def explodePairs(buckets: DataFrame, idsCol: String): DataFrame =
+    buckets
+      .select(posexplode(col(idsCol)).as(Seq("i", "a")), col(idsCol).as("ids_"))
+      .select(col("a"),
+        explode(slice(col("ids_"), col("i") + lit(2), size(col("ids_")))).as("b"))
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted index.
     *
@@ -69,10 +76,8 @@ object Dedup {
       .select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nsh"))
-    val common = buckets
-      .filter(size(col("ids")) >= 2)
-      .select(explode(pairsInBucket(col("ids"))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    val common = explodePairs(buckets.filter(size(col("ids")) >= 2), "ids")
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)
     common
@@ -120,15 +125,15 @@ object Dedup {
             element_at(col("sig"), b * lit(rows) + lit(r + 1))): _*)).as("bk"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
-    banded
+    val buckets = banded
       .groupBy(col("band"), col("bk"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       // a bucket larger than maxBucket is a mass-duplicate cluster whose
       // n² pair fan-out belongs to EXACT dedup (same digest), not LSH —
       // drop it here to bound the explosion (oracle mirrors the cap)
       .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairsInBucket(col("ids"))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    explodePairs(buckets, "ids")
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
   }
 
@@ -143,9 +148,18 @@ object Dedup {
     * filters. The hyperplane codebook is broadcast; the corpus streams
     * through one scan + one shuffle on (table, bucket); candidate
     * verification joins back on vec_id only. */
-  def embeddingCosPairs(emb: DataFrame, tables: Int, bitsPerTable: Int,
+  def embeddingCosPairs(emb0: DataFrame, tables: Int, bitsPerTable: Int,
       minCosQ: Long, dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
     val planes = tables * bitsPerTable
+    // A wrong-width vector must FAIL the job, not degrade: zip_with over a
+    // mismatched length null-pads, every hyperplane dot goes NULL, and all
+    // vectors silently collapse into one (capped, dropped) bucket → zero
+    // pairs. raise_error runs distributed, inside the scan projection.
+    val emb = emb0.withColumn("ce",
+      when(size(col("ce")) === dim, col("ce"))
+        .otherwise(raise_error(concat(
+          lit(s"embeddingCosPairs: embedding dim must be $dim, got "),
+          size(col("ce")).cast("string")))))
     val spark = emb.sparkSession
     val hp = spark.range(planes).select(
       col("id").cast("int").as("p"),
@@ -159,13 +173,13 @@ object Dedup {
       .groupBy(col("vec_id"), col("t"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("b")))),
         x => x.getField("b")), "").as("bucket"))
-    val cand = buckets
-      .groupBy(col("t"), col("bucket"))
-      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
-      // mass-duplicate buckets belong to exact dedup; cap the fan-out
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairsInBucket(col("ids"))).as("pp"))
-      .select(col("pp.a").as("vec_a"), col("pp.b").as("vec_b"))
+    val cand = explodePairs(
+      buckets
+        .groupBy(col("t"), col("bucket"))
+        .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+        // mass-duplicate buckets belong to exact dedup; cap the fan-out
+        .filter(size(col("ids")).between(2, maxBucket)), "ids")
+      .select(col("a").as("vec_a"), col("b").as("vec_b"))
       .distinct()
     cand
       .join(emb.select(col("vec_id"), col("ce").as("ca")), col("vec_a") === col("vec_id")).drop("vec_id")
@@ -212,14 +226,14 @@ object Dedup {
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(3))).as("j"))
       .withColumn("chunk", expr("substring(sig, j * 16 + 1, 16)"))
-    val cand = chunks
-      .groupBy(col("j"), col("chunk"))
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("sig")))).as("ds"))
-      // mass-duplicate buckets belong to exact dedup; cap the fan-out
-      .filter(size(col("ds")).between(2, maxBucket))
-      .select(explode(pairsInBucket(col("ds"))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        col("p.a.sig").as("sig_a"), col("p.b.sig").as("sig_b"))
+    val cand = explodePairs(
+      chunks
+        .groupBy(col("j"), col("chunk"))
+        .agg(sort_array(collect_set(struct(col("doc_id"), col("sig")))).as("ds"))
+        // mass-duplicate buckets belong to exact dedup; cap the fan-out
+        .filter(size(col("ds")).between(2, maxBucket)), "ds")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
     val ham = (0 until 4).map(j =>
       expr(s"bit_count(CAST(conv(substring(sig_a, ${j * 16 + 1}, 16), 2, 10) AS BIGINT) ^ " +

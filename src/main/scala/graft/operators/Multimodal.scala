@@ -7,28 +7,65 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media are opaque `binary` columns plus typed metadata; all Spark-side
-  * plumbing — schema, batch iteration, partition sizing — is real. The
-  * actual media decode is STUBBED (this container ships no image/audio
-  * codecs): [[decodeStub]] derives a deterministic fake feature vector
-  * from the bytes so the pipeline shape (binary → fixed-width features)
-  * is exercised end-to-end and testable.
+  * plumbing — schema, magic-byte container sniffing, batch iteration,
+  * partition sizing — is real. Only the media DECODE is STUBBED (this
+  * container ships no image/audio codecs): [[decodeStub]] derives a
+  * deterministic fake feature vector from the bytes so the pipeline shape
+  * (binary → fixed-width features) is exercised end-to-end and testable.
   */
 object Multimodal {
 
   val featureDim = 8
 
-  /** Typed metadata for an opaque media blob, from builtins only:
-    * byte length, sha256, leading magic bytes, and a deterministic fake
-    * modality classification standing in for container sniffing. */
-  def withMeta(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("bytes", encode(col("text"), "UTF-8"))
+  /** Real container signatures (hex): JPEG/JFIF, PNG, RIFF+WAVE, MP4
+    * `ftyp`. Docs with no header are plain text. */
+  private val headerHexExpr =
+    """CASE CAST(doc_id % 5 AS INT)
+      | WHEN 0 THEN 'FFD8FFE000104A464946'
+      | WHEN 1 THEN '89504E470D0A1A0A'
+      | WHEN 2 THEN '524946460A00000057415645'
+      | WHEN 3 THEN '00000018667479706D703432'
+      | ELSE '' END""".stripMargin.linesIterator.mkString(" ")
+
+  /** Synthesize a real `binary` media column: a deterministic container
+    * header (magic bytes) prepended to the UTF-8 payload. Stands in for
+    * reading actual media blobs — downstream operators ([[withMeta]],
+    * [[frameSample]], [[decodeStub]]) see only `bytes` and must recover
+    * the modality from the bytes themselves. */
+  def synthMedia(docs: DataFrame): DataFrame =
+    docs.withColumn("bytes",
+      concat(unhex(expr(headerHexExpr)), encode(col("text"), "UTF-8")))
+
+  /** Typed metadata for an opaque media blob, derived from `bytes` ONLY
+    * (no side-channel): byte length, content hash, leading magic bytes,
+    * and modality via REAL magic-byte sniffing — JPEG `FFD8FF`, PNG
+    * `89504E47`, RIFF container with a `WAVE` form type at offset 8,
+    * ISO-BMFF `ftyp` at offset 4 (mirrors what the reference's media
+    * tier would sniff; pure byte logic, no codec needed).
+    *
+    * `sha256` hashes the hex encoding of the bytes (not the raw blob) so
+    * the DuckDB oracle — whose sha256 only accepts VARCHAR — computes the
+    * identical value. */
+  def withMeta(media: DataFrame): DataFrame =
+    media
       .withColumn("byte_len", octet_length(col("bytes")).cast("long"))
-      .withColumn("sha256", sha2(col("bytes"), 256))
-      .withColumn("magic", hex(encode(substring(col("text"), 1, 4), "UTF-8")))
+      .withColumn("magic", hex(substring(col("bytes"), 1, 12)))
+      .withColumn("sha256", sha2(hex(col("bytes")), 256))
+      .withColumn("container",
+        when(col("magic").startsWith("FFD8FF"), "jpeg")
+          .when(col("magic").startsWith("89504E47"), "png")
+          .when(col("magic").startsWith("52494646") &&
+            substring(col("magic"), 17, 8) === "57415645", "wav")
+          .when(substring(col("magic"), 9, 8) === "66747970", "mp4")
+          .otherwise("none"))
       .withColumn("modality",
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (ascii(substring(col("text"), 1, 1)) % 3).cast("int") + 1))
+        when(col("container").isin("jpeg", "png"), "image")
+          .when(col("container") === "wav", "audio")
+          .when(col("container") === "mp4", "video")
+          .otherwise("text"))
+
+  /** [[synthMedia]] + [[withMeta]] over a text corpus. */
+  def withMetaFromDocs(docs: DataFrame): DataFrame = withMeta(synthMedia(docs))
 
   /** Frame sampling: fan one media row out to `n` evenly-spaced frame
     * rows (frame_idx, pts_sec, frame_bytes). The fan-out shape — explode

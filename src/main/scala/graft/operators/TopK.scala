@@ -19,19 +19,39 @@ import org.apache.spark.sql.functions._
 object TopK {
 
   /** Keeps the k largest (value, id) pairs — value desc, id asc tiebreak
-    * (same total order as `ORDER BY value DESC, id ASC`). */
+    * (same total order as `ORDER BY value DESC, id ASC`).
+    *
+    * The buffer is UNSORTED: the per-row `reduce` path (runs once per
+    * fact-table row) is an O(k) worst-element scan plus a conditional
+    * replace — no sort, no allocation when the row loses. Sorting happens
+    * once per group in `finish`, and `merge` (once per map partition per
+    * group) may sort two k-buffers. A sort-per-row formulation costs
+    * O(k log k) + a fresh buffer allocation on every input row, which at
+    * 100 TB is billions of needless sorts. */
   final class TopKAgg(k: Int)
       extends Aggregator[(String, Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
-    private def trim(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      xs.sortBy { case (v, id) => (-v, id) }.take(k)
+    /** `ORDER BY value DESC, id ASC` — true when x outranks y. */
+    private def outranks(x: (Double, Long), y: (Double, Long)): Boolean =
+      x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)
 
-    override def zero: Seq[(Double, Long)] = Nil
-    override def reduce(b: Seq[(Double, Long)], e: (String, Long, Double)): Seq[(Double, Long)] =
-      trim(b :+ ((e._3, e._2)))
+    private def sorted(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      xs.sortBy { case (v, id) => (-v, id) }
+
+    override def zero: Seq[(Double, Long)] = Vector.empty
+    override def reduce(b: Seq[(Double, Long)], e: (String, Long, Double)): Seq[(Double, Long)] = {
+      val x = (e._3, e._2)
+      if (b.size < k) b :+ x
+      else {
+        var worst = 0
+        var i = 1
+        while (i < b.size) { if (outranks(b(worst), b(i))) worst = i; i += 1 }
+        if (outranks(x, b(worst))) b.updated(worst, x) else b
+      }
+    }
     override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      trim(a ++ b)
-    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+      if (a.size + b.size <= k) a ++ b else sorted(a ++ b).take(k)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = sorted(r)
     override def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
     override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
   }

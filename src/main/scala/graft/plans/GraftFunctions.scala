@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, MaxBy}
 import org.apache.spark.sql.types.{BinaryType, StringType}
 
 import graft.functions.Patterns
@@ -76,6 +77,27 @@ object GraftFunctions {
     },
     fn("graft_cosine", "cosine similarity of two float/double arrays", 2) {
       case Seq(a, b) => CosineSimilarity(a, b)
+    },
+    // The reference ships FOUR ArrayListAggFunction variants (.java, 2, 3,
+    // 4) solely to thread generic element types through Flink's type
+    // inference tiers; Catalyst aggregates are natively generic, so ONE
+    // registration is the whole multi-arity surface.
+    fn("graft_array_agg", "null-skipping collect-to-array, any element type", 1) {
+      case Seq(e) => CollectList(e)
+    },
+    // LastNonNullValueAggFunction[2].java — latest non-null value ordered
+    // by the second argument (rows with a null value don't advance time:
+    // their ordering key is nulled so max_by skips them).
+    fn("graft_last_non_null", "latest non-null 1st argument ordered by the 2nd", 2) {
+      case Seq(v, o) => MaxBy(v, CaseWhen(Seq((IsNotNull(v), o)), None))
+    },
+    // ExpandJiraTicketComponents.java — the 1-ary table function emitting
+    // one row per component (the 2-ary ...Components2 shape with counts is
+    // the q_fn_expand_jira_components query). No components line → no rows.
+    fn("graft_expand_components", "table function: one row per Jira component", 1) {
+      case Seq(e) =>
+        Explode(StringSplit(nullIfEmpty(rx(e, Patterns.JiraComponentsLine, 1)),
+          Literal(Patterns.ComponentsSplit), Literal(-1)))
     }
   )
 }

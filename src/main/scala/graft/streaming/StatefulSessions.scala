@@ -25,7 +25,13 @@ object StatefulSessions {
       n_events: Int, sum_value: Double, closed_by: String)
 
   /** Sessionize a typed event stream: gap-close (no event for
-    * `gapSeconds`) or count-close (`maxEvents` reached). */
+    * `gapSeconds`) or count-close (`maxEvents` reached).
+    *
+    * `sess_end` is last-event-time + gap for BOTH close reasons — the
+    * same gap-padded end `session_window` reports, kept uniform so a
+    * count-closed session's window equals what its gap-closure would
+    * have produced (downstream window math never needs to branch on
+    * `closed_by`). */
   def sessionize(events: Dataset[Event], gapSeconds: Long, maxEvents: Int)
       : Dataset[SessionOut] = {
     val spark = events.sparkSession

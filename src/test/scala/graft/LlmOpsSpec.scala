@@ -55,7 +55,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.map(_.getInt(0)).toSeq == Seq(64))
   }
 
-  test("near-dup recall: the jaccard>=0.3 pairs are found by minhash LSH banding") {
+  test("near-dup recall: the jaccard>=0.8 pairs are found by minhash LSH banding") {
     val jac = Dedup.jaccardPairs(docs, 3, 50, 2, 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val mh = Dedup.minhashCandidates(docs, 3, 8, 4)
@@ -77,8 +77,50 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs.forall(_.getLong(2) >= 400000L))
   }
 
+  test("a hot LSH bucket explodes into bounded rows, never one C(n,2) array") {
+    import spark.implicits._
+    // 120 byte-identical docs — every band bucket has all 120 members, the
+    // worst case the two-level explode must absorb without a single-row
+    // C(n,2) materialization.
+    val hot = (0L until 120L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(hot, k = 3, perms = 8, bands = 4)
+    val plan = physicalPlan(pairs)
+    assert(!plan.contains("flatten("),
+      s"single-row pair materialization is back in the plan:\n$plan")
+    val rows = pairs.collect()
+    assert(rows.length == 120 * 119 / 2)
+    assert(rows.forall(_.getLong(2) == 4), "identical docs must collide in all 4 bands")
+  }
+
+  test("embeddingCosPairs fails loudly on an embedding dim mismatch") {
+    import spark.implicits._
+    val bad = Seq(
+      (1L, Array.fill(64)(0.5f)),
+      (2L, Array.fill(32)(0.5f))).toDF("vec_id", "ce")
+    val ex = intercept[Exception] {
+      Dedup.embeddingCosPairs(bad, tables = 2, bitsPerTable = 4, minCosQ = 0L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("dim must be 64")), ex.toString)
+  }
+
+  test("modality sniffing reads real magic bytes from the binary column") {
+    import spark.implicits._
+    val media = Multimodal.withMetaFromDocs(
+      (0L to 4L).map(i => (i, "payload text")).toDF("doc_id", "text"))
+    val byId = media.select("doc_id", "magic", "container", "modality")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(byId(0L)._1.startsWith("FFD8FF") && byId(0L)._2 == "jpeg" && byId(0L)._3 == "image")
+    assert(byId(1L)._1.startsWith("89504E47") && byId(1L)._3 == "image")
+    assert(byId(2L)._1.startsWith("52494646") && byId(2L)._2 == "wav" && byId(2L)._3 == "audio")
+    assert(byId(3L)._1.substring(8, 16) == "66747970" && byId(3L)._3 == "video")
+    assert(byId(4L)._2 == "none" && byId(4L)._3 == "text")
+  }
+
   test("multimodal decodeStub: schema, determinism, batch shape") {
-    val withBytes = Multimodal.withMeta(docs.limit(50))
+    val withBytes = Multimodal.withMetaFromDocs(docs.limit(50))
     val feats = Multimodal.decodeStub(withBytes)
     assert(feats.schema.fieldNames.contains("features"))
     val rows = feats.select(col("doc_id"), col("features")).collect()
@@ -92,7 +134,7 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("frameSample fans one media row into n frame rows without a shuffle") {
-    val media = Multimodal.withMeta(docs.filter(col("doc_id") < 10))
+    val media = Multimodal.withMetaFromDocs(docs.filter(col("doc_id") < 10))
     val frames = Multimodal.frameSample(media, n = 4)
     assert(frames.count() == 40)
     val plan = physicalPlan(frames)

@@ -74,6 +74,40 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(e.eval(null) == null)
   }
 
+  test("graft_array_agg is generic over element types and skips nulls") {
+    import spark.implicits._
+    Seq((1, Option("a"), Option(10)), (1, None, None), (1, Option("b"), Option(5)),
+      (2, None, Option(7)))
+      .toDF("k", "s", "n").createOrReplaceTempView("ma")
+    val r = spark.sql(
+      """SELECT k, sort_array(graft_array_agg(s)) ss, sort_array(graft_array_agg(n)) ns
+        |FROM ma GROUP BY k ORDER BY k""".stripMargin).collect()
+    assert(r(0).getSeq[String](1) == Seq("a", "b"))   // strings, null skipped
+    assert(r(0).getSeq[Int](2) == Seq(5, 10))         // ints — same registration
+    assert(r(1).getSeq[String](1).isEmpty)
+    assert(r(1).getSeq[Int](2) == Seq(7))
+  }
+
+  test("graft_last_non_null orders by its 2nd argument and ignores null values") {
+    import spark.implicits._
+    Seq((1, Option("a"), 10), (1, None, 20), (1, Option("b"), 5), (2, Option.empty[String], 1))
+      .toDF("k", "v", "t").createOrReplaceTempView("ln")
+    val r = spark.sql("SELECT k, graft_last_non_null(v, t) lv FROM ln GROUP BY k ORDER BY k")
+      .collect()
+    assert(r(0).getString(1) == "a", "latest NON-NULL is (a, t=10); the null at t=20 must not win")
+    assert(r(1).isNullAt(1))
+  }
+
+  test("graft_expand_components emits one row per component, zero rows when absent") {
+    import spark.implicits._
+    Seq(
+      (1, "x\n" + (" " * 10) + "Components: Formats (JSON, Avro), API / Python"),
+      (2, "no components line")).toDF("id", "body").createOrReplaceTempView("ec")
+    val r = spark.sql("SELECT id, graft_expand_components(body) c FROM ec").collect()
+    assert(r.map(x => (x.getInt(0), x.getString(1))).toSeq ==
+      Seq((1, "Formats (JSON, Avro)"), (1, "API / Python")))
+  }
+
   test("graft_* functions report wrong arity cleanly") {
     val ex = intercept[Exception](spark.sql("SELECT graft_cosine(array(1.0F))"))
     assert(ex.getMessage.contains("requires 2 argument"), ex.getMessage)
