@@ -64,6 +64,32 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("mbox archive round-trips Email entities through From_-delimited text") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sfDir)
+    val dir = "/tmp/graft_mbox_test"
+    // single-line bodies only: mbox headers cannot carry embedded
+    // newlines, and multi-line bodies are exercised separately below
+    val emails = t.emailsTyped.filter((e: Email) => !e.subject.contains("\n")).limit(100)
+    MboxIO.write(emails, dir)
+    val back = MboxIO.read(spark, dir)
+    def key(ds: org.apache.spark.sql.Dataset[Email]) = ds.collect()
+      .map(e => e.doc_id -> ((e.mail_date.getTime / 1000, e.subject, e.from_raw,
+        e.from_email, e.text_body))).toMap
+    assert(key(back) == key(emails))
+
+    // body lines starting "From " must be quoted on write, unquoted on read
+    import spark.implicits._
+    val tricky = Seq(Email(1L, new java.sql.Timestamp(1709251200L * 1000),
+      "s", "a@b.c", "a@b.c", "line one\nFrom the start of a line\nlast")).toDS()
+    MboxIO.write(tricky, s"$dir/tricky")
+    val rawText = spark.read.option("wholetext", "true").text(s"$dir/tricky")
+      .collect()(0).getString(0)
+    assert(rawText.contains(">From the start"), "delimiter-colliding body line must be quoted")
+    assert(MboxIO.read(spark, s"$dir/tricky").collect()(0).text_body ==
+      "line one\nFrom the start of a line\nlast")
+  }
+
   test("JSON lines round-trip preserves the typed entities exactly") {
     val t = Tables(spark, sfDir)
     val dir = "/tmp/graft_json_test"
