@@ -26,6 +26,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Scan-split sizing for the LOCAL bench scale (tens of MB): the
+      // 128 MB default bins every file of a small corpus into one map
+      // task, serializing the scan while 31 cores idle. 4 MB splits /
+      // 1 MB open cost keep ~32-way scan parallelism at bench SFs; a
+      // real cluster deployment overrides both via spark-submit --conf
+      // (at 100 TB the defaults are right — files outgrow the bins).
+      .config("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (1L * 1024 * 1024).toString)
       // re-running a window job replaces only the partitions it touches
       // (idempotent result sinks — see sources.Sinks)
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus scale-up: replicates a driver scale-factor dir
+  * `reps`× with shifted primary keys, for benchmarking at a scale where
+  * the per-query scheduler floor (~0.3-0.6 s) amortizes below the noise
+  * floor. Both engines (Spark Bench and the DuckDB baseline) read the
+  * SAME output parquet, so ratios stay apples-to-apples.
+  *
+  * Shifts keep replicas disjoint without changing join topology:
+  * fact primary keys move by rep×1e9, per-entity ids (users, docs,
+  * vectors) by rep×1e6; foreign keys into the UNreplicated dims stay
+  * put. Document text gets a per-replica suffix token so near-dup
+  * structure (and LSH bucket sizes) grow ~linearly with the corpus
+  * instead of quadratically via byte-identical cross-replica copies.
+  * ANN query vectors (vec_id < 5) exist only in replica 0 — the corpus
+  * side scales, the query side doesn't, like a real serving workload.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src  = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out  = args.lift(1).getOrElse("/root/repo/bench-data/sf1")
+    val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.get("graft-scaleup")
+
+    def raw(n: String) = spark.read.parquet(s"$src/$n.parquet")
+    val r = broadcast(spark.range(reps).select(col("id").as("rep")))
+    def scaled(df: DataFrame, overrides: (String, String)*): DataFrame = {
+      val over = overrides.toMap
+      df.crossJoin(r).selectExpr(
+        df.columns.map(c => over.get(c).map(e => s"$e AS `$c`").getOrElse(s"`$c`")): _*)
+    }
+    // Fact tables are written as 32 files: a single crossJoin output file
+    // is one giant parquet row group, and a row group is the atomic scan
+    // split — one file would serialize the whole map side into one task
+    // no matter what maxPartitionBytes says. 32 files ≙ full local[32]
+    // scan parallelism (and models a real lake, which is many files).
+    def write(df: DataFrame, n: String, fanOut: Boolean = true): Unit =
+      (if (fanOut) df.repartition(32) else df)
+        .write.mode("overwrite").parquet(s"$out/$n.parquet")
+
+    for (d <- Seq("region", "nation", "customer", "supplier", "part"))
+      write(raw(d), d, fanOut = false)
+    write(scaled(raw("lineitem"),
+      "l_orderkey" -> "l_orderkey + rep * 1000000000"), "lineitem")
+    write(scaled(raw("orders"),
+      "o_orderkey" -> "o_orderkey + rep * 1000000000"), "orders")
+    // nanos-long → second-truncated TIMESTAMP on the way out (micros
+    // parquet both engines read natively; Tables.events passes through)
+    write(scaled(raw("events"),
+      "event_id" -> "event_id + rep * 1000000000",
+      "user_id"  -> "user_id + rep * 1000000",
+      "ts"       -> "timestamp_seconds(ts div 1000000000)"), "events")
+    write(scaled(raw("documents"),
+      "doc_id" -> "doc_id + rep * 1000000",
+      "text"   -> "CASE WHEN rep = 0 THEN text ELSE concat(text, ' r', CAST(rep AS STRING)) END"),
+      "documents")
+    write(scaled(raw("embeddings"),
+      "vec_id" -> "vec_id + rep * 1000000"), "embeddings")
+    spark.stop()
+  }
+}

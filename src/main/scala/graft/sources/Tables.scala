@@ -37,12 +37,20 @@ final case class Tables(spark: SparkSession, dir: String) {
     * meaning for these windows).
     */
   def events: DataFrame = {
-    // events.parquet stores INT64 TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects; read nanos as long and convert exactly (integer div,
-    // no double round-trip). Second granularity is the engine-portable
-    // contract for every time-based operator (DuckDB keeps full nanos).
+    // Driver testdata stores INT64 TIMESTAMP(NANOS) which Spark's
+    // vectorized reader rejects; read nanos as long and convert exactly
+    // (integer div, no double round-trip). ScaleUp-produced corpora
+    // already carry a second-truncated TIMESTAMP — pass through. Second
+    // granularity is the engine-portable contract for every time-based
+    // operator (DuckDB keeps full nanos).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", expr("timestamp_seconds(ts div 1000000000)"))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_seconds(ts div 1000000000)"))
+      case _ =>
+        raw.withColumn("ts", expr("date_trunc('second', ts)"))
+    }
   }
 
   // ---- typed entity accessors (reference entity POJOs ≙ case classes) ----
