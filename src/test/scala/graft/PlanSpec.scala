@@ -62,6 +62,7 @@ class PlanSpec extends AnyFunSuite {
     // bounds. Two-phase exact distinct and salted aggs legitimately
     // need 2; dedup pipelines need one per keyed stage.
     val budget = Map(
+      "q_commit_activity_component" -> 1,
       "q1_agg" -> 1, "q_component_activity" -> 1, "q_component_activity_month" -> 1,
       "q_distinct_users_per_window" -> 2, "q_session_windows" -> 1,
       "q_emails_no_reply" -> 1, "q_jira_tickets_per_month" -> 1,
