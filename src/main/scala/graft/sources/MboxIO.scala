@@ -47,12 +47,9 @@ object MboxIO {
   def write(emails: Dataset[Email], path: String): Unit =
     toMboxText(emails).write.mode("overwrite").text(path)
 
-  /** Parse an mbox directory/file back into typed Email entities.
-    * Malformed Message-ID / Date fail the job (ANSI cast + to_timestamp),
-    * matching JsonIO's FAILFAST posture — a source must not drop rows
-    * silently. */
-  def read(spark: SparkSession, path: String): Dataset[Email] = {
-    val files = spark.read.option("wholetext", "true").text(path)
+  /** mbox text (one `value` row per file) → typed Email rows. Pure
+    * column expressions, so the same parse serves batch and streaming. */
+  private def parse(files: DataFrame): Dataset[Email] = {
     val msgs = files
       .select(explode(split(col("value"), "(?m)^From [^\n]*\n")).as("m"))
       .filter(length(col("m")) > 0)
@@ -73,4 +70,20 @@ object MboxIO {
         "(?m)^>From ", "From ").as("text_body"))
       .as(Encoders.product[Email])
   }
+
+  /** Parse an mbox directory/file back into typed Email entities.
+    * Malformed Message-ID / Date fail the job (ANSI cast + to_timestamp),
+    * matching JsonIO's FAILFAST posture — a source must not drop rows
+    * silently. */
+  def read(spark: SparkSession, path: String): Dataset[Email] =
+    parse(spark.read.option("wholetext", "true").text(path))
+
+  /** Streaming variant — the true analogue of the reference source
+    * (ApacheMboxSource.java is a Flink `RichSourceFunction` that POLLS
+    * for new monthly archives and emits emails incrementally; Spark's
+    * file stream source is the same contract: each archive dropped into
+    * `path` is discovered, parsed and emitted exactly once, with
+    * checkpointable progress replacing the reference's `ListState`). */
+  def readStream(spark: SparkSession, path: String): Dataset[Email] =
+    parse(spark.readStream.option("wholetext", "true").text(path))
 }

@@ -44,4 +44,19 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+
+  /** Save a relation hash-BUCKETED (and per-bucket sorted) on its join
+    * key. Two relations bucketed on the same key with the same bucket
+    * count join with ZERO Exchange — at 100 TB this turns every repeated
+    * fact⋈fact / fact⋈big-dim join on a stable key from the single most
+    * expensive shuffle in the pipeline into a co-located merge, paid once
+    * at ingest. Equality filters on the key also prune to one bucket at
+    * planning time (`SelectedBucketsCount` in the scan). */
+  def saveBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
 }

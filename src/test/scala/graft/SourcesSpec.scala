@@ -90,6 +90,78 @@ class SourcesSpec extends AnyFunSuite {
       "line one\nFrom the start of a line\nlast")
   }
 
+  test("bucketed tables join with zero Exchange and prune to one bucket on key equality") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sfDir)
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse directories persist — clear both
+    for (tbl <- Seq("b_orders", "b_customer")) {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"spark-warehouse/$tbl"))
+    }
+    Sinks.saveBucketed(t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", "o_custkey", 8)
+    Sinks.saveBucketed(t.customer.select("c_custkey", "c_nationkey"),
+      "b_customer", "c_custkey", 8)
+    // co-located join: force the merge path (no broadcast) and check the
+    // bucketed layout replaced BOTH shuffles
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(sum(col("o_totalprice")).as("rev"))
+      val plan = physicalPlan(joined)
+      val joinSegment = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinSegment.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle its inputs:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (64L * 1024 * 1024).toString)
+    // bucket pruning: an equality filter on the bucket key scans 1 of 8.
+    // (The planner's auto-bucketed-scan rule turns bucketed reads off for
+    // plans with no bucket-aligned join/agg, which would also forfeit the
+    // pruning — disable it for this check.)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val pruned = physicalPlan(
+        spark.table("b_orders").filter(col("o_custkey") === 42))
+      assert(pruned.contains("SelectedBucketsCount: 1 out of 8"), pruned)
+    } finally
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+  }
+
+  test("streaming mbox source discovers and parses archives incrementally") {
+    import spark.implicits._
+    val root = "/tmp/graft_mbox_stream"
+    val dir = s"$root/in"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    new java.io.File(dir).mkdirs()
+    def archive(name: String, ids: Seq[Long]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, name),
+        ids.map(i => s"From mbox@graft x\nMessage-ID: <$i@graft>\n" +
+          s"Date: 4 Mar 2024 10:00:0$i +0000\nFrom: u$i@x.org\n" +
+          s"X-From-Email: u$i@x.org\nSubject: s$i\n\nbody $i\n").mkString)
+    archive("2024-03.mbox", Seq(1L, 2L))
+    val q = MboxIO.readStream(spark, dir).writeStream
+      .format("memory").queryName("mbox_stream")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mbox_stream").count() == 2)
+      // a later archive lands; only its messages are emitted (exactly once)
+      archive("2024-04.mbox", Seq(3L))
+      q.processAllAvailable()
+      val got = spark.table("mbox_stream").as[Email].collect()
+      assert(got.map(_.doc_id).toSet == Set(1L, 2L, 3L))
+      assert(got.forall(e => e.text_body == s"body ${e.doc_id}" &&
+        e.from_email == s"u${e.doc_id}@x.org"))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("JSON lines round-trip preserves the typed entities exactly") {
     val t = Tables(spark, sfDir)
     val dir = "/tmp/graft_json_test"
