@@ -25,25 +25,56 @@ object QueriesCore {
 
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 
+  /** Scale-2 unscaled value of a 2-decimal money/rate column: 38.97 → 3897L.
+    * The source doubles carry exactly two decimal digits, so `round(x*100)`
+    * recovers the unscaled integer exactly (a binary fraction can never sit
+    * on an exact 5×10⁻ᵏ midpoint, so HALF_UP vs HALF_EVEN is unreachable —
+    * same argument the DECIMAL(18,2) cast relied on). */
+  private def u100(c: String) = round(col(c) * 100).cast("long")
+
+  /** Exact-decimal view of an unscaled-long sum at `scale`: divides back by
+    * 10^scale in DECIMAL (exact — result scale ≥ 6 covers every input
+    * scale used here) and emits DOUBLE only at the output edge. Runs once
+    * per GROUP, so the BigDecimal division cost is nil. */
+  private def descale(sumU: org.apache.spark.sql.Column, scale: Int) =
+    (sumU / lit(math.pow(10, scale).toLong).cast("decimal(7,0)")).cast("double")
+
   /** TPC-H Q1 shape: multi-aggregate pricing summary over the fact table.
     * One shuffle on the (tiny-cardinality) group key; all heavy work is
     * map-side partial aggregation — the same pre-aggregation story as the
-    * reference's ComponentChangedAggeragator (commit-analytics). */
-  val q1Agg: Q = (s, dir) =>
+    * reference's ComponentChangedAggeragator (commit-analytics).
+    *
+    * Numeric fast path: Spark's `Decimal * Decimal` always routes through
+    * JavaBigDecimal (two heap allocations per row, per product — Probe
+    * pinned this as the entire q1 gap vs the columnar baseline). The
+    * per-row chain here is therefore pure LONG arithmetic on scale-2
+    * unscaled values (codegen'd integer mul/add): disc_price is scale-4,
+    * charge scale-6. Rows accumulate into DECIMAL(20,0) sums — compact
+    * (long-backed, same-scale fast-path adds) yet overflow-safe far past
+    * 100 TB (DECIMAL(30,0) buffer ≈ 10³⁰ headroom vs ≈ 10²³ worst-case
+    * charge mass at SF ~130k). Values are bit-identical to the exact
+    * DECIMAL formulation the oracle runs: integer arithmetic is exact, and
+    * the one division per group is done in DECIMAL before the DOUBLE edge. */
+  val q1Agg: Q = (s, dir) => {
+    val qty  = u100("l_quantity")
+    val ext  = u100("l_extendedprice")
+    val disc = u100("l_discount")
+    val tax  = u100("l_tax")
+    val discPriceU = (ext * (lit(100L) - disc)).cast("decimal(20,0)")        // scale 4
+    val chargeU    = (ext * (lit(100L) - disc) * (lit(100L) + tax)).cast("decimal(20,0)") // scale 6
     Tables(s, dir).lineitem
       .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec("l_quantity")).cast("double").as("sum_qty"),
-        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-          .cast("double").as("sum_disc_price"),
-        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
-          * (lit(1).cast("decimal(18,2)") + dec("l_tax"))).cast("double").as("sum_charge"),
-        (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
-        (sum(dec("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
-        (sum(dec("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+        descale(sum(qty.cast("decimal(20,0)")), 2).as("sum_qty"),
+        descale(sum(ext.cast("decimal(20,0)")), 2).as("sum_base_price"),
+        descale(sum(discPriceU), 4).as("sum_disc_price"),
+        descale(sum(chargeU), 6).as("sum_charge"),
+        (descale(sum(qty.cast("decimal(20,0)")), 2) / count(lit(1))).as("avg_qty"),
+        (descale(sum(ext.cast("decimal(20,0)")), 2) / count(lit(1))).as("avg_price"),
+        (descale(sum(disc.cast("decimal(20,0)")), 2) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
+  }
 
   /** 4-way star join: fact `orders` ⋈ dims customer/nation/region.
     * nation + region are broadcast explicitly (a few KB at any SF);
@@ -60,7 +91,8 @@ object QueriesCore {
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(dec("o_totalprice")).cast("double").as("revenue"),
+        // same unscaled-long fast path as q1_agg: no per-row BigDecimal
+        descale(sum(u100("o_totalprice").cast("decimal(20,0)")), 2).as("revenue"),
         countDistinct(col("o_custkey")).as("n_customers"))
   }
 
