@@ -298,7 +298,7 @@ FROM documents GROUP BY 1"""),
     "q_sim_ivf" ->
       """WITH cent AS (
         |  SELECT label AS cell, i,
-        |    CAST(SUM(CAST(embedding[i+1] AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c
+        |    CAST(CAST(SUM(CAST(embedding[i+1] AS DECIMAL(27,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS c
         |  FROM embeddings, unnest(generate_series(0, 63)) t(i)
         |  WHERE vec_id >= 5
         |  GROUP BY 1, 2

@@ -177,7 +177,7 @@ object QueriesRef {
   val oracle: Map[String, String] = Map(
     "q_component_activity" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start, event_type,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS lines_changed,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS lines_changed,
         |  COUNT(*) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
 
