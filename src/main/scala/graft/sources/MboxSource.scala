@@ -1,0 +1,230 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.time.OffsetDateTime
+import java.time.format.DateTimeFormatter
+import java.util.Locale
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** DataSource V2 connector for mbox mailing-list archives:
+  * `spark.read.format("mbox").load(dir)` → the same `Email`-shaped rows
+  * as [[MboxIO.read]] (the two parsers are asserted row-identical in
+  * SourcesSpec).
+  *
+  * Why a connector when MboxIO already parses: `wholetext` materializes
+  * each archive as ONE row — a 2 GiB string ceiling and an O(file-size)
+  * memory spike per task. This reader streams each file line by line and
+  * holds only the CURRENT message, so a multi-GiB yearly archive scans in
+  * O(message) memory. Scale shape: one InputPartition per archive file —
+  * mailing-list corpora are many monthly files, so file-granularity is
+  * the natural (and splittable-enough) unit; column pruning is pushed
+  * into the parser, which skips regex/date work for unprojected fields.
+  *
+  * Mirrors reference source-mbox/.../ApacheMboxSource.java:146-157
+  * (`From `-delimited message iteration) and :237-242 (header→Email
+  * mapping); the mboxrd conventions (delimiter, `>From ` quoting,
+  * trailing-newline strip) are documented at [[MboxIO]].
+  */
+final class MboxSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "mbox"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = MboxSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("mbox source requires a path: .load(<dir|glob>)"))
+    new MboxTable(path)
+  }
+}
+
+object MboxSource {
+  /** graft.sources.Email in field order (Entities.scala). */
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("mail_date", TimestampType, nullable = false),
+    StructField("subject", StringType, nullable = true),
+    StructField("from_raw", StringType, nullable = true),
+    StructField("from_email", StringType, nullable = true),
+    StructField("text_body", StringType, nullable = true)))
+
+  private[sources] val DateFmt = "d MMM yyyy HH:mm:ss Z"
+
+  /** Expand a path/glob into data files (skips hidden/marker files),
+    * driver-side — same discovery contract as the file sources. */
+  private[sources] def listFiles(path: String, conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    def ok(st: FileStatus) = {
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    matched.flatMap {
+      case d if d.isDirectory => fs.listStatus(d.getPath).toSeq.filter(ok)
+      case f => Seq(f).filter(ok)
+    }.map(_.getPath.toString)
+  }
+}
+
+final class MboxTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"mbox:$path"
+  override def schema(): StructType = MboxSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MboxScanBuilder(path)
+}
+
+final class MboxScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = MboxSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new MboxScan(path, required)
+}
+
+final class MboxScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    MboxSource.listFiles(path, conf).map(MboxFilePartition(_): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
+    MboxReaderFactory(conf, required)
+  }
+}
+
+final case class MboxFilePartition(file: String) extends InputPartition
+
+final case class MboxReaderFactory(conf: SerializableConfiguration, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new MboxPartitionReader(partition.asInstanceOf[MboxFilePartition].file, conf, required)
+}
+
+/** Streams one mbox file: accumulates lines of the current message,
+  * emits a row at each `From ` delimiter / EOF. Parse semantics are
+  * field-for-field those of [[MboxIO.parse]]: first matching header line
+  * wins, absent string headers read as "", body `>From ` lines unquote,
+  * the writer's single trailing newline disappears (line-join inverts the
+  * line-oriented sink), and a malformed/missing Message-ID or Date fails
+  * the task (FAILFAST — a source must not drop rows silently). */
+final class MboxPartitionReader(
+    file: String,
+    conf: SerializableConfiguration,
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  private val fmt = DateTimeFormatter.ofPattern(MboxSource.DateFmt, Locale.US)
+  private val p = new Path(file)
+  private val in = new BufferedReader(new InputStreamReader(
+    p.getFileSystem(conf.value).open(p), StandardCharsets.UTF_8))
+
+  private val want = required.fieldNames
+  private def wants(f: String) = want.contains(f)
+  // body text is only assembled when projected — pruning reaches the parser
+  private val needBody = wants("text_body")
+
+  private var line: String = in.readLine()
+  private var started = false // saw the first `From ` delimiter
+  private var row: InternalRow = _
+
+  private def isDelim(l: String) = l.startsWith("From ")
+
+  override def next(): Boolean = {
+    while (true) {
+      // skip any preamble before the first delimiter (MboxIO's length>0 filter)
+      while (!started && line != null) {
+        if (isDelim(line)) started = true
+        line = in.readLine()
+      }
+      if (line == null) return false // EOF — nothing (more) to emit
+      // accumulate one message: headers to first blank line, then body
+      var docId: String = null
+      var date: String = null
+      var subject = ""
+      var fromRaw = ""
+      var fromEmail = ""
+      var inHeaders = true
+      var sawAny = false
+      val body = new ArrayBuffer[String]()
+      while (line != null && !isDelim(line)) {
+        sawAny = true
+        if (inHeaders) {
+          if (line.isEmpty) inHeaders = false
+          else {
+            if (docId == null && line.startsWith("Message-ID: "))
+              docId = line.stripPrefix("Message-ID: ")
+            if (date == null && line.startsWith("Date: "))
+              date = line.stripPrefix("Date: ")
+            if (subject.isEmpty && line.startsWith("Subject: "))
+              subject = line.stripPrefix("Subject: ")
+            if (fromRaw.isEmpty && line.startsWith("From: "))
+              fromRaw = line.stripPrefix("From: ")
+            if (fromEmail.isEmpty && line.startsWith("X-From-Email: "))
+              fromEmail = line.stripPrefix("X-From-Email: ")
+          }
+        } else if (needBody) {
+          body += (if (line.startsWith(">From ")) line.substring(1) else line)
+        }
+        line = in.readLine()
+      }
+      if (line != null) line = in.readLine() // consume the next delimiter
+      if (sawAny) {
+        row = materialize(docId, date, subject, fromRaw, fromEmail, body)
+        return true
+      }
+      // empty chunk (back-to-back delimiters) — try the next one
+    }
+    false
+  }
+
+  private def materialize(
+      docId: String, date: String, subject: String,
+      fromRaw: String, fromEmail: String, body: ArrayBuffer[String]): InternalRow = {
+    lazy val id: Long = docId match {
+      case MboxPartitionReader.IdRe(d) => d.toLong
+      case _ => throw new IllegalStateException(
+        s"mbox $file: missing/malformed Message-ID (got: $docId)")
+    }
+    lazy val micros: Long = {
+      if (date == null) throw new IllegalStateException(s"mbox $file: missing Date header")
+      val odt = OffsetDateTime.parse(date, fmt)
+      odt.toInstant.getEpochSecond * 1000000L + odt.toInstant.getNano / 1000L
+    }
+    lazy val text = UTF8String.fromString(body.mkString("\n"))
+    val values: Array[Any] = want.map {
+      case "doc_id"     => id
+      case "mail_date"  => micros
+      case "subject"    => UTF8String.fromString(subject)
+      case "from_raw"   => UTF8String.fromString(fromRaw)
+      case "from_email" => UTF8String.fromString(fromEmail)
+      case "text_body"  => text
+      case other => throw new IllegalArgumentException(s"unknown mbox column: $other")
+    }
+    new GenericInternalRow(values)
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
+
+object MboxPartitionReader {
+  private val IdRe = "<([0-9]+)@graft>".r
+}

@@ -90,6 +90,42 @@ class SourcesSpec extends AnyFunSuite {
       "line one\nFrom the start of a line\nlast")
   }
 
+  test("mbox DataSource V2 connector parses identically to MboxIO and prunes columns") {
+    val t = Tables(spark, sfDir)
+    val dir = "/tmp/graft_mbox_dsv2"
+    val emails = t.emailsTyped.filter((e: Email) => !e.subject.contains("\n")).limit(100)
+    MboxIO.write(emails, dir)
+
+    // row-identical to the wholetext parser (same mboxrd semantics)
+    val viaIo = MboxIO.read(spark, dir)
+    val viaV2 = spark.read.format("mbox").load(dir).as(org.apache.spark.sql.Encoders.product[Email])
+    def key(ds: org.apache.spark.sql.Dataset[Email]) = ds.collect()
+      .map(e => e.doc_id -> ((e.mail_date.getTime / 1000, e.subject, e.from_raw,
+        e.from_email, e.text_body))).toMap
+    assert(key(viaV2) == key(viaIo))
+    assert(viaV2.count() == 100)
+
+    // column pruning reaches the custom scan: projecting subject only
+    // must plan a read schema without text_body (the parser then skips
+    // body assembly entirely — O(headers) per message)
+    val pruned = spark.read.format("mbox").load(dir).select("subject")
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scan.nonEmpty, "mbox read must plan as a v2 BatchScan")
+    assert(!scan.get.output.map(_.name).contains("text_body"))
+    assert(pruned.distinct().count() == emails.select("subject").distinct().count())
+
+    // multi-line + delimiter-colliding bodies survive the streaming parser
+    import spark.implicits._
+    val tricky = Seq(Email(7L, new java.sql.Timestamp(1709251200L * 1000),
+      "s", "a@b.c", "a@b.c", "line one\nFrom the start of a line\n\ntail\n")).toDS()
+    MboxIO.write(tricky, s"$dir/tricky")
+    val got = spark.read.format("mbox").load(s"$dir/tricky")
+      .as(org.apache.spark.sql.Encoders.product[Email]).collect()(0)
+    assert(got.text_body == "line one\nFrom the start of a line\n\ntail\n")
+  }
+
   test("bucketed tables join with zero Exchange and prune to one bucket on key equality") {
     import org.apache.spark.sql.functions._
     val t = Tables(spark, sfDir)
