@@ -84,6 +84,26 @@ object QueriesLlm {
     operators.Ann.ivfTopK(annQueries(s, dir), annCorpus(s, dir), k = 10, nprobe = 1)
       .select(col("query_id"), col("cell"), col("corpus_id"), col("rnk"), col("score_q"))
 
+  // ---- composed curation pipeline ------------------------------------------
+
+  /** End-to-end training-data prep — the composition a curation run
+    * actually executes: language-ID → quality gate → normalized-
+    * fingerprint dedup (canonical survivor only) → per-language token
+    * budget. Stage order is the 100 TB-shape: langid/quality are pure
+    * projections evaluated at scan speed, so the only two shuffles
+    * (fingerprint window, final agg) see just the surviving rows. */
+  val pipelinePrep: Q = (s, dir) => {
+    val langed = TextAnalysis.langId(docs(s, dir))
+    val kept = TextAnalysis.quality(langed).filter(col("keep"))
+    val canon = TextAnalysis.fingerprint(kept).filter(col("is_canonical"))
+    TextAnalysis.tokenCounts(canon)
+      .groupBy(col("pred_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("ws_total"),
+        sum(col("bpe_tokens")).as("bpe_total"))
+  }
+
   // ---- multimodal ----------------------------------------------------------
 
   val multimodalMeta: Q = (s, dir) =>
@@ -103,6 +123,7 @@ object QueriesLlm {
     "q_text_fingerprint"    -> textFingerprint,
     "q_sim_topk"            -> simTopk,
     "q_sim_ivf"             -> simIvf,
+    "q_pipeline_prep"       -> pipelinePrep,
     "q_multimodal_meta"     -> multimodalMeta)
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -274,6 +295,36 @@ FROM documents GROUP BY 1"""),
         |  count(*) OVER (PARTITION BY fp) AS cluster_size,
         |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
         |FROM f""".stripMargin,
+
+    "q_pipeline_prep" -> (
+      s"""WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws,
+         list_distinct(string_split(text, ' ')) AS dw
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, ws,
+  """ + langScores + s"""
+  FROM w
+), langed AS (
+  SELECT doc_id, text, ws, """ + predCase + s""" AS pred_lang
+  FROM scored
+  WHERE len(ws) >= 20
+    AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) > 0.2
+), fp AS (
+  SELECT doc_id, text, ws, pred_lang,
+    md5(trim(regexp_replace(lower(text), '""" + "\\s+" + s"""', ' ', 'g'))) AS f
+  FROM langed
+), canon AS (
+  SELECT * FROM (
+    SELECT doc_id, text, ws, pred_lang,
+      doc_id = min(doc_id) OVER (PARTITION BY f) AS is_c
+    FROM fp) t
+  WHERE is_c
+)
+SELECT pred_lang, COUNT(*) AS n_docs,
+  CAST(SUM(CAST(len(ws) AS INT)) AS BIGINT) AS ws_total,
+  CAST(SUM(CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS INT)) AS BIGINT) AS bpe_total
+FROM canon GROUP BY 1"""),
 
     "q_sim_topk" ->
       """WITH q AS (

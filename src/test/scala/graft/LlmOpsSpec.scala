@@ -153,4 +153,15 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(codes.subsetOf(TextAnalysis.Stopwords.map(_._1).toSet + "und"))
   }
+
+  test("q_pipeline_prep is a funnel: fewer docs out than in, positive token budget") {
+    val out = QueriesLlm.pipelinePrep(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val nKept = out.map(_.getLong(1)).sum
+    assert(nKept > 0 && nKept < docs.count(),
+      s"quality gate + dedup must drop rows (kept $nKept)")
+    assert(out.forall(r => r.getLong(2) > 0 && r.getLong(3) > 0))
+    val langs = out.map(_.getString(0)).toSet
+    assert(langs.subsetOf(TextAnalysis.Stopwords.map(_._1).toSet + "und"))
+  }
 }

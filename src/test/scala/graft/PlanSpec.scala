@@ -77,7 +77,10 @@ class PlanSpec extends AnyFunSuite {
       "q_dedup_simhash" -> 4, "q_dedup_embcos" -> 3,
       "q_sim_topk" -> 1, "q_sim_ivf" -> 3,
       "q_text_langid" -> 0, "q_text_quality" -> 0, "q_text_tokens" -> 1,
-      "q_text_fingerprint" -> 1, "q_multimodal_meta" -> 0)
+      "q_text_fingerprint" -> 1, "q_multimodal_meta" -> 0,
+      // fingerprint window + final per-language agg; langid/quality/keep
+      // are projections folded into the scan stage
+      "q_pipeline_prep" -> 2)
     val over = budget.flatMap { case (name, max) =>
       val plan = physicalPlan(SparkEntry.queries(name)(spark, sfDir))
       val n = "Exchange hashpartitioning".r.findAllIn(plan).length +
