@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -86,7 +87,7 @@ final class MboxTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"mbox:$path"
   override def schema(): StructType = MboxSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MboxScanBuilder(path)
 }
@@ -108,6 +109,71 @@ final class MboxScan(path: String, required: StructType) extends Scan with Batch
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
     MboxReaderFactory(conf, required)
+  }
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MboxMicroBatchStream(path, required)
+}
+
+/** Streaming twin of the batch scan — the reference's ApacheMboxSource IS
+  * a polling streaming source (its ListState remembers ingested archives;
+  * ApacheMboxSource.java:146-157). Here the progress state is an offset:
+  * the lexicographic high-water mark over archive file paths, which is
+  * monotone for mailing-list corpora (named `YYYY-MM.mbox`). Each micro-
+  * batch ingests exactly the files above the last committed mark —
+  * exactly-once across restarts comes from the offset log, with no
+  * per-file bookkeeping to grow unboundedly. Column pruning flows through
+  * the same ScanBuilder as the batch path. */
+final class MboxMicroBatchStream(path: String, required: StructType)
+    extends MicroBatchStream {
+  private val conf =
+    new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
+
+  override def initialOffset(): Offset = MboxOffset("")
+  override def latestOffset(): Offset = {
+    val files = MboxSource.listFiles(path, conf.value)
+    MboxOffset(if (files.isEmpty) "" else files.max)
+  }
+  override def deserializeOffset(json: String): Offset = MboxOffset.fromJson(json)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[MboxOffset].watermark
+    val hi = end.asInstanceOf[MboxOffset].watermark
+    MboxSource.listFiles(path, conf.value)
+      .filter(f => f > lo && f <= hi).sorted
+      .map(MboxFilePartition(_): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    MboxReaderFactory(conf, required)
+  override def commit(end: Offset): Unit = () // progress lives in the offset log
+  override def stop(): Unit = ()
+}
+
+final case class MboxOffset(watermark: String) extends Offset {
+  override def json(): String = graft.Jsons.str(watermark)
+}
+
+object MboxOffset {
+  /** Inverse of [[graft.Jsons.str]] (quoted string with \", \\, \n, \r,
+    * \t, \\uXXXX escapes). */
+  def fromJson(json: String): MboxOffset = {
+    val s = json.trim
+    require(s.length >= 2 && s.head == '"' && s.last == '"', s"bad mbox offset: $json")
+    val b = new StringBuilder
+    var i = 1
+    while (i < s.length - 1) {
+      s.charAt(i) match {
+        case '\\' =>
+          s.charAt(i + 1) match {
+            case 'n' => b += '\n'; i += 2
+            case 'r' => b += '\r'; i += 2
+            case 't' => b += '\t'; i += 2
+            case 'u' =>
+              b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+            case c => b += c; i += 2
+          }
+        case c => b += c; i += 1
+      }
+    }
+    MboxOffset(b.toString)
   }
 }
 

@@ -167,6 +167,39 @@ class SourcesSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
   }
 
+  test("mbox V2 connector streams micro-batches with an offset high-water mark") {
+    import spark.implicits._
+    val root = "/tmp/graft_mbox_v2_stream"
+    val dir = s"$root/in"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    new java.io.File(dir).mkdirs()
+    def archive(name: String, ids: Seq[Long]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, name),
+        ids.map(i => s"From mbox@graft x\nMessage-ID: <$i@graft>\n" +
+          s"Date: 4 Mar 2024 10:00:0$i +0000\nFrom: u$i@x.org\n" +
+          s"X-From-Email: u$i@x.org\nSubject: s$i\n\nbody $i\n").mkString)
+    archive("2024-03.mbox", Seq(1L, 2L))
+    val q = spark.readStream.format("mbox").load(dir).writeStream
+      .format("memory").queryName("mbox_v2_stream")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mbox_v2_stream").count() == 2)
+      // a later archive lands above the committed mark: exactly its rows emit
+      archive("2024-04.mbox", Seq(3L))
+      q.processAllAvailable()
+      val got = spark.table("mbox_v2_stream").as[Email].collect()
+      assert(got.map(_.doc_id).toSet == Set(1L, 2L, 3L))
+      assert(got.forall(e => e.text_body == s"body ${e.doc_id}"))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+    // the offset survives its own json round-trip, escapes included
+    val off = MboxOffset("/data/ar\"chive\\2024\t.mbox")
+    assert(MboxOffset.fromJson(off.json()) == off)
+  }
+
   test("streaming mbox source discovers and parses archives incrementally") {
     import spark.implicits._
     val root = "/tmp/graft_mbox_stream"
