@@ -23,8 +23,6 @@ object QueriesCore {
 
   import graft.sources.Tables
 
-  private def dec(c: String) = col(c).cast("decimal(18,2)")
-
   /** Scale-2 unscaled value of a 2-decimal money/rate column: 38.97 → 3897L.
     * The source doubles carry exactly two decimal digits, so `round(x*100)`
     * recovers the unscaled integer exactly (a binary fraction can never sit
@@ -38,6 +36,21 @@ object QueriesCore {
     * per GROUP, so the BigDecimal division cost is nil. */
   private def descale(sumU: org.apache.spark.sql.Column, scale: Int) =
     (sumU / lit(math.pow(10, scale).toLong).cast("decimal(7,0)")).cast("double")
+
+  /** Exact sum of an unscaled-long measure with a PURE-LONG hot loop.
+    * A DECIMAL(20,0) input makes Sum carry a DECIMAL(30,0) buffer —
+    * precision > 18 is byte-array-backed, so every row pays a JavaBigDecimal
+    * add. Splitting at 2²⁰ keeps both accumulators long (codegen'd `+=` in
+    * the Tungsten buffer): x = (x>>20)·2²⁰ + (x & 0xFFFFF) is an identity
+    * in two's complement, each partial sum is exact, and the recombine runs
+    * in DECIMAL once per group. Overflow headroom at the 100 TB design
+    * point (≈2e11 rows/group, charge_u ≤ 4.3e11): sum_hi ≤ 2e11·(4.3e11/2²⁰)
+    * ≈ 8e16, sum_lo ≤ 2e11·2²⁰ ≈ 2e17 — both 40× under Long.MaxValue. */
+  private def sumSplit(x: org.apache.spark.sql.Column, scale: Int) = {
+    val hi = sum(shiftright(x, 20)).cast("decimal(20,0)")
+    val lo = sum(x.bitwiseAND(lit((1L << 20) - 1))).cast("decimal(20,0)")
+    descale(hi * lit(1L << 20) + lo, scale)
+  }
 
   /** TPC-H Q1 shape: multi-aggregate pricing summary over the fact table.
     * One shuffle on the (tiny-cardinality) group key; all heavy work is
@@ -60,19 +73,19 @@ object QueriesCore {
     val ext  = u100("l_extendedprice")
     val disc = u100("l_discount")
     val tax  = u100("l_tax")
-    val discPriceU = (ext * (lit(100L) - disc)).cast("decimal(20,0)")        // scale 4
-    val chargeU    = (ext * (lit(100L) - disc) * (lit(100L) + tax)).cast("decimal(20,0)") // scale 6
+    val discPriceU = ext * (lit(100L) - disc)                    // scale 4, long
+    val chargeU    = ext * (lit(100L) - disc) * (lit(100L) + tax) // scale 6, long
     Tables(s, dir).lineitem
       .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        descale(sum(qty.cast("decimal(20,0)")), 2).as("sum_qty"),
-        descale(sum(ext.cast("decimal(20,0)")), 2).as("sum_base_price"),
-        descale(sum(discPriceU), 4).as("sum_disc_price"),
-        descale(sum(chargeU), 6).as("sum_charge"),
-        (descale(sum(qty.cast("decimal(20,0)")), 2) / count(lit(1))).as("avg_qty"),
-        (descale(sum(ext.cast("decimal(20,0)")), 2) / count(lit(1))).as("avg_price"),
-        (descale(sum(disc.cast("decimal(20,0)")), 2) / count(lit(1))).as("avg_disc"),
+        sumSplit(qty, 2).as("sum_qty"),
+        sumSplit(ext, 2).as("sum_base_price"),
+        sumSplit(discPriceU, 4).as("sum_disc_price"),
+        sumSplit(chargeU, 6).as("sum_charge"),
+        (sumSplit(qty, 2) / count(lit(1))).as("avg_qty"),
+        (sumSplit(ext, 2) / count(lit(1))).as("avg_price"),
+        (sumSplit(disc, 2) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
 
@@ -91,8 +104,8 @@ object QueriesCore {
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("n_orders"),
-        // same unscaled-long fast path as q1_agg: no per-row BigDecimal
-        descale(sum(u100("o_totalprice").cast("decimal(20,0)")), 2).as("revenue"),
+        // same split-long fast path as q1_agg: no per-row BigDecimal
+        sumSplit(u100("o_totalprice"), 2).as("revenue"),
         countDistinct(col("o_custkey")).as("n_customers"))
   }
 
@@ -125,7 +138,7 @@ object QueriesCore {
       .agg(
         grouping_id().as("gid"),
         count(lit(1)).as("n_orders"),
-        sum(dec("o_totalprice")).cast("double").as("revenue"))
+        sumSplit(u100("o_totalprice"), 2).as("revenue"))
       .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
         col("n_orders"), col("revenue"))
 
