@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.TextFunctions._
+import graft.sources.{Commit, JsonIO, MboxIO, Sinks}
+
+/** Deployable twins of the reference's APPLICATION tier — the unit a
+  * reference user actually runs (`flink run <program> --start-date ...`),
+  * not just the queries inside it:
+  *
+  *  - [[commitProgram]] / [[commitProgramStream]] ≙ commit-analytics
+  *    FlinkCommitProgram.java:43-88 (source → ComponentExtractor →
+  *    keyBy(component) → 1h timeWindow aggregate → Elasticsearch sink),
+  *    re-expressed as scan → explode/extract → windowed agg →
+  *    date-partitioned parquet (the ES-sink analogue, see [[Sinks]]).
+  *  - [[mailingListImport]] / [[mailingListImportStream]] ≙
+  *    import/FlinkMailingListToKafka.java (mbox poll → typed JSON to
+  *    Kafka): mbox archives → declared-schema JSON lines.
+  *  - [[commitsImport]] ≙ import/FlinkCommitsToKafka.java's output
+  *    contract over this environment's commit stand-in (Synth.commits;
+  *    the real GitHub/JGit sources need network access).
+  *
+  * Programs compose the library's operators and sources — they add no
+  * query logic of their own, exactly like the reference's mains. */
+object Programs {
+
+  /** The shared core transform (FlinkCommitProgram.java:74-88): commits →
+    * explode(files_changed) → source component → per-(1h window,
+    * component) lines-changed summary. Batch and streaming run THIS SAME
+    * DataFrame graph — the Spark analogue of the reference using one
+    * operator chain under both a bounded and an unbounded source. */
+  def componentSummary(commits: DataFrame): DataFrame =
+    commits
+      .select(col("commit_date"), explode(col("files_changed")).as("fc"))
+      .select(col("commit_date"),
+        sourceComponent(col("fc.filename")).as("component"),
+        col("fc.linesChanged").cast("long").as("lines"))
+      .groupBy(window(col("commit_date"), "1 hour"), col("component"))
+      .agg(sum(col("lines")).as("lines_changed"), count(lit(1)).as("n_files"))
+      .select(col("window.start").cast("long").as("w_start"),
+        col("component"), col("lines_changed"), col("n_files"))
+
+  /** Batch FlinkCommitProgram: JSON-lines commits (the import tier's
+    * Kafka-shape output) → [[componentSummary]] → date-partitioned
+    * parquet. `startDate` plays the reference's `--start-date` and lands
+    * in the scan as a pushed filter (no post-read pruning). */
+  def commitProgram(spark: SparkSession, in: String, out: String,
+      startDate: Option[String] = None): Unit = {
+    val commits = JsonIO.readCommits(spark, in).toDF()
+    val ranged = startDate.fold(commits)(d =>
+      commits.filter(col("commit_date") >= lit(d).cast("timestamp")))
+    Sinks.writePartitioned(componentSummary(ranged), out, "w_start")
+  }
+
+  /** Streaming FlinkCommitProgram: the same transform over an unbounded
+    * read of the import directory. The 1h watermark is the reference's
+    * event-time story: late commits keep merging into their window until
+    * the watermark passes, then the window emits exactly once into the
+    * checkpointed parquet sink. */
+  def commitProgramStream(spark: SparkSession, in: String, out: String,
+      checkpoint: String): StreamingQuery = {
+    val commits = spark.readStream
+      .schema(Encoders.product[Commit].schema)
+      .json(in)
+      .withWatermark("commit_date", "1 hour")
+    Sinks.streamToParquet(componentSummary(commits), out, checkpoint)
+  }
+
+  /** Batch FlinkMailingListToKafka: mbox archives → declared-schema JSON
+    * lines (the Kafka-shape hand-off the analytics tier reads back). */
+  def mailingListImport(spark: SparkSession, mboxDir: String, out: String): Unit =
+    JsonIO.write(MboxIO.read(spark, mboxDir), out)
+
+  /** Streaming FlinkMailingListToKafka — the reference source POLLS its
+    * archive listing (ApacheMboxSource.java); this twin does the same via
+    * the V2 connector's micro-batch stream, emitting each newly-landed
+    * archive's messages exactly once. */
+  def mailingListImportStream(spark: SparkSession, mboxDir: String, out: String,
+      checkpoint: String): StreamingQuery =
+    spark.readStream.format("mbox").load(mboxDir)
+      .writeStream
+      .format("json")
+      .option("path", out)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
+  /** FlinkCommitsToKafka's output contract: typed commits as JSON lines.
+    * The real source tier (GitHub API / JGit) needs network; the commit
+    * stand-in is Synth.commits over the events table (TESTDATA.md). */
+  def commitsImport(spark: SparkSession, sfDir: String, out: String): Unit =
+    JsonIO.write(
+      graft.sources.Synth.commits(graft.sources.Tables(spark, sfDir).events)
+        .as(Encoders.product[Commit]), out)
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.{JsonIO, MboxIO, Sinks}
+
+/** The application tier end-to-end: each program is run as a user would
+  * run it (import → analytics → store) and its store is compared against
+  * the same transform computed directly — the program must add plumbing,
+  * never query logic. */
+class ProgramsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val root = "/tmp/graft_programs"
+  private def fresh(sub: String): String = {
+    val d = s"$root/$sub"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    d
+  }
+
+  test("commitProgram: import JSON → windowed component summary → partitioned store") {
+    val dir = fresh("batch")
+    Programs.commitsImport(spark, sfDir, s"$dir/commits")
+    Programs.commitProgram(spark, s"$dir/commits", s"$dir/store")
+
+    val stored = Sinks.readPartitioned(spark, s"$dir/store")
+    assert(stored.columns.contains(Sinks.PartitionCol), "store must be date-partitioned")
+    val direct = Programs.componentSummary(JsonIO.readCommits(spark, s"$dir/commits").toDF())
+    val a = stored.drop(Sinks.PartitionCol).collect().map(_.toSeq).toSet
+    val b = direct.collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b)
+
+    // --start-date: the ranged store is the direct summary of ranged input
+    val mid = "2024-01-15 00:00:00"
+    Programs.commitProgram(spark, s"$dir/commits", s"$dir/store_ranged", Some(mid))
+    val ranged = Sinks.readPartitioned(spark, s"$dir/store_ranged")
+      .drop(Sinks.PartitionCol).collect().map(_.toSeq).toSet
+    val directRanged = Programs.componentSummary(
+      JsonIO.readCommits(spark, s"$dir/commits").toDF()
+        .filter(col("commit_date") >= lit(mid).cast("timestamp")))
+      .collect().map(_.toSeq).toSet
+    assert(ranged == directRanged && ranged.size < a.size)
+  }
+
+  test("commitProgramStream emits closed windows exactly once into the store") {
+    val dir = fresh("stream")
+    new java.io.File(s"$dir/in").mkdirs()
+    def commit(id: Long, ts: String, file: String, lines: Int): String =
+      s"""{"event_id":$id,"commit_date":"$ts","author":"u$id","event_type":"commit",""" +
+        s""""files_changed":[{"filename":"$file","linesChanged":$lines}]}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in/b1.json"),
+      Seq(
+        commit(1, "2024-03-04T10:05:00.000Z", "flink-runtime/src/A.java", 100),
+        commit(2, "2024-03-04T10:35:00.000Z", "flink-core/src/B.java", 20),
+        commit(3, "2024-03-04T11:05:00.000Z", "flink-runtime/src/C.java", 7)).mkString("\n"))
+
+    val q = Programs.commitProgramStream(spark, s"$dir/in", s"$dir/store", s"$dir/ckpt")
+    try {
+      q.processAllAvailable()
+      // a far-future commit lands: its batch advances the watermark past
+      // every earlier window, which then emit (the sentinel's own open
+      // window must NOT emit)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in/b2.json"),
+        commit(99, "2030-01-01T00:00:00.000Z", "docs/x.md", 1))
+      q.processAllAvailable()
+
+      val stored = spark.read.parquet(s"$dir/store")
+      val expected = Programs.componentSummary(
+          JsonIO.readCommits(spark, s"$dir/in/b1.json").toDF())
+        .collect().map(_.toSeq).toSet
+      assert(stored.collect().map(_.toSeq).toSet == expected)
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("mailingListImport: mbox archives → declared-schema JSON lines, losslessly") {
+    val dir = fresh("mail")
+    import spark.implicits._
+    val emails = MboxIO.read(spark, {
+      new java.io.File(s"$dir/mbox").mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/mbox/a.mbox"),
+        (1L to 3L).map(i => s"From mbox@graft x\nMessage-ID: <$i@graft>\n" +
+          s"Date: 4 Mar 2024 10:00:0$i +0000\nFrom: u$i@x.org\n" +
+          s"X-From-Email: u$i@x.org\nSubject: s$i\n\nbody $i\n").mkString)
+      s"$dir/mbox"
+    })
+    Programs.mailingListImport(spark, s"$dir/mbox", s"$dir/json")
+    val back = JsonIO.readEmails(spark, s"$dir/json").collect().toSet
+    assert(back == emails.collect().toSet && back.size == 3)
+  }
+}
