@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, TextAnalysis}
 import graft.sources.Tables
 
 /** §2.d — LLM-training-data pipeline operators over the `documents`
@@ -104,6 +104,24 @@ object QueriesLlm {
         sum(col("bpe_tokens")).as("bpe_total"))
   }
 
+  /** Corpus mixing: deterministic per-language sampling (downsample en to
+    * 25%, keep zh whole, half everything else) — a scan-speed projection
+    * whose kept-set is stable across runs and task retries. */
+  val sampleStratified: Q = (s, dir) =>
+    Sampling.stratifiedSample(docs(s, dir).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", rates = Map("en" -> 0.25, "zh" -> 1.0), defaultRate = 0.5)
+      .select(col("doc_id"), col("lang"), col("u256"))
+
+  /** Sequence packing into 4096-token budgets per language shard; emits
+    * the pack manifest (docs and tokens per pack). */
+  val packSequences: Q = (s, dir) =>
+    Sampling.packSequences(
+        TextAnalysis.tokenCounts(docs(s, dir))
+          .select(col("doc_id"), col("lang"), col("bpe_tokens")),
+        "lang", "doc_id", "bpe_tokens", budget = 4096L)
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bpe_tokens")).as("pack_tokens"))
+
   // ---- multimodal ----------------------------------------------------------
 
   val multimodalMeta: Q = (s, dir) =>
@@ -124,6 +142,8 @@ object QueriesLlm {
     "q_sim_topk"            -> simTopk,
     "q_sim_ivf"             -> simIvf,
     "q_pipeline_prep"       -> pipelinePrep,
+    "q_sample_stratified"   -> sampleStratified,
+    "q_pack_sequences"      -> packSequences,
     "q_multimodal_meta"     -> multimodalMeta)
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -325,6 +345,30 @@ SELECT pred_lang, COUNT(*) AS n_docs,
   CAST(SUM(CAST(len(ws) AS INT)) AS BIGINT) AS ws_total,
   CAST(SUM(CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS INT)) AS BIGINT) AS bpe_total
 FROM canon GROUP BY 1"""),
+
+    "q_sample_stratified" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    16*(strpos('0123456789abcdef', substr(md5('s|' || CAST(doc_id AS VARCHAR)), 1, 1))-1)
+        |      + (strpos('0123456789abcdef', substr(md5('s|' || CAST(doc_id AS VARCHAR)), 2, 1))-1) AS u256
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, CAST(u256 AS INT) AS u256 FROM c
+        |WHERE u256 < CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 256 ELSE 128 END""".stripMargin,
+
+    "q_pack_sequences" -> (
+      s"""WITH t AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS INT) AS bpe_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, bpe_tokens,
+    SUM(bpe_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+  FROM t
+)
+SELECT lang, CAST(floor((cum - bpe_tokens) / 4096) AS BIGINT) AS pack_id,
+  COUNT(*) AS n_docs, CAST(SUM(bpe_tokens) AS BIGINT) AS pack_tokens
+FROM c GROUP BY 1, 2"""),
 
     "q_sim_topk" ->
       """WITH q AS (

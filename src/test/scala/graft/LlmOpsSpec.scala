@@ -154,6 +154,50 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(codes.subsetOf(TextAnalysis.Stopwords.map(_._1).toSet + "und"))
   }
 
+  test("stratified sampling is deterministic, shuffle-free, and rate-faithful") {
+    import graft.operators.Sampling
+    val base = docs.select(col("doc_id"), col("lang"))
+    val s1 = Sampling.stratifiedSample(base, "lang", "doc_id",
+      Map("en" -> 0.25, "zh" -> 1.0), defaultRate = 0.5)
+    assert(!physicalPlan(s1).contains("Exchange"), "sampling must not shuffle")
+    // identical kept-set on a re-run (task-retry safety)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedSample(base, "lang", "doc_id",
+      Map("en" -> 0.25, "zh" -> 1.0), defaultRate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2 && ids1.nonEmpty)
+    // rate=1.0 keeps every row of the stratum
+    val zhAll = base.filter(col("lang") === "zh").count()
+    val zhKept = s1.filter(col("lang") === "zh").count()
+    assert(zhKept == zhAll)
+    // en lands near 25% (md5 coin over hundreds of docs: generous bounds)
+    val enAll = base.filter(col("lang") === "en").count().toDouble
+    val enKept = s1.filter(col("lang") === "en").count().toDouble
+    assert(enKept / enAll > 0.1 && enKept / enAll < 0.45,
+      s"en keep-rate ${enKept / enAll} far from 0.25")
+  }
+
+  test("sequence packing respects the budget contract per shard") {
+    import graft.operators.Sampling
+    val t = TextAnalysis.tokenCounts(docs)
+      .select(col("doc_id"), col("lang"), col("bpe_tokens"))
+    val packed = Sampling.packSequences(t, "lang", "doc_id", "bpe_tokens", 4096L)
+    val manifests = packed.groupBy(col("lang"), col("pack_id"))
+      .agg(sum(col("bpe_tokens")).as("tok"), count(lit(1)).as("n"))
+      .collect()
+    assert(manifests.length > 1, "corpus must span multiple packs")
+    // every pack except possibly single-doc overflows starts under budget:
+    // tok - last straddling doc < 4096 means tok < 4096 + max doc tokens
+    val maxDoc = t.agg(max(col("bpe_tokens"))).collect()(0).getInt(0)
+    assert(manifests.forall(_.getLong(2) < 4096L + maxDoc))
+    // pack ids are dense from 0 within each shard
+    val perLang = manifests.groupBy(_.getString(0))
+    perLang.foreach { case (_, ms) =>
+      val ids = ms.map(_.getLong(1)).sorted
+      assert(ids.head == 0L && ids.sameElements(0L until ids.length.toLong))
+    }
+  }
+
   test("q_pipeline_prep is a funnel: fewer docs out than in, positive token budget") {
     val out = QueriesLlm.pipelinePrep(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -80,7 +80,10 @@ class PlanSpec extends AnyFunSuite {
       "q_text_fingerprint" -> 1, "q_multimodal_meta" -> 0,
       // fingerprint window + final per-language agg; langid/quality/keep
       // are projections folded into the scan stage
-      "q_pipeline_prep" -> 2)
+      "q_pipeline_prep" -> 2,
+      // sampling is a pure scan-speed filter; packing pays the shard
+      // window + the (shard, pack) manifest agg
+      "q_sample_stratified" -> 0, "q_pack_sequences" -> 2)
     val over = budget.flatMap { case (name, max) =>
       val plan = physicalPlan(SparkEntry.queries(name)(spark, sfDir))
       val n = "Exchange hashpartitioning".r.findAllIn(plan).length +
