@@ -159,6 +159,18 @@ object QueriesLlm {
   private def sqlList(xs: Seq[String]): String =
     xs.map("'" + _ + "'").mkString("[", ",", "]")
 
+  /** DuckDB twin of Similarity.shingleHash: first 15 md5 hex nibbles →
+    * 60-bit BIGINT (column `hx` holds the md5 hex). */
+  private val hexToH: String = (1 to 15)
+    .map(i => s"CAST(strpos('0123456789abcdef', substr(hx, $i, 1))-1 AS BIGINT)*${1L << (4 * (15 - i))}")
+    .mkString(" + ")
+
+  /** The permutation-constant table (p, C_p, A_p) — the SAME driver-side
+    * Scala values Similarity.permuted inlines into the Spark plan. */
+  private val permConsts: String = (0 until 8)
+    .map(p => s"(${p}, ${graft.functions.Similarity.permC(p)}, ${graft.functions.Similarity.permA(p)})")
+    .mkString(", ")
+
   private val langScores = TextAnalysis.Stopwords
     .map { case (l, ws) =>
       s"CAST(len(list_intersect(dw, ${sqlList(ws)})) AS INT) AS s_$l"
@@ -195,16 +207,23 @@ JOIN sizes nb ON doc_b = nb.doc_id
 WHERE CAST(n_common AS DOUBLE) / (na.nsh + nb.nsh - n_common) >= 0.3"""),
 
     "q_dedup_minhash" -> (
-      "WITH " + shinglesCte + """,
-perm AS (
-  SELECT doc_id, p, min(md5(CAST(p AS VARCHAR) || '|' || s)) AS sig
-  FROM sh0, unnest(generate_series(0, 7)) t(p)
+      "WITH " + shinglesCte + s""",
+shh0 AS (
+  SELECT doc_id, md5(s) AS hx FROM sh0
+), shh AS (
+  SELECT doc_id, $hexToH AS h FROM shh0
+), pc AS (
+  SELECT * FROM (VALUES $permConsts) v(p, c, a)
+), perm AS (
+  SELECT doc_id, p, min(((xor(h, c) % 2147483647) * a) % 2147483647) AS sig
+  FROM shh, pc
   GROUP BY 1, 2
 ), sigs AS (
   SELECT doc_id, list(sig ORDER BY p) AS sig FROM perm GROUP BY 1
 ), bands AS (
   SELECT doc_id, b, bk, count(*) OVER (PARTITION BY b, bk) AS bsz FROM (
-    SELECT doc_id, b, md5(sig[b*2+1] || sig[b*2+2]) AS bk
+    SELECT doc_id, b,
+      md5(CAST(sig[b*2+1] AS VARCHAR) || '|' || CAST(sig[b*2+2] AS VARCHAR)) AS bk
     FROM sigs, unnest(generate_series(0, 3)) t(b))
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands

@@ -33,9 +33,35 @@ object Similarity {
   /** Per-permutation shingle hash: md5("p|shingle") — a cheap family of
     * independent hash functions; the MinHash signature is the per-doc min
     * of each (lexicographic min over the hex string ≡ min over the
-    * 128-bit value). */
+    * 128-bit value). Retained for reference/tests; the production scheme
+    * below replaces the md5-per-permutation with ONE md5 per shingle. */
   def permHash(perm: Column, shingle: Column): Column =
     md5(concat_ws("|", perm, shingle))
+
+  /** 2³¹−1, the Mersenne prime of the permutation family. */
+  val PermP: Long = 2147483647L
+
+  /** Per-permutation constants, computed DRIVER-SIDE in Scala and inlined
+    * as literals into both the Spark plan and the DuckDB oracle — the
+    * engines only ever do bounded integer arithmetic on them. `permC` is
+    * a 60-bit xor mask (golden-ratio multiples), `permA` an odd multiplier
+    * in (0, P). */
+  def permC(p: Int): Long = ((p + 1).toLong * 0x9E3779B97F4A7C15L) & ((1L << 60) - 1)
+  def permA(p: Int): Long = (2654435761L * (p + 1)) % (PermP - 1) + 1
+
+  /** One 60-bit integer hash per shingle: the first 15 hex chars of ONE
+    * md5. Every permutation then derives from `h` with four integer ops —
+    * versus an md5 per (permutation, shingle), this removes (perms−1)/perms
+    * of all digest work, the hot loop of MinHash at any scale. */
+  def shingleHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
+
+  /** Permutation p of a 60-bit shingle hash: ((h ⊕ Cₚ) mod P)·Aₚ mod P.
+    * All intermediates fit signed 64-bit ((2³¹)² < 2⁶³), so the identical
+    * expression runs on any engine with BIGINT arithmetic — the oracle
+    * twin inlines the same constants. */
+  def permuted(h: Column, p: Int): Column =
+    (h.bitwiseXOR(lit(permC(p))) % lit(PermP)) * lit(permA(p)) % lit(PermP)
 
   /** Exact double dot product of two numeric arrays (sequential
     * accumulation — deterministic, same order as a plain loop). */

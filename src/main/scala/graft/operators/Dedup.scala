@@ -96,12 +96,17 @@ object Dedup {
     * groupBy over the shingle rows — no perms× row explosion, one
     * shuffle on doc_id (map-side partial mins shrink it to one row per
     * (doc, partition)), and no second aggregation to re-assemble the
-    * signature. Values are identical to the explode-per-permutation
+    * signature. Digest work is ONE md5 per shingle (Similarity.shingleHash);
+    * each permutation is four integer ops on that hash
+    * (Similarity.permuted) — at 100 TB the md5-per-(perm,shingle)
+    * formulation spends `perms`× the digest compute for the same LSH
+    * guarantees. Values are identical to the explode-per-permutation
     * formulation (the oracle's shape). */
   def minhashSignatures(docs: DataFrame, k: Int, perms: Int): DataFrame = {
     val mins = (0 until perms).map(p =>
-      min(Similarity.permHash(lit(p), col("s"))).as(s"m$p"))
+      min(Similarity.permuted(col("h"), p)).as(s"m$p"))
     shingled(docs, k)
+      .select(col("doc_id"), Similarity.shingleHash(col("s")).as("h"))
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
@@ -121,7 +126,7 @@ object Dedup {
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
-          md5(concat_ws("", (0 until rows).map(r =>
+          md5(concat_ws("|", (0 until rows).map(r =>
             element_at(col("sig"), b * lit(rows) + lit(r + 1))): _*)).as("bk"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))

@@ -39,14 +39,14 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!finalPlan.contains("SortMergeJoin"), finalPlan.take(4000))
   }
 
-  test("minhash signatures are fixed-width (perms entries, 32-hex each)") {
+  test("minhash signatures are fixed-width perms-long integer vectors in [0, P)") {
+    val P = graft.functions.Similarity.PermP
     val sig = Dedup.minhashSignatures(docs, 3, 8)
       .select(size(col("sig")).as("n"),
-        array_min(transform(col("sig"), s => length(s))).as("mn"),
-        array_max(transform(col("sig"), s => length(s))).as("mx"))
+        array_min(col("sig")).as("mn"), array_max(col("sig")).as("mx"))
       .agg(min("n"), max("n"), min("mn"), max("mx")).collect()(0)
     assert(sig.getInt(0) == 8 && sig.getInt(1) == 8)
-    assert(sig.getInt(2) == 32 && sig.getInt(3) == 32)
+    assert(sig.getLong(2) >= 0L && sig.getLong(3) < P)
   }
 
   test("simhash signature is a 64-char bitstring") {
