@@ -45,4 +45,28 @@ object StreamingJobs {
   def dedupWithinWatermark(df: DataFrame, keyCol: String, watermarkDelay: String): DataFrame =
     df.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Streaming twin of the curation pipeline (QueriesLlm.pipelinePrep):
+    * language-ID and the quality gate run as STATELESS projections at
+    * ingest rate; dedup keys on the normalized-content fingerprint with
+    * watermark-bounded state (an unbounded seen-set cannot exist in a
+    * stream — the horizon is the streaming contract for "duplicate");
+    * the per-(window, language) token budget then aggregates the
+    * survivors. Input needs `ts` (event time), `doc_id`, `text`. */
+  def curationPipeline(docs: DataFrame, windowDur: String,
+      watermarkDelay: String): DataFrame = {
+    val langed = graft.operators.TextAnalysis.langId(docs)
+    val kept = graft.operators.TextAnalysis.quality(langed).filter(col("keep"))
+    val deduped = kept
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+    graft.operators.TextAnalysis.tokenCounts(deduped)
+      .groupBy(window(col("ts"), windowDur), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("ws_total"),
+        sum(col("bpe_tokens")).as("bpe_total"))
+      .select(col("window.start").as("w_start"), col("pred_lang"),
+        col("n_docs"), col("ws_total"), col("bpe_total"))
+  }
 }

@@ -56,6 +56,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation pipeline: quality gate, watermark dedup, windowed token budget") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    // ≥20 words, high distinct ratio, English stopword hits
+    def good(tag: String) =
+      (1 to 30).map(i => s"$tag$i").mkString(" ") + " the and of to is"
+    val q = StreamingJobs.curationPipeline(df, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("cur_out").outputMode("append").start()
+    try {
+      feed(q)(in.addData(
+        (ts(5), 1L, good("alpha")),
+        (ts(10), 2L, good("alpha")), // exact normalized dup — dropped
+        (ts(15), 3L, "too short"),   // fails the quality gate
+        (ts(70), 4L, good("beta")))) // hour-1 window
+      feed(q)(in.addData((ts(1000), 99L, good("gamma")))) // closes hours 0-1
+      val rows = spark.table("cur_out")
+        .select("pred_lang", "n_docs", "ws_total").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // two emitted windows, one surviving doc each (35 words), English
+      assert(rows.length == 2, s"got ${rows.toSeq}")
+      assert(rows.forall(_ == (("en", 1L, 35L))), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer closes by gap and by count") {
     import graft.streaming.StatefulSessions
     import graft.streaming.StatefulSessions.Event
