@@ -12,10 +12,11 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -83,13 +84,20 @@ object MboxSource {
   }
 }
 
-final class MboxTable(path: String) extends Table with SupportsRead {
+final class MboxTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"mbox:$path"
   override def schema(): StructType = MboxSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MboxScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val got = info.schema().fieldNames.toSeq
+    val want = MboxSource.Schema.fieldNames.toSeq
+    require(got == want, s"mbox write needs Email-shaped input $want, got $got")
+    new MboxWriteBuilder(path)
+  }
 }
 
 final class MboxScanBuilder(path: String)
@@ -293,4 +301,88 @@ final class MboxPartitionReader(
 
 object MboxPartitionReader {
   private val IdRe = "<([0-9]+)@graft>".r
+}
+
+/** V2 write path: `emails.write.format("mbox").mode(...).save(dir)`.
+  * Each task streams its partition into ONE archive file (a valid
+  * standalone mbox — the reader globs the directory), in exactly
+  * [[MboxIO.toMboxText]]'s message format, so the wholetext parser, the
+  * V2 reader, and this writer all round-trip. Overwrite maps to
+  * TRUNCATE: existing data files are removed driver-side before tasks
+  * launch. Empty partitions create no file. */
+final class MboxWriteBuilder(path: String) extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new MboxBatchWrite(path, doTruncate)
+  }
+}
+
+final class MboxBatchWrite(path: String, doTruncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    if (doTruncate && fs.exists(dir))
+      MboxSource.listFiles(path, conf.value).foreach(f => fs.delete(new Path(f), false))
+    fs.mkdirs(dir)
+    MboxWriterFactory(path, conf)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    messages.collect { case MboxWritten(f) if f.nonEmpty =>
+      val p = new Path(f); p.getFileSystem(conf).delete(p, false)
+    }
+  }
+}
+
+final case class MboxWritten(file: String) extends WriterCommitMessage
+
+final case class MboxWriterFactory(path: String, conf: SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new MboxDataWriter(path, partitionId, taskId, conf)
+}
+
+final class MboxDataWriter(
+    path: String, partitionId: Int, taskId: Long,
+    conf: SerializableConfiguration) extends DataWriter[InternalRow] {
+
+  private val file = f"$path/part-$partitionId%05d-$taskId.mbox"
+  private val utc = java.time.ZoneOffset.UTC
+  private val fromLineFmt = DateTimeFormatter
+    .ofPattern("EEE MMM d HH:mm:ss yyyy", Locale.US).withZone(utc)
+  private val dateFmt = DateTimeFormatter
+    .ofPattern(MboxSource.DateFmt, Locale.US).withZone(utc)
+  private var out: java.io.Writer = _
+
+  override def write(r: InternalRow): Unit = {
+    if (out == null) {
+      val p = new Path(file)
+      out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        p.getFileSystem(conf.value).create(p, true), StandardCharsets.UTF_8))
+    }
+    val t = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(r.getLong(1), 1000000L),
+      Math.floorMod(r.getLong(1), 1000000L) * 1000L)
+    out.write("From mbox@graft " + fromLineFmt.format(t) + "\n")
+    out.write("Message-ID: <" + r.getLong(0) + "@graft>\n")
+    out.write("Date: " + dateFmt.format(t) + "\n")
+    out.write("From: " + r.getUTF8String(3) + "\n")
+    out.write("X-From-Email: " + r.getUTF8String(4) + "\n")
+    out.write("Subject: " + r.getUTF8String(2) + "\n\n")
+    out.write(r.getUTF8String(5).toString.replaceAll("(?m)^From ", ">From "))
+    out.write("\n")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    MboxWritten(if (out != null) file else "")
+  }
+  override def abort(): Unit = {
+    if (out != null) { out.close()
+      val p = new Path(file); p.getFileSystem(conf.value).delete(p, false) }
+  }
+  override def close(): Unit = ()
 }

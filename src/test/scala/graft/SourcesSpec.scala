@@ -167,6 +167,26 @@ class SourcesSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
   }
 
+  test("mbox V2 write path round-trips through both readers and truncates on overwrite") {
+    import spark.implicits._
+    val dir = "/tmp/graft_mbox_v2_write"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    def email(i: Long) = Email(i, new java.sql.Timestamp(86400000L + i * 60000L),
+      s"subject $i", s"User $i <u$i@x.org>", s"u$i@x.org",
+      s"line one of $i\nFrom the body line that needs quoting\nlast line $i")
+    val first = (1L to 40L).map(email)
+    first.toDS().write.format("mbox").mode("append").save(dir)
+    // identical entities back through the V2 reader AND the wholetext parser
+    val viaV2 = spark.read.format("mbox").load(dir).as[Email].collect().toSet
+    val viaIO = MboxIO.read(spark, dir).collect().toSet
+    assert(viaV2 == first.toSet && viaIO == first.toSet)
+    // overwrite truncates: only the second batch remains afterwards
+    val second = (100L to 104L).map(email)
+    second.toDS().write.format("mbox").mode("overwrite").save(dir)
+    assert(spark.read.format("mbox").load(dir).as[Email].collect().toSet == second.toSet)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("mbox V2 connector streams micro-batches with an offset high-water mark") {
     import spark.implicits._
     val root = "/tmp/graft_mbox_v2_stream"
