@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Similarity
@@ -46,11 +47,30 @@ object Dedup {
     * inside ONE row before exploding — gigabytes in one task for a hot
     * 10k bucket. The C(n,2) output rows still stream through the
     * bucket's task, but as rows, never as one array. */
-  private[operators] def explodePairs(buckets: DataFrame, idsCol: String): DataFrame =
+  private[operators] def explodePairs(buckets: DataFrame, idsCol: String,
+      carry: Seq[String] = Nil): DataFrame =
     buckets
-      .select(posexplode(col(idsCol)).as(Seq("i", "a")), col(idsCol).as("ids_"))
-      .select(col("a"),
-        explode(slice(col("ids_"), col("i") + lit(2), size(col("ids_")))).as("b"))
+      .select(posexplode(col(idsCol)).as(Seq("i", "a")) +:
+        col(idsCol).as("ids_") +: carry.map(col): _*)
+      .select(col("a") +:
+        explode(slice(col("ids_"), col("i") + lit(2), size(col("ids_")))).as("b") +:
+        carry.map(col): _*)
+
+  /** 1/0 per-slot match vector of two surviving-bucket-key arrays: slot i
+    * is 1 iff BOTH docs sit in the same surviving bucket of table/band i
+    * (a null slot means that doc's bucket there was dropped — by the
+    * maxBucket cap or by having no partner — so it can never match). */
+  private def matchVec(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => when(x.isNotNull && x === y, 1).otherwise(0))
+
+  /** First-surviving-co-bucket emission filter: with `m` = [[matchVec]]
+    * and `idx` the current bucket's table/band index, keep the pair row
+    * iff this is the FIRST slot where the two docs collide. Exactly one
+    * bucket emits each candidate pair, so the pair stream is distinct BY
+    * CONSTRUCTION — the n²-sized candidate set never needs a
+    * dedup/count shuffle; only per-doc rows ever cross the network. */
+  private def firstMatch(m: Column, idx: Column): Column =
+    array_position(m, 1) === idx.cast("long") + lit(1L)
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted index.
     *
@@ -115,8 +135,20 @@ object Dedup {
   /** LSH banding over MinHash signatures: `bands` bands of `perms/bands`
     * rows each; docs sharing any band bucket become a candidate pair.
     * Buckets key on (band, md5-of-band-slice) — fixed 16-byte keys, never
-    * signatures or text — and pairs come from [[pairsInBucket]], so the
-    * signature pipeline is computed exactly once. */
+    * signatures or text — and pairs come from [[explodePairs]], so the
+    * signature pipeline is computed exactly once.
+    *
+    * CANDIDATE PAIRS NEVER SHUFFLE. On a duplicate-heavy corpus the
+    * candidate set is ~clusterSize²/2 × clusters — orders of magnitude
+    * more rows than the corpus — so a `groupBy(pair)` to count shared
+    * bands (the naive formulation) shuffles the n² blow-up itself.
+    * Instead each doc's vector of SURVIVING band keys (slot = band, null
+    * if its bucket there was dropped) rides into the bucket membership,
+    * every bucket emits only the pairs whose FIRST surviving collision it
+    * is ([[firstMatch]]), and `n_bands` is the match-vector sum — all
+    * computed inside the bucket's task. The extra cost is three per-doc-
+    * row shuffles (bucket-size window, key-vector agg, join-back), each
+    * O(docs×bands) and fixed-width; the n² pair stream stays on-CPU. */
   def minhashCandidates(docs: DataFrame, k: Int, perms: Int, bands: Int,
       maxBucket: Int = 10000): DataFrame = {
     require(perms % bands == 0, s"perms ($perms) must be a multiple of bands ($bands)")
@@ -130,16 +162,29 @@ object Dedup {
             element_at(col("sig"), b * lit(rows) + lit(r + 1))): _*)).as("bk"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
-    val buckets = banded
+    // a bucket larger than maxBucket is a mass-duplicate cluster whose
+    // n² pair fan-out belongs to EXACT dedup (same digest), not LSH —
+    // drop it here to bound the explosion (oracle mirrors the cap);
+    // size-1 buckets can't pair and don't survive either
+    val surviving = banded
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bk"))))
+      .filter(col("bsz").between(2, maxBucket))
+      .select(col("doc_id"), col("band"), col("bk"))
+    val slots = (0 until bands).map(b =>
+      max(when(col("band") === b, col("bk"))).as(s"k$b"))
+    val skeys = surviving.groupBy(col("doc_id"))
+      .agg(slots.head, slots.tail: _*)
+      .select(col("doc_id"),
+        array((0 until bands).map(b => col(s"k$b")): _*).as("skeys"))
+    val buckets = surviving.join(skeys, "doc_id")
       .groupBy(col("band"), col("bk"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      // a bucket larger than maxBucket is a mass-duplicate cluster whose
-      // n² pair fan-out belongs to EXACT dedup (same digest), not LSH —
-      // drop it here to bound the explosion (oracle mirrors the cap)
-      .filter(size(col("ids")).between(2, maxBucket))
-    explodePairs(buckets, "ids")
-      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
-      .agg(count(lit(1)).as("n_bands"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("skeys")))).as("ds"))
+    explodePairs(buckets, "ds", carry = Seq("band"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("band"),
+        matchVec(col("a.skeys"), col("b.skeys")).as("m"))
+      .filter(firstMatch(col("m"), col("band")))
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(col("m"), lit(0), _ + _).cast("long").as("n_bands"))
   }
 
   /** Embedding-cosine near-dup pairs via banded random-hyperplane LSH.
@@ -174,18 +219,34 @@ object Dedup {
     val bits = emb.join(broadcast(hp))
       .select(col("vec_id"), (col("p") / bitsPerTable).cast("int").as("t"), col("p"),
         when(Similarity.dot(col("ce"), col("r")) >= 0, "1").otherwise("0").as("b"))
-    val buckets = bits
+    val memberships = bits
       .groupBy(col("vec_id"), col("t"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("b")))),
         x => x.getField("b")), "").as("bucket"))
+    // mass-duplicate buckets belong to exact dedup; cap the fan-out.
+    // OR-amplification makes a near-dup pair collide in MANY tables, so a
+    // distinct() over the emitted pairs would shuffle the n² candidate
+    // stream ~T times over — instead each vector's surviving bucket-key
+    // vector rides into the bucket and only the first colliding table
+    // emits a pair (see minhashCandidates; pairs are distinct by
+    // construction and never cross the network).
+    val surviving = memberships
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("t"), col("bucket"))))
+      .filter(col("bsz").between(2, maxBucket))
+      .select(col("vec_id"), col("t"), col("bucket"))
+    val slots = (0 until tables).map(t =>
+      max(when(col("t") === t, col("bucket"))).as(s"k$t"))
+    val skeys = surviving.groupBy(col("vec_id"))
+      .agg(slots.head, slots.tail: _*)
+      .select(col("vec_id"),
+        array((0 until tables).map(t => col(s"k$t")): _*).as("skeys"))
     val cand = explodePairs(
-      buckets
+      surviving.join(skeys, "vec_id")
         .groupBy(col("t"), col("bucket"))
-        .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
-        // mass-duplicate buckets belong to exact dedup; cap the fan-out
-        .filter(size(col("ids")).between(2, maxBucket)), "ids")
-      .select(col("a").as("vec_a"), col("b").as("vec_b"))
-      .distinct()
+        .agg(sort_array(collect_set(struct(col("vec_id"), col("skeys")))).as("ds")),
+      "ds", carry = Seq("t"))
+      .filter(firstMatch(matchVec(col("a.skeys"), col("b.skeys")), col("t")))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
     cand
       .join(emb.select(col("vec_id"), col("ce").as("ca")), col("vec_a") === col("vec_id")).drop("vec_id")
       .join(emb.select(col("vec_id"), col("ce").as("cb")), col("vec_b") === col("vec_id")).drop("vec_id")
@@ -231,15 +292,29 @@ object Dedup {
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(3))).as("j"))
       .withColumn("chunk", expr("substring(sig, j * 16 + 1, 16)"))
+    // mass-duplicate buckets belong to exact dedup; cap the fan-out.
+    // Near-identical docs agree on up to all 4 chunks, so a distinct()
+    // over emitted pairs would shuffle the n² candidate stream — the
+    // first-surviving-collision emission (see minhashCandidates) keeps it
+    // on-CPU; only per-doc rows shuffle.
+    val surviving = chunks
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("j"), col("chunk"))))
+      .filter(col("bsz").between(2, maxBucket))
+      .select(col("doc_id"), col("sig"), col("j"), col("chunk"))
+    val slots = (0 until 4).map(j =>
+      max(when(col("j") === j, col("chunk"))).as(s"k$j"))
+    val skeys = surviving.groupBy(col("doc_id"))
+      .agg(slots.head, slots.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 4).map(j => col(s"k$j")): _*).as("skeys"))
     val cand = explodePairs(
-      chunks
+      surviving.join(skeys, "doc_id")
         .groupBy(col("j"), col("chunk"))
-        .agg(sort_array(collect_set(struct(col("doc_id"), col("sig")))).as("ds"))
-        // mass-duplicate buckets belong to exact dedup; cap the fan-out
-        .filter(size(col("ds")).between(2, maxBucket)), "ds")
+        .agg(sort_array(collect_set(struct(col("doc_id"), col("sig"), col("skeys")))).as("ds")),
+      "ds", carry = Seq("j"))
+      .filter(firstMatch(matchVec(col("a.skeys"), col("b.skeys")), col("j")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
     val ham = (0 until 4).map(j =>
       expr(s"bit_count(CAST(conv(substring(sig_a, ${j * 16 + 1}, 16), 2, 10) AS BIGINT) ^ " +
         s"CAST(conv(substring(sig_b, ${j * 16 + 1}, 16), 2, 10) AS BIGINT))"))
