@@ -226,10 +226,14 @@ shh0 AS (
       md5(CAST(sig[b*2+1] AS VARCHAR) || '|' || CAST(sig[b*2+2] AS VARCHAR)) AS bk
     FROM sigs, unnest(generate_series(0, 3)) t(b))
 )
+-- candidate iff the FIRST co-bucketing band is uncapped (capped buckets
+-- are mass-dup clusters owned by exact dedup — Dedup.firstMatch twin);
+-- n_bands counts ALL agreeing bands (the similarity estimate does not
+-- depend on the performance cap)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
 FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
-WHERE a.bsz <= 10000
-GROUP BY 1, 2"""),
+GROUP BY 1, 2
+HAVING arg_min(a.bsz, a.b) <= 10000"""),
 
     "q_dedup_simhash" ->
       """WITH wc AS (
@@ -250,10 +254,13 @@ GROUP BY 1, 2"""),
         |    SELECT doc_id, sig, j, substr(sig, j*16 + 1, 16) AS chunk
         |    FROM sigs, unnest(generate_series(0, 3)) t(j))
         |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+        |  -- candidate iff the FIRST shared chunk's bucket is uncapped
+        |  -- (Dedup.firstMatch twin)
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
         |  FROM chunks a JOIN chunks b
         |    ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-        |  WHERE a.bsz <= 10000
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING arg_min(a.bsz, a.j) <= 10000
         |)
         |SELECT doc_a, doc_b, hamming(sig_a, sig_b) AS hamming
         |FROM cand WHERE hamming(sig_a, sig_b) <= 8""".stripMargin,
@@ -277,10 +284,13 @@ GROUP BY 1, 2"""),
         |    SELECT vec_id, t, string_agg(b, '' ORDER BY p) AS bucket
         |    FROM bits GROUP BY 1, 2)
         |), cand AS (
-        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  -- candidate iff the FIRST co-bucketing table is uncapped
+        |  -- (Dedup.firstMatch twin)
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |  FROM buckets a JOIN buckets b
         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |  WHERE a.bsz <= 10000
+        |  GROUP BY 1, 2
+        |  HAVING arg_min(a.bsz, a.t) <= 10000
         |)
         |SELECT vec_a, vec_b, cos_q FROM (
         |  SELECT vec_a, vec_b,

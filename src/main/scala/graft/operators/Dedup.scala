@@ -10,9 +10,19 @@ import graft.functions.Similarity
   *
   * Scale posture (100 TB): every shuffle below keys on a fixed-width
   * digest / bucket hash, never on raw text; candidate generation is
-  * always an equi-join on a bucket key (inverted index, LSH band,
+  * always an equi-grouping on a bucket key (inverted index, LSH band,
   * SimHash chunk) so no plan ever contains a cartesian/all-pairs join.
   * Hot buckets are bounded by an explicit document-frequency guard.
+  *
+  * SINGLE-EXCHANGE LSH: each approximate pipeline (MinHash, SimHash,
+  * embedding-cosine) plans exactly ONE shuffle. Signatures are pure
+  * row-local array arithmetic (no explode + re-aggregate), every bucket
+  * membership row carries the doc's full signature / key vector (cheap:
+  * fixed-width, derived row-locally), the bucket-size window and the
+  * bucket group-by share the same (table, key) hash partitioning so the
+  * second aggregation reuses the first exchange, and pair emission +
+  * similarity math happen inside the bucket's task with no join-back.
+  * The n²-sized candidate stream never crosses the network.
   */
 object Dedup {
 
@@ -56,26 +66,34 @@ object Dedup {
         explode(slice(col("ids_"), col("i") + lit(2), size(col("ids_")))).as("b") +:
         carry.map(col): _*)
 
-  /** 1/0 per-slot match vector of two surviving-bucket-key arrays: slot i
-    * is 1 iff BOTH docs sit in the same surviving bucket of table/band i
-    * (a null slot means that doc's bucket there was dropped — by the
-    * maxBucket cap or by having no partner — so it can never match). */
+  /** 1/0 per-slot match vector of two bucket-key arrays: slot i is 1 iff
+    * BOTH docs share the same bucket key in table/band i. */
   private def matchVec(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => when(x.isNotNull && x === y, 1).otherwise(0))
 
-  /** First-surviving-co-bucket emission filter: with `m` = [[matchVec]]
-    * and `idx` the current bucket's table/band index, keep the pair row
-    * iff this is the FIRST slot where the two docs collide. Exactly one
-    * bucket emits each candidate pair, so the pair stream is distinct BY
+  /** First-co-bucket emission filter: with `m` = [[matchVec]] and `idx`
+    * the current bucket's table/band index, keep the pair row iff this
+    * is the FIRST slot where the two docs collide. At most one bucket
+    * emits each candidate pair, so the pair stream is distinct BY
     * CONSTRUCTION — the n²-sized candidate set never needs a
-    * dedup/count shuffle; only per-doc rows ever cross the network. */
+    * dedup/count shuffle; only per-doc rows ever cross the network.
+    *
+    * Cap semantics: if the first-colliding bucket was dropped by the
+    * maxBucket guard, the pair is not emitted at all (later surviving
+    * collisions decline it too). That is deliberate: a capped bucket is
+    * a mass-duplicate cluster whose members belong to EXACT dedup, and
+    * making emission depend only on the FIRST collision is what lets
+    * every doc's key vector be derived row-locally — the alternative
+    * (first *surviving* collision) needs per-doc survival vectors, i.e.
+    * two more corpus-wide shuffles. The oracle encodes the identical
+    * rule (HAVING arg_min(bsz, band) <= cap). */
   private def firstMatch(m: Column, idx: Column): Column =
     array_position(m, 1) === idx.cast("long") + lit(1L)
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted index.
     *
     * Buckets key on the shingle (the classic set-similarity join, without
-    * the self-join — see [[pairsInBucket]]); shingles in more than
+    * the self-join — see [[explodePairs]]); shingles in more than
     * `maxDf` documents are dropped (stop-shingle guard: bounds any
     * bucket's pair fan-out at maxDf², and a shingle in >maxDf docs
     * carries ~no similarity signal); pairs sharing fewer than `minCommon`
@@ -110,58 +128,58 @@ object Dedup {
   }
 
   /** MinHash signatures: one row per doc, `perms` minhashes in
-    * permutation order.
+    * permutation order — computed entirely ROW-LOCALLY (zero shuffles).
     *
-    * All `perms` mins are computed as parallel aggregates in a SINGLE
-    * groupBy over the shingle rows — no perms× row explosion, one
-    * shuffle on doc_id (map-side partial mins shrink it to one row per
-    * (doc, partition)), and no second aggregation to re-assemble the
-    * signature. Digest work is ONE md5 per shingle (Similarity.shingleHash);
-    * each permutation is four integer ops on that hash
-    * (Similarity.permuted) — at 100 TB the md5-per-(perm,shingle)
-    * formulation spends `perms`× the digest compute for the same LSH
-    * guarantees. Values are identical to the explode-per-permutation
-    * formulation (the oracle's shape). */
-  def minhashSignatures(docs: DataFrame, k: Int, perms: Int): DataFrame = {
-    val mins = (0 until perms).map(p =>
-      min(Similarity.permuted(col("h"), p)).as(s"m$p"))
-    shingled(docs, k)
-      .select(col("doc_id"), Similarity.shingleHash(col("s")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
-  }
+    * The shingle set, its 60-bit hashes, and all `perms` mins are
+    * higher-order array expressions over the doc's own words: no
+    * explode, no groupBy, nothing leaves the scan task. Digest work is
+    * ONE md5 per shingle (Similarity.shingleHash); each permutation is
+    * four integer ops on that hash (Similarity.permuted) — at 100 TB
+    * the md5-per-(perm,shingle) formulation spends `perms`× the digest
+    * compute for the same LSH guarantees. Values are identical to the
+    * explode-per-permutation formulation (the oracle's shape): min over
+    * an array of the distinct shingles' permuted hashes ≡ min over
+    * grouped rows. Each array alias lives in its own projection so the
+    * md5 pass runs once, not once per permutation (CollapseProject keeps
+    * non-cheap multi-referenced aliases separate). */
+  def minhashSignatures(docs: DataFrame, k: Int, perms: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), Similarity.shinglesOfWords(col("w"), k).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), s => Similarity.shingleHash(s)).as("hs"))
+      .select(col("doc_id"), array((0 until perms).map(p =>
+        array_min(transform(col("hs"), h => Similarity.permuted(h, p)))): _*).as("sig"))
 
   /** LSH banding over MinHash signatures: `bands` bands of `perms/bands`
     * rows each; docs sharing any band bucket become a candidate pair.
     * Buckets key on (band, md5-of-band-slice) — fixed 16-byte keys, never
-    * signatures or text — and pairs come from [[explodePairs]], so the
-    * signature pipeline is computed exactly once.
+    * signatures or text.
     *
-    * CANDIDATE PAIRS NEVER SHUFFLE. On a duplicate-heavy corpus the
-    * candidate set is ~clusterSize²/2 × clusters — orders of magnitude
-    * more rows than the corpus — so a `groupBy(pair)` to count shared
-    * bands (the naive formulation) shuffles the n² blow-up itself.
-    * Instead each doc's vector of SURVIVING band keys (slot = band, null
-    * if its bucket there was dropped) rides into the bucket membership,
-    * every bucket emits only the pairs whose FIRST surviving collision it
-    * is ([[firstMatch]]), and `n_bands` is the match-vector sum — all
-    * computed inside the bucket's task. The extra cost is three per-doc-
-    * row shuffles (bucket-size window, key-vector agg, join-back), each
-    * O(docs×bands) and fixed-width; the n² pair stream stays on-CPU. */
+    * ONE SHUFFLE TOTAL. Membership rows (doc_id, sig, band, bk) are
+    * derived row-locally from the zero-shuffle signatures; the bucket
+    * -size window hash-partitions them on (band, bk) — the plan's only
+    * Exchange — and the bucket group-by REUSES that partitioning (same
+    * keys), so EnsureRequirements inserts nothing. Each member carries
+    * its full signature (perms × 8 bytes), so inside the bucket's task a
+    * pair's complete band-agreement vector is computable by comparing
+    * signature slices: emission keys off the FIRST matching band
+    * ([[firstMatch]] — each pair emitted at most once, no pair-level
+    * dedup shuffle), and `n_bands` is the number of agreeing bands (all
+    * of them — the similarity estimate does not depend on the maxBucket
+    * performance guard). A capped (> maxBucket) bucket is a
+    * mass-duplicate cluster: its pairs belong to exact dedup and are
+    * dropped here, including pairs whose first collision it is. */
   def minhashCandidates(docs: DataFrame, k: Int, perms: Int, bands: Int,
       maxBucket: Int = 10000): DataFrame = {
     require(perms % bands == 0, s"perms ($perms) must be a multiple of bands ($bands)")
     val rows = perms / bands
-    val sigs = minhashSignatures(docs, k, perms)
-    val banded = sigs.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
+    val banded = minhashSignatures(docs, k, perms)
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           md5(concat_ws("|", (0 until rows).map(r =>
-            element_at(col("sig"), b * lit(rows) + lit(r + 1))): _*)).as("bk"))))
-        .as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+            element_at(col("sig"), b * lit(rows) + lit(r + 1))): _*))))
+          .as(Seq("band", "bk")))
     // a bucket larger than maxBucket is a mass-duplicate cluster whose
     // n² pair fan-out belongs to EXACT dedup (same digest), not LSH —
     // drop it here to bound the explosion (oracle mirrors the cap);
@@ -169,38 +187,51 @@ object Dedup {
     val surviving = banded
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bk"))))
       .filter(col("bsz").between(2, maxBucket))
-      .select(col("doc_id"), col("band"), col("bk"))
-    val slots = (0 until bands).map(b =>
-      max(when(col("band") === b, col("bk"))).as(s"k$b"))
-    val skeys = surviving.groupBy(col("doc_id"))
-      .agg(slots.head, slots.tail: _*)
-      .select(col("doc_id"),
-        array((0 until bands).map(b => col(s"k$b")): _*).as("skeys"))
-    val buckets = surviving.join(skeys, "doc_id")
+    val buckets = surviving
       .groupBy(col("band"), col("bk"))
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("skeys")))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
     explodePairs(buckets, "ds", carry = Seq("band"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("band"),
-        matchVec(col("a.skeys"), col("b.skeys")).as("m"))
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          when(slice(col("a.sig"), b * lit(rows) + lit(1), lit(rows)) ===
+               slice(col("b.sig"), b * lit(rows) + lit(1), lit(rows)), 1)
+            .otherwise(0)).as("m"))
       .filter(firstMatch(col("m"), col("band")))
       .select(col("doc_a"), col("doc_b"),
         aggregate(col("m"), lit(0), _ + _).cast("long").as("n_bands"))
   }
 
+  /** The `tables × bitsPerTable` random hyperplanes, derived DRIVER-SIDE
+    * from md5 (r_p[i] = first-hex-nibble(md5("p|i")) − 7.5, a portable
+    * stand-in for a seeded gaussian) and inlined as literal arrays into
+    * the plan — the identical constants the DuckDB oracle derives in
+    * SQL. Deterministic pure math on constants: no data is collected. */
+  private[operators] def hyperplanes(planes: Int, dim: Int): IndexedSeq[Seq[Double]] =
+    (0 until planes).map { p =>
+      (0 until dim).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p|$i".getBytes("UTF-8"))
+        (((d(0) & 0xFF) >> 4) & 0xF) - 7.5
+      }
+    }
+
   /** Embedding-cosine near-dup pairs via banded random-hyperplane LSH.
     *
-    * `tables`×`bitsPerTable` deterministic hyperplanes are derived from
-    * md5 (r_p[i] = first-nibble(md5("p|i")) - 7.5, the portable stand-in
-    * for a seeded gaussian); each vector's bucket in table t is the
-    * `bitsPerTable`-bit sign pattern of its hyperplane dots. Candidates
-    * share a bucket in ANY table (OR-amplification: recall ≈
-    * 1-(1-p^b)^T for per-bit agreement p), then exact quantized cosine
-    * filters. The hyperplane codebook is broadcast; the corpus streams
-    * through one scan + one shuffle on (table, bucket); candidate
-    * verification joins back on vec_id only. */
+    * Each vector's bucket in table t is the `bitsPerTable`-bit sign
+    * pattern of its hyperplane dots — computed row-locally against the
+    * inlined [[hyperplanes]] literals (no codebook join, no per-plane
+    * row fan-out). Candidates share a bucket in ANY table
+    * (OR-amplification: recall ≈ 1-(1-p^b)^T for per-bit agreement p),
+    * then exact quantized cosine filters — computed INSIDE the bucket's
+    * task from the carried embeddings, so there is no candidate
+    * join-back. ONE shuffle total, on (table, bucket): the bucket-size
+    * window partitions membership rows and the bucket group-by reuses
+    * that exchange. Carrying `ce` costs tables×dim floats per vector
+    * through the single shuffle — versus TWO corpus-wide join shuffles
+    * plus shuffling the n² candidate stream twice in the join-back
+    * formulation. */
   def embeddingCosPairs(emb0: DataFrame, tables: Int, bitsPerTable: Int,
       minCosQ: Long, dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
-    val planes = tables * bitsPerTable
     // A wrong-width vector must FAIL the job, not degrade: zip_with over a
     // mismatched length null-pads, every hyperplane dot goes NULL, and all
     // vectors silently collapse into one (capped, dropped) bucket → zero
@@ -210,111 +241,102 @@ object Dedup {
         .otherwise(raise_error(concat(
           lit(s"embeddingCosPairs: embedding dim must be $dim, got "),
           size(col("ce")).cast("string")))))
-    val spark = emb.sparkSession
-    val hp = spark.range(planes).select(
-      col("id").cast("int").as("p"),
-      transform(sequence(lit(0), lit(dim - 1)), i =>
-        conv(substring(md5(concat_ws("|", col("id"), i)), 1, 1), 16, 10)
-          .cast("double") - 7.5).as("r"))
-    val bits = emb.join(broadcast(hp))
-      .select(col("vec_id"), (col("p") / bitsPerTable).cast("int").as("t"), col("p"),
-        when(Similarity.dot(col("ce"), col("r")) >= 0, "1").otherwise("0").as("b"))
-    val memberships = bits
-      .groupBy(col("vec_id"), col("t"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("b")))),
-        x => x.getField("b")), "").as("bucket"))
+    val hp = hyperplanes(tables * bitsPerTable, dim)
+    val keyed = emb.select(col("vec_id"), col("ce"),
+      array((0 until tables).map(t =>
+        concat((0 until bitsPerTable).map(b =>
+          when(Similarity.dot(col("ce"), typedLit(hp(t * bitsPerTable + b))) >= 0, "1")
+            .otherwise("0")): _*)): _*).as("keys"))
+    val memberships = keyed.select(col("vec_id"), col("keys"), col("ce"),
+      posexplode(col("keys")).as(Seq("t", "bucket")))
     // mass-duplicate buckets belong to exact dedup; cap the fan-out.
     // OR-amplification makes a near-dup pair collide in MANY tables, so a
     // distinct() over the emitted pairs would shuffle the n² candidate
-    // stream ~T times over — instead each vector's surviving bucket-key
-    // vector rides into the bucket and only the first colliding table
-    // emits a pair (see minhashCandidates; pairs are distinct by
-    // construction and never cross the network).
+    // stream ~T times over — instead only the first colliding table
+    // emits a pair ([[firstMatch]]; distinct by construction, on-CPU).
     val surviving = memberships
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("t"), col("bucket"))))
       .filter(col("bsz").between(2, maxBucket))
-      .select(col("vec_id"), col("t"), col("bucket"))
-    val slots = (0 until tables).map(t =>
-      max(when(col("t") === t, col("bucket"))).as(s"k$t"))
-    val skeys = surviving.groupBy(col("vec_id"))
-      .agg(slots.head, slots.tail: _*)
-      .select(col("vec_id"),
-        array((0 until tables).map(t => col(s"k$t")): _*).as("skeys"))
-    val cand = explodePairs(
-      surviving.join(skeys, "vec_id")
-        .groupBy(col("t"), col("bucket"))
-        .agg(sort_array(collect_set(struct(col("vec_id"), col("skeys")))).as("ds")),
-      "ds", carry = Seq("t"))
-      .filter(firstMatch(matchVec(col("a.skeys"), col("b.skeys")), col("t")))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-    cand
-      .join(emb.select(col("vec_id"), col("ce").as("ca")), col("vec_a") === col("vec_id")).drop("vec_id")
-      .join(emb.select(col("vec_id"), col("ce").as("cb")), col("vec_b") === col("vec_id")).drop("vec_id")
-      .select(col("vec_a"), col("vec_b"),
-        floor(Similarity.cosine(col("ca"), col("cb")) * lit(1000000.0)).cast("long").as("cos_q"))
+    val buckets = surviving
+      .groupBy(col("t"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("keys"), col("ce")))).as("ds"))
+    explodePairs(buckets, "ds", carry = Seq("t"))
+      .filter(firstMatch(matchVec(col("a.keys"), col("b.keys")), col("t")))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        floor(Similarity.cosine(col("a.ce"), col("b.ce")) * lit(1000000.0))
+          .cast("long").as("cos_q"))
       .filter(col("cos_q") >= minCosQ)
   }
 
-  /** 64-bit SimHash signature per doc as a '0'/'1' bitstring.
+  /** 64-bit SimHash signature per doc as a '0'/'1' bitstring — computed
+    * entirely ROW-LOCALLY (zero shuffles).
     *
     * Word weights = term frequency; each word votes its md5-derived 64
-    * bits (+tf for a set bit, -tf for unset); signature bit = sign of the
-    * vote. All bit math runs on hex nibbles so the identical computation
-    * is expressible in portable SQL.
-    *
-    * The 64 bit-votes are 64 parallel sum aggregates in a single
-    * groupBy(doc_id) — no 64× bit-explosion (which would materialize
-    * 64·|words| rows and force a second keyed shuffle on (doc, bit));
-    * the signature assembles from the 64 vote columns directly. */
+    * bits (+1 per occurrence for a set bit, −1 for unset; summing over
+    * occurrences IS the tf weighting); signature bit = sign of the vote.
+    * The vote fold is a single higher-order `aggregate` over the doc's
+    * word-hash array: per word, the md5's first 64 bits are split once
+    * into two 32-bit halves (one conv each), and each bit is then two
+    * arithmetic ops (floor-divide by a power-of-two literal, mod 2) —
+    * exact in doubles since the halves are < 2³². No explode, no
+    * (doc, word) shuffle, no per-doc re-aggregation: the bit values (and
+    * so the integer vote sums) are identical to the oracle's
+    * per-distinct-word × tf formulation. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val wc = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", md5(col("word")))
-    def bit(i: Int) = expr(
-      s"((CAST(position(substring(h, ${i / 4 + 1}, 1) IN '0123456789abcdef') AS INT) - 1) >> ${3 - i % 4}) & 1")
-    val votes = (0 until 64).map(i => sum(col("cnt") * (bit(i) * 2 - 1)).as(s"v$i"))
-    wc.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
+    // 2^31 … 2^0 as exact double literals: bit i (MSB-first) of a 32-bit
+    // half x is floor(x / 2^(31-i)) mod 2
+    val pows = typedLit((0 until 32).map(i => math.pow(2.0, 31 - i)))
+    def bitsOf(x: Column): Column =
+      transform(sequence(lit(0), lit(31)), i =>
+        pmod(floor(x / element_at(pows, i + 1)), lit(2)).cast("int") * lit(2) - lit(1))
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), transform(col("ws"), w => md5(w)).as("hs"))
+      .select(col("doc_id"), transform(col("hs"), h => struct(
+        conv(h.substr(lit(1), lit(8)), 16, 10).cast("long").as("ha"),
+        conv(h.substr(lit(9), lit(8)), 16, 10).cast("long").as("hb"))).as("ab"))
+      .select(col("doc_id"), aggregate(col("ab"), array_repeat(lit(0L), 64),
+        (acc, x) => zip_with(acc,
+          concat(bitsOf(x.getField("ha")), bitsOf(x.getField("hb"))),
+          (v, s) => v + s)).as("v"))
       .select(col("doc_id"),
-        concat((0 until 64).map(i => when(col(s"v$i") > 0, "1").otherwise("0")): _*).as("sig"))
+        array_join(transform(col("v"), v => when(v > 0, "1").otherwise("0")), "").as("sig"))
   }
 
   /** Hamming-near pairs over SimHash signatures. Candidates come from a
     * 4×16-bit chunk LSH (two signatures within hamming distance 3 of
     * each other must agree on at least one 16-bit chunk; wider distances
-    * trade recall for the same bounded cost). Bucket members carry their
-    * signature into the pair explosion, so the signature pipeline runs
-    * once and no join-back is needed. */
+    * trade recall for the same bounded cost).
+    *
+    * ONE SHUFFLE TOTAL, on (chunk-index, chunk): membership rows carry
+    * the full 64-char signature (the chunk keys are its substrings, so
+    * the match vector, first-collision test, and the exact hamming
+    * verify are all computable inside the bucket's task — see
+    * [[minhashCandidates]] for the exchange-reuse structure). */
   def simhashPairs(docs: DataFrame, maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
-    val sigs = simhashSignatures(docs)
-    val chunks = sigs.select(col("doc_id"), col("sig"),
-      explode(sequence(lit(0), lit(3))).as("j"))
-      .withColumn("chunk", expr("substring(sig, j * 16 + 1, 16)"))
+    val chunks = simhashSignatures(docs)
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(3)), j =>
+          col("sig").substr(j * lit(16) + lit(1), lit(16)))).as(Seq("j", "chunk")))
     // mass-duplicate buckets belong to exact dedup; cap the fan-out.
     // Near-identical docs agree on up to all 4 chunks, so a distinct()
     // over emitted pairs would shuffle the n² candidate stream — the
-    // first-surviving-collision emission (see minhashCandidates) keeps it
-    // on-CPU; only per-doc rows shuffle.
+    // first-collision emission ([[firstMatch]]) keeps it on-CPU.
     val surviving = chunks
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("j"), col("chunk"))))
       .filter(col("bsz").between(2, maxBucket))
-      .select(col("doc_id"), col("sig"), col("j"), col("chunk"))
-    val slots = (0 until 4).map(j =>
-      max(when(col("j") === j, col("chunk"))).as(s"k$j"))
-    val skeys = surviving.groupBy(col("doc_id"))
-      .agg(slots.head, slots.tail: _*)
-      .select(col("doc_id"),
-        array((0 until 4).map(j => col(s"k$j")): _*).as("skeys"))
-    val cand = explodePairs(
-      surviving.join(skeys, "doc_id")
-        .groupBy(col("j"), col("chunk"))
-        .agg(sort_array(collect_set(struct(col("doc_id"), col("sig"), col("skeys")))).as("ds")),
-      "ds", carry = Seq("j"))
-      .filter(firstMatch(matchVec(col("a.skeys"), col("b.skeys")), col("j")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    val buckets = surviving
+      .groupBy(col("j"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
+    val cand = explodePairs(buckets, "ds", carry = Seq("j"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("j"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"),
+        transform(sequence(lit(0), lit(3)), jj =>
+          when(col("a.sig").substr(jj * lit(16) + lit(1), lit(16)) ===
+               col("b.sig").substr(jj * lit(16) + lit(1), lit(16)), 1)
+            .otherwise(0)).as("m"))
+      .filter(firstMatch(col("m"), col("j")))
     val ham = (0 until 4).map(j =>
       expr(s"bit_count(CAST(conv(substring(sig_a, ${j * 16 + 1}, 16), 2, 10) AS BIGINT) ^ " +
         s"CAST(conv(substring(sig_b, ${j * 16 + 1}, 16), 2, 10) AS BIGINT))"))

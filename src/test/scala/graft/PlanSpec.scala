@@ -72,9 +72,14 @@ class PlanSpec extends AnyFunSuite {
       // jaccard: sizes and pairs both derive from the df-filtered bucket
       // relation (consistency requires it), and the static plan
       // sort-merge-joins sizes on; AQE reuses the bucket exchange and
-      // converts the joins to broadcast at runtime when sizes is small
-      "q_dedup_exact" -> 1, "q_dedup_ngram_jaccard" -> 6, "q_dedup_minhash" -> 3,
-      "q_dedup_simhash" -> 4, "q_dedup_embcos" -> 3,
+      // converts the joins to broadcast at runtime when sizes is small.
+      // minhash/simhash/embcos: signatures and bucket keys are row-local
+      // array arithmetic, the bucket-size window and the bucket group-by
+      // share one (table, key) hash partitioning, and pair emission +
+      // similarity verify run inside the bucket task (Dedup.scala) — so
+      // each LSH pipeline's ONLY exchange is the bucket shuffle itself
+      "q_dedup_exact" -> 1, "q_dedup_ngram_jaccard" -> 6, "q_dedup_minhash" -> 1,
+      "q_dedup_simhash" -> 1, "q_dedup_embcos" -> 1,
       "q_sim_topk" -> 1, "q_sim_ivf" -> 3,
       "q_text_langid" -> 0, "q_text_quality" -> 0, "q_text_tokens" -> 1,
       "q_text_fingerprint" -> 1, "q_multimodal_meta" -> 0,
