@@ -45,11 +45,25 @@ object QueriesCore {
     * in two's complement, each partial sum is exact, and the recombine runs
     * in DECIMAL once per group. Overflow headroom at the 100 TB design
     * point (≈2e11 rows/group, charge_u ≤ 4.3e11): sum_hi ≤ 2e11·(4.3e11/2²⁰)
-    * ≈ 8e16, sum_lo ≤ 2e11·2²⁰ ≈ 2e17 — both 40× under Long.MaxValue. */
+    * ≈ 8e16, sum_lo ≤ 2e11·2²⁰ ≈ 2e17 — both 40× under Long.MaxValue.
+    *
+    * The headroom argument is GUARDED, not just documented: the same
+    * partial-agg pass also tracks max|x>>20| (one codegen'd long max per
+    * row), and the once-per-group recombine raises unless
+    * n·max(max|hi|, 2²⁰) fits a long — the exact condition under which
+    * both long accumulators are provably wrap-free. Exceeding the design
+    * magnitudes fails the job loudly instead of emitting wrapped sums. */
   private def sumSplit(x: org.apache.spark.sql.Column, scale: Int) = {
     val hi = sum(shiftright(x, 20)).cast("decimal(20,0)")
     val lo = sum(x.bitwiseAND(lit((1L << 20) - 1))).cast("decimal(20,0)")
-    descale(hi * lit(1L << 20) + lo, scale)
+    val worst = greatest(max(abs(shiftright(x, 20))), lit(1L << 20))
+      .cast("decimal(20,0)") * count(lit(1)).cast("decimal(20,0)")
+    val combined = when(worst <= lit(Long.MaxValue).cast("decimal(20,0)"),
+      hi * lit(1L << 20) + lo)
+      .otherwise(raise_error(lit(
+        "sumSplit: group magnitude exceeds the pure-long accumulator headroom " +
+          "(n * max|x| per group must stay under 2^63) — use a DECIMAL sum for this measure")))
+    descale(combined, scale)
   }
 
   /** TPC-H Q1 shape: multi-aggregate pricing summary over the fact table.

@@ -26,6 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object MboxIO {
 
+  /** A header value written into one `Name: value` line. mbox cannot
+    * represent null-vs-empty (an absent header reads back as ""), so null
+    * writes as "" — a null must not null out the whole message concat and
+    * fail the text sink opaquely. An embedded newline would silently
+    * change the message structure: reject it loudly (FAILFAST both ways,
+    * like the readers). */
+  private def headerValue(name: String, c: org.apache.spark.sql.Column) = {
+    val v = coalesce(c, lit(""))
+    when(v.contains("\n") || v.contains("\r"),
+      raise_error(concat(
+        lit(s"mbox write: $name must not contain newlines (doc_id="),
+        col("doc_id").cast("string"), lit(")"))))
+      .otherwise(v)
+  }
+
   /** One mbox-formatted message text per email, in the entity's field
     * order. `from_email` is embedded as the `From:` display form when it
     * differs from from_raw's address — ApacheMboxSource.java:237-242
@@ -36,11 +51,12 @@ object MboxIO {
       date_format(col("mail_date"), "EEE MMM d HH:mm:ss yyyy"), lit("\n"),
       lit("Message-ID: <"), col("doc_id").cast("string"), lit("@graft>\n"),
       lit("Date: "), date_format(col("mail_date"), "d MMM yyyy HH:mm:ss Z"), lit("\n"),
-      lit("From: "), col("from_raw"), lit("\n"),
-      lit("X-From-Email: "), col("from_email"), lit("\n"),
-      lit("Subject: "), col("subject"), lit("\n\n"),
+      lit("From: "), headerValue("from_raw", col("from_raw")), lit("\n"),
+      lit("X-From-Email: "), headerValue("from_email", col("from_email")), lit("\n"),
+      lit("Subject: "), headerValue("subject", col("subject")), lit("\n\n"),
       // quote body lines that would read as a message delimiter
-      regexp_replace(col("text_body"), "(?m)^From ", ">From ")).as("value"))
+      regexp_replace(coalesce(col("text_body"), lit("")),
+        "(?m)^From ", ">From ")).as("value"))
 
   /** Write an mbox archive (possibly several part files — each part is a
     * valid standalone mbox; the reader globs the directory). */

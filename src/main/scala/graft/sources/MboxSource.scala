@@ -130,23 +130,38 @@ final class MboxScan(path: String, required: StructType) extends Scan with Batch
   * batch ingests exactly the files above the last committed mark —
   * exactly-once across restarts comes from the offset log, with no
   * per-file bookkeeping to grow unboundedly. Column pruning flows through
-  * the same ScanBuilder as the batch path. */
+  * the same ScanBuilder as the batch path.
+  *
+  * The monotone-name assumption is VALIDATED at runtime, not trusted:
+  * the offset also carries how many files sat at-or-below the watermark
+  * when it was taken, so a backfilled archive whose name sorts below the
+  * committed mark (which the high-water filter would otherwise skip
+  * silently, forever) fails the query loudly instead — still O(1) offset
+  * state, no unbounded seen-set. */
 final class MboxMicroBatchStream(path: String, required: StructType)
     extends MicroBatchStream {
   private val conf =
     new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
 
-  override def initialOffset(): Offset = MboxOffset("")
+  override def initialOffset(): Offset = MboxOffset("", 0L)
   override def latestOffset(): Offset = {
     val files = MboxSource.listFiles(path, conf.value)
-    MboxOffset(if (files.isEmpty) "" else files.max)
+    if (files.isEmpty) MboxOffset("", 0L) else MboxOffset(files.max, files.size.toLong)
   }
   override def deserializeOffset(json: String): Offset = MboxOffset.fromJson(json)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[MboxOffset].watermark
+    val lo = start.asInstanceOf[MboxOffset]
     val hi = end.asInstanceOf[MboxOffset].watermark
-    MboxSource.listFiles(path, conf.value)
-      .filter(f => f > lo && f <= hi).sorted
+    val files = MboxSource.listFiles(path, conf.value)
+    val below = files.count(_ <= lo.watermark)
+    // seenBelow < 0 = legacy offset without the count: can't validate.
+    // below < seenBelow = archives deleted: harmless for ingestion.
+    if (lo.seenBelow >= 0 && below > lo.seenBelow) throw new IllegalStateException(
+      s"mbox stream $path: ${below - lo.seenBelow} new file(s) sort at or below the " +
+        s"committed watermark '${lo.watermark}' — a backfilled or non-monotonically " +
+        "named archive would be skipped silently. Ingest backfills with a batch read " +
+        "or restart from a fresh checkpoint.")
+    files.filter(f => f > lo.watermark && f <= hi).sorted
       .map(MboxFilePartition(_): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -155,16 +170,28 @@ final class MboxMicroBatchStream(path: String, required: StructType)
   override def stop(): Unit = ()
 }
 
-final case class MboxOffset(watermark: String) extends Offset {
-  override def json(): String = graft.Jsons.str(watermark)
+/** @param seenBelow number of listed files at-or-below `watermark` when
+  *                  this offset was taken (-1 = unknown, legacy offset) */
+final case class MboxOffset(watermark: String, seenBelow: Long) extends Offset {
+  override def json(): String =
+    s"""{"n":$seenBelow,"wm":${graft.Jsons.str(watermark)}}"""
 }
 
 object MboxOffset {
+  private val ObjRe = """\{"n":(-?\d+),"wm":(".*")\}""".r
+
+  /** Parses the current `{"n":…,"wm":"…"}` form; a bare JSON string (the
+    * pre-seenBelow offset format) still loads, with the count unknown. */
+  def fromJson(json: String): MboxOffset = json.trim match {
+    case ObjRe(n, wm) => MboxOffset(unquote(wm), n.toLong)
+    case s            => MboxOffset(unquote(s), -1L)
+  }
+
   /** Inverse of [[graft.Jsons.str]] (quoted string with \", \\, \n, \r,
     * \t, \\uXXXX escapes). */
-  def fromJson(json: String): MboxOffset = {
-    val s = json.trim
-    require(s.length >= 2 && s.head == '"' && s.last == '"', s"bad mbox offset: $json")
+  private def unquote(quoted: String): String = {
+    val s = quoted.trim
+    require(s.length >= 2 && s.head == '"' && s.last == '"', s"bad mbox offset: $quoted")
     val b = new StringBuilder
     var i = 1
     while (i < s.length - 1) {
@@ -181,7 +208,7 @@ object MboxOffset {
         case c => b += c; i += 1
       }
     }
-    MboxOffset(b.toString)
+    b.toString
   }
 }
 
@@ -357,6 +384,19 @@ final class MboxDataWriter(
     .ofPattern(MboxSource.DateFmt, Locale.US).withZone(utc)
   private var out: java.io.Writer = _
 
+  // mbox cannot represent null-vs-empty (an absent header reads back as
+  // ""), so null string fields write as "" — matching MboxIO.toMboxText.
+  // A header value with an embedded newline would silently change the
+  // message structure on write: reject it loudly (FAILFAST both ways).
+  private def strField(r: InternalRow, i: Int, name: String): String = {
+    if (r.isNullAt(i)) return ""
+    val s = r.getUTF8String(i).toString
+    if (i != 5 && (s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0))
+      throw new IllegalArgumentException(
+        s"mbox write: $name must not contain newlines (doc_id=${r.getLong(0)})")
+    s
+  }
+
   override def write(r: InternalRow): Unit = {
     if (out == null) {
       val p = new Path(file)
@@ -369,10 +409,10 @@ final class MboxDataWriter(
     out.write("From mbox@graft " + fromLineFmt.format(t) + "\n")
     out.write("Message-ID: <" + r.getLong(0) + "@graft>\n")
     out.write("Date: " + dateFmt.format(t) + "\n")
-    out.write("From: " + r.getUTF8String(3) + "\n")
-    out.write("X-From-Email: " + r.getUTF8String(4) + "\n")
-    out.write("Subject: " + r.getUTF8String(2) + "\n\n")
-    out.write(r.getUTF8String(5).toString.replaceAll("(?m)^From ", ">From "))
+    out.write("From: " + strField(r, 3, "from_raw") + "\n")
+    out.write("X-From-Email: " + strField(r, 4, "from_email") + "\n")
+    out.write("Subject: " + strField(r, 2, "subject") + "\n\n")
+    out.write(strField(r, 5, "text_body").replaceAll("(?m)^From ", ">From "))
     out.write("\n")
   }
 

@@ -216,8 +216,71 @@ class SourcesSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
     // the offset survives its own json round-trip, escapes included
-    val off = MboxOffset("/data/ar\"chive\\2024\t.mbox")
+    val off = MboxOffset("/data/ar\"chive\\2024\t.mbox", 7L)
     assert(MboxOffset.fromJson(off.json()) == off)
+    // a legacy bare-string offset (pre-seenBelow checkpoints) still loads
+    assert(MboxOffset.fromJson(graft.Jsons.str("/data/a.mbox")) ==
+      MboxOffset("/data/a.mbox", -1L))
+  }
+
+  test("mbox stream fails loudly when a backfill lands below the committed watermark") {
+    val root = "/tmp/graft_mbox_backfill"
+    val dir = s"$root/in"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    new java.io.File(dir).mkdirs()
+    def archive(name: String, id: Long): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, name),
+        s"From mbox@graft x\nMessage-ID: <$id@graft>\n" +
+          s"Date: 4 Mar 2024 10:00:0$id +0000\nFrom: u$id@x.org\n" +
+          s"X-From-Email: u$id@x.org\nSubject: s$id\n\nbody $id\n")
+    archive("2024-04.mbox", 1L)
+    val q = spark.readStream.format("mbox").load(dir).writeStream
+      .format("memory").queryName("mbox_backfill")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mbox_backfill").count() == 1)
+      // an archive whose name sorts BELOW the committed mark would be
+      // skipped silently by the high-water filter — it must fail instead
+      archive("2024-03.mbox", 2L)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("below the committed watermark")), ex.toString)
+    } finally {
+      try q.stop() catch { case _: Exception => () }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("mbox writers map null fields to empty and reject newline-bearing headers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = "/tmp/graft_mbox_nulls"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    val ts = new java.sql.Timestamp(1709251200L * 1000)
+    // null subject/from_raw/text_body: both writers emit "" (mbox cannot
+    // represent null-vs-empty) instead of NPEing / "null" literals /
+    // nulling out the whole message
+    val withNulls = Seq(Email(1L, ts, null, null, "a@b.c", null)).toDS()
+    MboxIO.write(withNulls, s"$root/io")
+    val ioBack = MboxIO.read(spark, s"$root/io").collect()(0)
+    assert(ioBack.subject == "" && ioBack.from_raw == "" && ioBack.text_body == "")
+    withNulls.write.format("mbox").mode("append").save(s"$root/v2")
+    val v2Back = spark.read.format("mbox").load(s"$root/v2").as[Email].collect()(0)
+    assert(v2Back.subject == "" && v2Back.from_raw == "" && v2Back.text_body == "")
+    // a newline inside a header value would silently corrupt the message
+    // structure: both writers must fail loudly
+    val folded = Seq(Email(2L, ts, "line1\nline2", "a@b.c", "a@b.c", "body")).toDS()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val exIo = intercept[Exception] { MboxIO.write(folded, s"$root/io_bad") }
+    assert(messages(exIo).exists(_.contains("must not contain newlines")), exIo.toString)
+    val exV2 = intercept[Exception] {
+      folded.write.format("mbox").mode("append").save(s"$root/v2_bad")
+    }
+    assert(messages(exV2).exists(_.contains("must not contain newlines")), exV2.toString)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
   test("streaming mbox source discovers and parses archives incrementally") {
