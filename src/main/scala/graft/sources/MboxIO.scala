@@ -64,13 +64,18 @@ object MboxIO {
     toMboxText(emails).write.mode("overwrite").text(path)
 
   /** mbox text (one `value` row per file) → typed Email rows. Pure
-    * column expressions, so the same parse serves batch and streaming. */
+    * column expressions, so the same parse serves batch and streaming.
+    * Folded (RFC 5322 continuation) header lines unfold before field
+    * extraction — the newline before a WSP-led line is removed (the WSP
+    * itself survives, per the RFC), so a real-world archive's folded
+    * Subject keeps its continuation instead of truncating at the fold. */
   private def parse(files: DataFrame): Dataset[Email] = {
     val msgs = files
       .select(explode(split(col("value"), "(?m)^From [^\n]*\n")).as("m"))
       .filter(length(col("m")) > 0)
       .select(
-        regexp_extract(col("m"), "(?s)^(.*?)\n\n", 1).as("h"),
+        regexp_replace(
+          regexp_extract(col("m"), "(?s)^(.*?)\n\n", 1), "\n(?=[ \t])", "").as("h"),
         regexp_extract(col("m"), "(?s)^.*?\n\n(.*)$", 1).as("body"))
     msgs.select(
       regexp_extract(col("h"), "(?m)^Message-ID: <([0-9]+)@graft>$", 1)

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
 import java.time.OffsetDateTime
 import java.time.format.DateTimeFormatter
@@ -32,10 +31,11 @@ import org.apache.spark.util.SerializableConfiguration
   * each archive as ONE row — a 2 GiB string ceiling and an O(file-size)
   * memory spike per task. This reader streams each file line by line and
   * holds only the CURRENT message, so a multi-GiB yearly archive scans in
-  * O(message) memory. Scale shape: one InputPartition per archive file —
-  * mailing-list corpora are many monthly files, so file-granularity is
-  * the natural (and splittable-enough) unit; column pruning is pushed
-  * into the parser, which skips regex/date work for unprojected fields.
+  * O(message) memory. Scale shape: archives split into `splitSize` byte
+  * ranges (delimiter-resynced, see [[MboxScan.planInputPartitions]]), so
+  * even ONE huge archive fans out across executors instead of
+  * serializing into a single task; column pruning is pushed into the
+  * parser, which skips regex/date work for unprojected fields.
   *
   * Mirrors reference source-mbox/.../ApacheMboxSource.java:146-157
   * (`From `-delimited message iteration) and :237-242 (header→Email
@@ -67,9 +67,13 @@ object MboxSource {
 
   private[sources] val DateFmt = "d MMM yyyy HH:mm:ss Z"
 
-  /** Expand a path/glob into data files (skips hidden/marker files),
-    * driver-side — same discovery contract as the file sources. */
-  private[sources] def listFiles(path: String, conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+  /** Bytes per input split of a large archive (HDFS-block-ish); override
+    * with `.option("splitSize", bytes)`. */
+  private[sources] val DefaultSplitSize: Long = 128L * 1024 * 1024
+
+  /** Expand a path/glob into data-file statuses (skips hidden/marker
+    * files), driver-side — same discovery contract as the file sources. */
+  private[sources] def listStatuses(path: String, conf: org.apache.hadoop.conf.Configuration): Seq[FileStatus] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     def ok(st: FileStatus) = {
@@ -80,8 +84,11 @@ object MboxSource {
     matched.flatMap {
       case d if d.isDirectory => fs.listStatus(d.getPath).toSeq.filter(ok)
       case f => Seq(f).filter(ok)
-    }.map(_.getPath.toString)
+    }
   }
+
+  private[sources] def listFiles(path: String, conf: org.apache.hadoop.conf.Configuration): Seq[String] =
+    listStatuses(path, conf).map(_.getPath.toString)
 }
 
 final class MboxTable(path: String) extends Table with SupportsRead with SupportsWrite {
@@ -91,7 +98,9 @@ final class MboxTable(path: String) extends Table with SupportsRead with Support
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MboxScanBuilder(path)
+    new MboxScanBuilder(path,
+      Option(options.get("splitSize")).map(_.toLong)
+        .getOrElse(MboxSource.DefaultSplitSize))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val got = info.schema().fieldNames.toSeq
     val want = MboxSource.Schema.fieldNames.toSeq
@@ -100,19 +109,34 @@ final class MboxTable(path: String) extends Table with SupportsRead with Support
   }
 }
 
-final class MboxScanBuilder(path: String)
+final class MboxScanBuilder(path: String, splitSize: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = MboxSource.Schema
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new MboxScan(path, required)
+  override def build(): Scan = new MboxScan(path, required, splitSize)
 }
 
-final class MboxScan(path: String, required: StructType) extends Scan with Batch {
+final class MboxScan(path: String, required: StructType, splitSize: Long)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** One InputPartition per `splitSize` byte range of each archive — a
+    * multi-GiB yearly archive scans as N parallel tasks instead of
+    * serializing into one. Each reader resyncs to the first `From `
+    * delimiter at-or-after its range start; a message belongs to the
+    * split containing its delimiter line, so the split reads are a
+    * partition (no loss, no duplication) of the unsplit read. */
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    MboxSource.listFiles(path, conf).map(MboxFilePartition(_): InputPartition).toArray
+    MboxSource.listStatuses(path, conf).flatMap { st =>
+      val f = st.getPath.toString
+      if (st.getLen <= splitSize) Seq(MboxFilePartition(f))
+      else {
+        val n = ((st.getLen + splitSize - 1) / splitSize).toInt
+        (0 until n).map(i => MboxFilePartition(f, i * splitSize,
+          if (i == n - 1) Long.MaxValue else (i + 1) * splitSize))
+      }
+    }.map(p => p: InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
@@ -212,30 +236,79 @@ object MboxOffset {
   }
 }
 
-final case class MboxFilePartition(file: String) extends InputPartition
+final case class MboxFilePartition(file: String, start: Long = 0L,
+    end: Long = Long.MaxValue) extends InputPartition
 
 final case class MboxReaderFactory(conf: SerializableConfiguration, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new MboxPartitionReader(partition.asInstanceOf[MboxFilePartition].file, conf, required)
+    new MboxPartitionReader(partition.asInstanceOf[MboxFilePartition], conf, required)
 }
 
-/** Streams one mbox file: accumulates lines of the current message,
-  * emits a row at each `From ` delimiter / EOF. Parse semantics are
-  * field-for-field those of [[MboxIO.parse]]: first matching header line
-  * wins, absent string headers read as "", body `>From ` lines unquote,
-  * the writer's single trailing newline disappears (line-join inverts the
-  * line-oriented sink), and a malformed/missing Message-ID or Date fails
-  * the task (FAILFAST — a source must not drop rows silently). */
+/** Byte-counting line reader over a raw input stream: splits on '\n',
+  * decodes UTF-8 per line, and reports each line's starting byte offset
+  * — [[BufferedReader]] can't, and the split-ownership rule needs exact
+  * offsets. ASCII '\n' never occurs inside a UTF-8 multi-byte sequence,
+  * so byte-level splitting is encoding-safe. */
+private[sources] final class CountingLineReader(in: java.io.InputStream, startPos: Long) {
+  private val bis = new java.io.BufferedInputStream(in, 128 * 1024)
+  private var pos = startPos
+  private var last = startPos
+
+  /** Byte offset of the first byte of the line last returned. */
+  def lineStart: Long = last
+
+  /** Discard bytes up to and including the next '\n' — positions the
+    * reader at the first whole line of a mid-file split. */
+  def skipPartialLine(): Unit = {
+    var b = bis.read()
+    while (b != -1 && b != '\n') { pos += 1; b = bis.read() }
+    if (b != -1) pos += 1
+  }
+
+  /** Next line without its terminator, or null at EOF. */
+  def readLine(): String = {
+    last = pos
+    var b = bis.read()
+    if (b == -1) return null
+    val out = new java.io.ByteArrayOutputStream(256)
+    while (b != -1 && b != '\n') { out.write(b); pos += 1; b = bis.read() }
+    if (b != -1) pos += 1 // the newline
+    new String(out.toByteArray, StandardCharsets.UTF_8)
+  }
+}
+
+/** Streams one byte range of an mbox file: accumulates lines of the
+  * current message, emits a row at each `From ` delimiter / EOF. Parse
+  * semantics are field-for-field those of [[MboxIO.parse]]: first
+  * matching header line wins, folded (RFC 5322 continuation) header
+  * lines unfold into their parent before matching, absent string headers
+  * read as "", body `>From ` lines unquote, the writer's single trailing
+  * newline disappears (line-join inverts the line-oriented sink), and a
+  * malformed/missing Message-ID or Date fails the task (FAILFAST — a
+  * source must not drop rows silently).
+  *
+  * Range ownership: a message belongs to the split containing the first
+  * byte of its `From ` delimiter line. A mid-file split seeks to
+  * start−1, discards the partial line, skips forward to the first owned
+  * delimiter, and keeps reading its last message PAST `end` until the
+  * next delimiter (owned by the next split) or EOF. */
 final class MboxPartitionReader(
-    file: String,
+    part: MboxFilePartition,
     conf: SerializableConfiguration,
     required: StructType) extends PartitionReader[InternalRow] {
 
   private val fmt = DateTimeFormatter.ofPattern(MboxSource.DateFmt, Locale.US)
-  private val p = new Path(file)
-  private val in = new BufferedReader(new InputStreamReader(
-    p.getFileSystem(conf.value).open(p), StandardCharsets.UTF_8))
+  private val p = new Path(part.file)
+  private val fsIn = p.getFileSystem(conf.value).open(p)
+  // seek to start−1: if byte start−1 is '\n' the line beginning exactly
+  // at `start` survives the partial-line discard (it is ours); otherwise
+  // the straddling line started before `start` and belongs to the
+  // previous split
+  if (part.start > 0) fsIn.seek(part.start - 1)
+  private val in = new CountingLineReader(fsIn,
+    if (part.start > 0) part.start - 1 else 0L)
+  if (part.start > 0) in.skipPartialLine()
 
   private val want = required.fieldNames
   private def wants(f: String) = want.contains(f)
@@ -243,17 +316,25 @@ final class MboxPartitionReader(
   private val needBody = wants("text_body")
 
   private var line: String = in.readLine()
-  private var started = false // saw the first `From ` delimiter
+  private var lineOff: Long = in.lineStart
+  private var started = false   // saw the first delimiter owned by this split
+  private var exhausted = false // next delimiter belongs to a later split
   private var row: InternalRow = _
 
+  private def advance(): Unit = { line = in.readLine(); lineOff = in.lineStart }
   private def isDelim(l: String) = l.startsWith("From ")
 
   override def next(): Boolean = {
+    if (exhausted) return false
     while (true) {
-      // skip any preamble before the first delimiter (MboxIO's length>0 filter)
+      // skip preamble / the previous split's message tail up to the first
+      // delimiter owned by this range (MboxIO's length>0 filter twin)
       while (!started && line != null) {
-        if (isDelim(line)) started = true
-        line = in.readLine()
+        if (isDelim(line)) {
+          if (lineOff >= part.end) return false // owned by a later split
+          started = true
+        }
+        advance()
       }
       if (line == null) return false // EOF — nothing (more) to emit
       // accumulate one message: headers to first blank line, then body
@@ -262,35 +343,46 @@ final class MboxPartitionReader(
       var subject = ""
       var fromRaw = ""
       var fromEmail = ""
+      var pending: String = null // current logical (unfolded) header line
       var inHeaders = true
       var sawAny = false
       val body = new ArrayBuffer[String]()
+      def flushHeader(): Unit = if (pending != null) {
+        val l = pending
+        pending = null
+        if (docId == null && l.startsWith("Message-ID: "))
+          docId = l.stripPrefix("Message-ID: ")
+        if (date == null && l.startsWith("Date: "))
+          date = l.stripPrefix("Date: ")
+        if (subject.isEmpty && l.startsWith("Subject: "))
+          subject = l.stripPrefix("Subject: ")
+        if (fromRaw.isEmpty && l.startsWith("From: "))
+          fromRaw = l.stripPrefix("From: ")
+        if (fromEmail.isEmpty && l.startsWith("X-From-Email: "))
+          fromEmail = l.stripPrefix("X-From-Email: ")
+      }
       while (line != null && !isDelim(line)) {
         sawAny = true
         if (inHeaders) {
-          if (line.isEmpty) inHeaders = false
-          else {
-            if (docId == null && line.startsWith("Message-ID: "))
-              docId = line.stripPrefix("Message-ID: ")
-            if (date == null && line.startsWith("Date: "))
-              date = line.stripPrefix("Date: ")
-            if (subject.isEmpty && line.startsWith("Subject: "))
-              subject = line.stripPrefix("Subject: ")
-            if (fromRaw.isEmpty && line.startsWith("From: "))
-              fromRaw = line.stripPrefix("From: ")
-            if (fromEmail.isEmpty && line.startsWith("X-From-Email: "))
-              fromEmail = line.stripPrefix("X-From-Email: ")
-          }
+          if (line.isEmpty) { flushHeader(); inHeaders = false }
+          else if (pending != null && (line.charAt(0) == ' ' || line.charAt(0) == '\t'))
+            pending += line // unfold: drop the newline, keep the leading WSP
+          else { flushHeader(); pending = line }
         } else if (needBody) {
           body += (if (line.startsWith(">From ")) line.substring(1) else line)
         }
-        line = in.readLine()
+        advance()
       }
-      if (line != null) line = in.readLine() // consume the next delimiter
+      flushHeader() // headers-only message (no blank line before EOF/delim)
+      if (line != null) { // stopped at the next delimiter line
+        if (lineOff >= part.end) exhausted = true // later split owns it
+        else advance() // consume it; the next message is ours too
+      }
       if (sawAny) {
         row = materialize(docId, date, subject, fromRaw, fromEmail, body)
         return true
       }
+      if (exhausted) return false
       // empty chunk (back-to-back delimiters) — try the next one
     }
     false
@@ -302,10 +394,10 @@ final class MboxPartitionReader(
     lazy val id: Long = docId match {
       case MboxPartitionReader.IdRe(d) => d.toLong
       case _ => throw new IllegalStateException(
-        s"mbox $file: missing/malformed Message-ID (got: $docId)")
+        s"mbox ${part.file}: missing/malformed Message-ID (got: $docId)")
     }
     lazy val micros: Long = {
-      if (date == null) throw new IllegalStateException(s"mbox $file: missing Date header")
+      if (date == null) throw new IllegalStateException(s"mbox ${part.file}: missing Date header")
       val odt = OffsetDateTime.parse(date, fmt)
       odt.toInstant.getEpochSecond * 1000000L + odt.toInstant.getNano / 1000L
     }
@@ -323,7 +415,7 @@ final class MboxPartitionReader(
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = fsIn.close()
 }
 
 object MboxPartitionReader {

@@ -253,6 +253,54 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("mbox byte-range splits read one archive as N partitions, row-identical to unsplit") {
+    import spark.implicits._
+    val dir = "/tmp/graft_mbox_split"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    // ONE archive of 500 multi-line messages (~60 KB) — split at 4 KB it
+    // must fan out into many tasks with the From_-delimiter resync
+    // assigning every message to exactly one split
+    val emails = (1L to 500L).map(i => Email(i,
+      new java.sql.Timestamp(86400000L + i * 60000L), s"subject $i",
+      s"User $i <u$i@x.org>", s"u$i@x.org",
+      s"first line of message $i\nFrom the quoted line\n\nbody tail $i"))
+    emails.toDS().coalesce(1).write.format("mbox").mode("append").save(dir)
+    val unsplit = spark.read.format("mbox").load(dir)
+    val split = spark.read.format("mbox").option("splitSize", "4096").load(dir)
+    assert(unsplit.rdd.getNumPartitions == 1)
+    assert(split.rdd.getNumPartitions > 10,
+      s"expected many byte-range splits, got ${split.rdd.getNumPartitions}")
+    assert(split.as[Email].collect().toSet == emails.toSet)
+    assert(split.as[Email].collect().toSet == unsplit.as[Email].collect().toSet)
+    // pathological split size (smaller than one message) still partitions
+    // the message set exactly
+    val tiny = spark.read.format("mbox").option("splitSize", "64").load(dir)
+    assert(tiny.as[Email].collect().toSet == emails.toSet)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("folded RFC 5322 headers unfold identically in both mbox parsers") {
+    val dir = "/tmp/graft_mbox_folded"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    // a real-world archive folds long headers: continuation lines start
+    // with WSP and unfold by dropping the newline, keeping the WSP
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.mbox"),
+      "From mbox@graft x\nMessage-ID: <1@graft>\n" +
+        "Date: 4 Mar 2024 10:00:01 +0000\nFrom: Some User\n <u1@x.org>\n" +
+        "X-From-Email: u1@x.org\nSubject: a long subject\n\tthat was folded\n twice\n" +
+        "\nbody line\n")
+    val viaV2 = spark.read.format("mbox").load(dir)
+      .as(org.apache.spark.sql.Encoders.product[Email]).collect()(0)
+    val viaIo = MboxIO.read(spark, dir).collect()(0)
+    for (e <- Seq(viaV2, viaIo)) {
+      assert(e.subject == "a long subject\tthat was folded twice", e.subject)
+      assert(e.from_raw == "Some User <u1@x.org>", e.from_raw)
+      assert(e.text_body == "body line")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("mbox writers map null fields to empty and reject newline-bearing headers") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
