@@ -84,6 +84,19 @@ object QueriesLlm {
     operators.Ann.ivfTopK(annQueries(s, dir), annCorpus(s, dir), k = 10, nprobe = 1)
       .select(col("query_id"), col("cell"), col("corpus_id"), col("rnk"), col("score_q"))
 
+  /** IVF against the PERSISTED index (build → save → load → probe 2
+    * cells): the serving deployment shape — codebook + cell-partitioned
+    * corpus written once, the query path scans only the probed cells.
+    * The per-invocation rebuild here is only for the correctness row's
+    * self-containment; floats/doubles round-trip parquet exactly, so the
+    * scores are bit-identical to the inline formulation. */
+  val simIvfProbe2: Q = (s, dir) => {
+    val idx = "/tmp/graft_ivf_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    operators.Ann.buildIndex(annCorpus(s, dir), idx)
+    operators.Ann.searchIndex(s, idx, annQueries(s, dir), k = 10, nprobe = 2)
+      .select(col("query_id"), col("cell"), col("corpus_id"), col("rnk"), col("score_q"))
+  }
+
   // ---- composed curation pipeline ------------------------------------------
 
   /** End-to-end training-data prep — the composition a curation run
@@ -141,6 +154,7 @@ object QueriesLlm {
     "q_text_fingerprint"    -> textFingerprint,
     "q_sim_topk"            -> simTopk,
     "q_sim_ivf"             -> simIvf,
+    "q_sim_ivf_probe2"      -> simIvfProbe2,
     "q_pipeline_prep"       -> pipelinePrep,
     "q_sample_stratified"   -> sampleStratified,
     "q_pack_sequences"      -> packSequences,
@@ -180,6 +194,48 @@ object QueriesLlm {
   private val predCase = TextAnalysis.Stopwords
     .map { case (l, _) => s"WHEN s_$l = $mx THEN '$l'" }
     .mkString(s"CASE WHEN $mx = 0 THEN 'und' ", " ", " END")
+
+  /** DuckDB twin of the IVF chain (centroids → probe nprobe cells →
+    * exact top-k in the probed cells) — the same SQL verifies both the
+    * inline (q_sim_ivf) and the persisted-index (q_sim_ivf_probe2)
+    * formulations, because parquet round-trips floats/doubles exactly. */
+  private def ivfOracle(nprobe: Int): String =
+    s"""WITH cent AS (
+       |  SELECT label AS cell, i,
+       |    CAST(CAST(SUM(CAST(embedding[i+1] AS DECIMAL(27,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS c
+       |  FROM embeddings, unnest(generate_series(0, 63)) t(i)
+       |  WHERE vec_id >= 5
+       |  GROUP BY 1, 2
+       |), cvec AS (
+       |  SELECT cell, list(c ORDER BY i) AS ce FROM cent GROUP BY 1
+       |), q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id < 5
+       |), probe AS (
+       |  SELECT query_id, qe, cell FROM (
+       |    SELECT query_id, qe, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY cscore DESC, cell ASC) AS crnk
+       |    FROM (
+       |      SELECT q.query_id, q.qe, cv.cell,
+       |        CAST(floor(list_dot_product(q.qe, cv.ce)
+       |              / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(cv.ce, cv.ce)))
+       |              * 1000000) AS BIGINT) AS cscore
+       |      FROM q, cvec cv) x) y
+       |  WHERE crnk <= $nprobe
+       |), scored AS (
+       |  SELECT p.query_id, e.label AS cell, e.vec_id AS corpus_id,
+       |    CAST(floor(list_dot_product(p.qe, CAST(e.embedding AS DOUBLE[]))
+       |          / (sqrt(list_dot_product(p.qe, p.qe))
+       |             * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+       |          * 1000000) AS BIGINT) AS score_q
+       |  FROM probe p JOIN embeddings e ON e.label = p.cell AND e.vec_id >= 5
+       |)
+       |SELECT query_id, cell, corpus_id, CAST(rnk AS INT) AS rnk, score_q FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY score_q DESC, corpus_id ASC) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -419,43 +475,8 @@ FROM c GROUP BY 1, 2"""),
         |  FROM s) t
         |WHERE rnk <= 10""".stripMargin,
 
-    "q_sim_ivf" ->
-      """WITH cent AS (
-        |  SELECT label AS cell, i,
-        |    CAST(CAST(SUM(CAST(embedding[i+1] AS DECIMAL(27,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS c
-        |  FROM embeddings, unnest(generate_series(0, 63)) t(i)
-        |  WHERE vec_id >= 5
-        |  GROUP BY 1, 2
-        |), cvec AS (
-        |  SELECT cell, list(c ORDER BY i) AS ce FROM cent GROUP BY 1
-        |), q AS (
-        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-        |  FROM embeddings WHERE vec_id < 5
-        |), probe AS (
-        |  SELECT query_id, qe, cell FROM (
-        |    SELECT query_id, qe, cell,
-        |      ROW_NUMBER() OVER (PARTITION BY query_id
-        |                         ORDER BY cscore DESC, cell ASC) AS crnk
-        |    FROM (
-        |      SELECT q.query_id, q.qe, cv.cell,
-        |        CAST(floor(list_dot_product(q.qe, cv.ce)
-        |              / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(cv.ce, cv.ce)))
-        |              * 1000000) AS BIGINT) AS cscore
-        |      FROM q, cvec cv) x) y
-        |  WHERE crnk <= 1
-        |), scored AS (
-        |  SELECT p.query_id, e.label AS cell, e.vec_id AS corpus_id,
-        |    CAST(floor(list_dot_product(p.qe, CAST(e.embedding AS DOUBLE[]))
-        |          / (sqrt(list_dot_product(p.qe, p.qe))
-        |             * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
-        |          * 1000000) AS BIGINT) AS score_q
-        |  FROM probe p JOIN embeddings e ON e.label = p.cell AND e.vec_id >= 5
-        |)
-        |SELECT query_id, cell, corpus_id, CAST(rnk AS INT) AS rnk, score_q FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |                               ORDER BY score_q DESC, corpus_id ASC) AS rnk
-        |  FROM scored) t
-        |WHERE rnk <= 10""".stripMargin,
+    "q_sim_ivf" -> ivfOracle(nprobe = 1),
+    "q_sim_ivf_probe2" -> ivfOracle(nprobe = 2),
 
     // magic/sha256 are computed over the hex encoding by construction
     // (installed DuckDB can neither slice nor sha256 a BLOB); Spark

@@ -55,10 +55,19 @@ object Ann {
     * exact top-k within the probed cells. The centroid table (cells ×
     * dim doubles) is broadcast; the corpus is pruned by cell via an
     * equi-join on the cell id — at scale this is the difference between
-    * scanning 100 TB and scanning 100 TB / n_cells × nprobe. */
+    * scanning 100 TB and scanning 100 TB / n_cells × nprobe.
+    *
+    * Recomputes the codebook from the corpus — fine for a one-shot
+    * exploration; a serving deployment builds the index ONCE with
+    * [[buildIndex]] and queries it with [[searchIndex]]. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
-      dim: Int = 64): DataFrame = {
-    val cents = centroids(corpus, dim)
+      dim: Int = 64): DataFrame =
+    ivfTopKWith(centroids(corpus, dim), queries, corpus, k, nprobe)
+
+  /** IVF search against a given codebook (no centroid computation in the
+    * query path). */
+  def ivfTopKWith(cents: DataFrame, queries: DataFrame, corpus: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
     val probed = queries.join(broadcast(cents))
       .select(col("query_id"), col("qe"), col("cell"),
         cosQ(col("qe"), col("ce")).as("cscore"))
@@ -72,5 +81,29 @@ object Ann {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_q").desc, col("corpus_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Build the PERSISTENT IVF index under `dir`: the centroid codebook
+    * as parquet plus the corpus partitioned BY CELL. At 100 TB the
+    * centroid computation is a full-corpus scan — it belongs at
+    * index-build time, once; a query batch that recomputes it pays that
+    * scan per lookup. Cell-partitioning the corpus turns the probe
+    * equi-join into directory-level dynamic partition pruning: a query
+    * batch reads only the probed cells' files, never the whole corpus. */
+  def buildIndex(corpus: DataFrame, dir: String, dim: Int = 64): Unit = {
+    centroids(corpus, dim).write.mode("overwrite").parquet(s"$dir/codebook")
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** IVF search against a [[buildIndex]]-persisted index: the query path
+    * scans only the (tiny) codebook and the probed cells — asserted in
+    * PlanSpec (no aggregate anywhere; a dynamic-pruning partition filter
+    * on the cells scan). */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/codebook")
+    val cells = spark.read.parquet(s"$dir/cells")
+      .select(col("cell"), col("corpus_id"), col("ce"))
+    ivfTopKWith(cents, queries, cells, k, nprobe)
   }
 }

@@ -55,6 +55,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!ivf.contains("SortMergeJoin"), ivf)
   }
 
+  test("persisted IVF index: query path scans only the codebook and the probed cells") {
+    val df = QueriesLlm.simIvfProbe2(spark, sfDir) // builds + loads the index
+    val plan = physicalPlan(df)
+    // no aggregate anywhere: centroids come from the persisted codebook,
+    // never recomputed from the corpus in the query path
+    assert(!plan.contains("Aggregate"), s"query path must not recompute centroids:\n$plan")
+    // the cells scan must carry a runtime partition filter (dynamic
+    // partition pruning): only the probed cells' directories are read
+    assert(plan.contains("dynamicpruning"),
+      s"cells scan must prune unprobed cells at the partition level:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("shuffle budget: every query stays within its audited exchange count") {
     // Measured with Probe's `shuffles` mode; a regression here means a
     // plan gained a shuffle (the thing that breaks first at 100 TB).
@@ -80,7 +93,7 @@ class PlanSpec extends AnyFunSuite {
       // each LSH pipeline's ONLY exchange is the bucket shuffle itself
       "q_dedup_exact" -> 1, "q_dedup_ngram_jaccard" -> 6, "q_dedup_minhash" -> 1,
       "q_dedup_simhash" -> 1, "q_dedup_embcos" -> 1,
-      "q_sim_topk" -> 1, "q_sim_ivf" -> 3,
+      "q_sim_topk" -> 1, "q_sim_ivf" -> 3, "q_sim_ivf_probe2" -> 3,
       "q_text_langid" -> 0, "q_text_quality" -> 0, "q_text_tokens" -> 1,
       "q_text_fingerprint" -> 1, "q_multimodal_meta" -> 0,
       // fingerprint window + final per-language agg; langid/quality/keep
