@@ -30,14 +30,6 @@ object Similarity {
         .otherwise(array().cast("array<string>")))
   }
 
-  /** Per-permutation shingle hash: md5("p|shingle") — a cheap family of
-    * independent hash functions; the MinHash signature is the per-doc min
-    * of each (lexicographic min over the hex string ≡ min over the
-    * 128-bit value). Retained for reference/tests; the production scheme
-    * below replaces the md5-per-permutation with ONE md5 per shingle. */
-  def permHash(perm: Column, shingle: Column): Column =
-    md5(concat_ws("|", perm, shingle))
-
   /** 2³¹−1, the Mersenne prime of the permutation family. */
   val PermP: Long = 2147483647L
 

@@ -48,8 +48,11 @@ object TextAnalysis {
     val w = words(col("text"))
     val nWords = size(w)
     val nDistinct = size(array_distinct(w))
-    val stopList = Stopwords.flatMap(_._2)
-    val nStop = size(filter(w, x => array_contains(array(stopList.map(lit): _*), x)))
+    // one literal array node (not 44 lit() children re-assembled per
+    // expression); filter-by-membership, NOT array_intersect — the stop
+    // ratio counts stopword OCCURRENCES, and intersect would dedup them
+    val stopList = typedLit(Stopwords.flatMap(_._2))
+    val nStop = size(filter(w, x => array_contains(stopList, x)))
     docs
       .withColumn("n_words", nWords)
       .withColumn("distinct_ratio", nDistinct.cast("double") / nWords)
