@@ -47,22 +47,21 @@ object QueriesCore {
     * point (≈2e11 rows/group, charge_u ≤ 4.3e11): sum_hi ≤ 2e11·(4.3e11/2²⁰)
     * ≈ 8e16, sum_lo ≤ 2e11·2²⁰ ≈ 2e17 — both 40× under Long.MaxValue.
     *
-    * The headroom argument is GUARDED, not just documented: the same
-    * partial-agg pass also tracks max|x>>20| (one codegen'd long max per
-    * row), and the once-per-group recombine raises unless
-    * n·max(max|hi|, 2²⁰) fits a long — the exact condition under which
-    * both long accumulators are provably wrap-free. Exceeding the design
-    * magnitudes fails the job loudly instead of emitting wrapped sums. */
+    * The headroom argument is GUARDED, not just documented: the long
+    * accumulators are `try_sum` (overflow-checked adds — `Math.addExact`
+    * is a JIT intrinsic, so the hot loop stays pure-long at effectively
+    * the unchecked cost), and the once-per-group recombine raises if
+    * either accumulator wrapped. Exceeding the design magnitudes fails
+    * the job loudly instead of emitting wrapped sums. `x` must be
+    * non-null (all call sites derive it from non-null source columns) —
+    * an all-null group would be indistinguishable from overflow. */
   private def sumSplit(x: org.apache.spark.sql.Column, scale: Int) = {
-    val hi = sum(shiftright(x, 20)).cast("decimal(20,0)")
-    val lo = sum(x.bitwiseAND(lit((1L << 20) - 1))).cast("decimal(20,0)")
-    val worst = greatest(max(abs(shiftright(x, 20))), lit(1L << 20))
-      .cast("decimal(20,0)") * count(lit(1)).cast("decimal(20,0)")
-    val combined = when(worst <= lit(Long.MaxValue).cast("decimal(20,0)"),
-      hi * lit(1L << 20) + lo)
+    val hi = try_sum(shiftright(x, 20)).cast("decimal(20,0)")
+    val lo = try_sum(x.bitwiseAND(lit((1L << 20) - 1))).cast("decimal(20,0)")
+    val combined = when(hi.isNotNull && lo.isNotNull, hi * lit(1L << 20) + lo)
       .otherwise(raise_error(lit(
-        "sumSplit: group magnitude exceeds the pure-long accumulator headroom " +
-          "(n * max|x| per group must stay under 2^63) — use a DECIMAL sum for this measure")))
+        "sumSplit: pure-long accumulator overflowed (group magnitude exceeds the " +
+          "2^63 headroom) — use a DECIMAL sum for this measure")))
     descale(combined, scale)
   }
 

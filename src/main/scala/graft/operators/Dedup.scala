@@ -14,15 +14,21 @@ import graft.functions.Similarity
   * SimHash chunk) so no plan ever contains a cartesian/all-pairs join.
   * Hot buckets are bounded by an explicit document-frequency guard.
   *
-  * SINGLE-EXCHANGE LSH: each approximate pipeline (MinHash, SimHash,
-  * embedding-cosine) plans exactly ONE shuffle. Signatures are pure
-  * row-local array arithmetic (no explode + re-aggregate), every bucket
-  * membership row carries the doc's full signature / key vector (cheap:
-  * fixed-width, derived row-locally), the bucket-size window and the
-  * bucket group-by share the same (table, key) hash partitioning so the
-  * second aggregation reuses the first exchange, and pair emission +
-  * similarity math happen inside the bucket's task with no join-back.
-  * The n²-sized candidate stream never crosses the network.
+  * LOW-EXCHANGE, CODEGEN-HOT LSH: each approximate pipeline plans at
+  * most TWO shuffles — one tiny per-doc signature aggregation (map-side
+  * partial mins/votes, fixed-width rows) and one bucket shuffle whose
+  * hash partitioning is SHARED by the bucket-size window and the bucket
+  * group-by (EnsureRequirements inserts nothing between them). Every
+  * bucket member carries its band keys as plain STRUCT FIELDS, so pair
+  * emission, band-agreement counting, and the exact similarity verify
+  * are scalar codegen'd expressions (string equality, boolean chains,
+  * the native `graft_cosine`) — no higher-order functions anywhere the
+  * n² candidate stream flows, because HOFs are CodegenFallback and cost
+  * microseconds per row where the pair path must spend nanoseconds
+  * (measured: an interpreted per-pair match vector turned a 34M-pair
+  * corpus from ~12 s into ~290 s). The candidate stream itself never
+  * crosses the network: pairs are emitted distinct-by-construction
+  * inside the bucket's task ([[firstMatchCols]]).
   */
 object Dedup {
 
@@ -66,29 +72,30 @@ object Dedup {
         explode(slice(col("ids_"), col("i") + lit(2), size(col("ids_")))).as("b") +:
         carry.map(col): _*)
 
-  /** 1/0 per-slot match vector of two bucket-key arrays: slot i is 1 iff
-    * BOTH docs share the same bucket key in table/band i. */
-  private def matchVec(a: Column, b: Column): Column =
-    zip_with(a, b, (x, y) => when(x.isNotNull && x === y, 1).otherwise(0))
-
-  /** First-co-bucket emission filter: with `m` = [[matchVec]] and `idx`
-    * the current bucket's table/band index, keep the pair row iff this
-    * is the FIRST slot where the two docs collide. At most one bucket
-    * emits each candidate pair, so the pair stream is distinct BY
-    * CONSTRUCTION — the n²-sized candidate set never needs a
-    * dedup/count shuffle; only per-doc rows ever cross the network.
+  /** First-co-bucket emission filter over per-band match columns `ms`
+    * (ms(j) ⟺ the two docs share band j's key): keep the pair row iff
+    * the CURRENT bucket's band `idx` is the FIRST matching band. A plain
+    * codegen'd boolean chain — `(idx=0 ∧ m0) ∨ (idx=1 ∧ ¬m0 ∧ m1) ∨ …` —
+    * evaluated once per candidate pair. At most one bucket emits each
+    * pair, so the pair stream is distinct BY CONSTRUCTION: the n²-sized
+    * candidate set never needs a dedup/count shuffle.
     *
     * Cap semantics: if the first-colliding bucket was dropped by the
     * maxBucket guard, the pair is not emitted at all (later surviving
     * collisions decline it too). That is deliberate: a capped bucket is
     * a mass-duplicate cluster whose members belong to EXACT dedup, and
     * making emission depend only on the FIRST collision is what lets
-    * every doc's key vector be derived row-locally — the alternative
-    * (first *surviving* collision) needs per-doc survival vectors, i.e.
-    * two more corpus-wide shuffles. The oracle encodes the identical
-    * rule (HAVING arg_min(bsz, band) <= cap). */
-  private def firstMatch(m: Column, idx: Column): Column =
-    array_position(m, 1) === idx.cast("long") + lit(1L)
+    * the match columns be derived from carried per-doc keys with no
+    * survival join-back (two more corpus-wide shuffles). The oracle
+    * encodes the identical rule (HAVING arg_min(bsz, band) <= cap). */
+  private def firstMatchCols(ms: Seq[Column], idx: Column): Column =
+    ms.zipWithIndex.map { case (m, j) =>
+      ms.take(j).foldLeft((idx === lit(j)) && m)((acc, prev) => acc && !prev)
+    }.reduce(_ || _)
+
+  /** Number of matching bands, as a codegen'd sum of 0/1 terms. */
+  private def countMatches(ms: Seq[Column]): Column =
+    ms.map(m => when(m, 1).otherwise(0)).reduce(_ + _).cast("long")
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted index.
     *
@@ -127,59 +134,62 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Per-doc MinHash mins as `perms` COLUMNS m0..m{perms-1} — the
+    * codegen'd explode + groupBy formulation: one md5 per shingle
+    * (Similarity.shingleHash), four integer ops per permutation
+    * (Similarity.permuted), all `perms` mins as parallel aggregates in a
+    * SINGLE groupBy(doc_id). Map-side partial mins shrink the shuffle to
+    * one fixed-width row per (doc, partition) — the whole pipeline stays
+    * inside whole-stage codegen, which a row-local higher-order-function
+    * formulation cannot (HOFs are CodegenFallback; measured ~10× slower
+    * over the same shingles). */
+  private def minhashSigCols(docs: DataFrame, k: Int, perms: Int): DataFrame = {
+    val mins = (0 until perms).map(p =>
+      min(Similarity.permuted(col("h"), p)).as(s"m$p"))
+    shingled(docs, k)
+      .select(col("doc_id"), Similarity.shingleHash(col("s")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+  }
+
   /** MinHash signatures: one row per doc, `perms` minhashes in
-    * permutation order — computed entirely ROW-LOCALLY (zero shuffles).
-    *
-    * The shingle set, its 60-bit hashes, and all `perms` mins are
-    * higher-order array expressions over the doc's own words: no
-    * explode, no groupBy, nothing leaves the scan task. Digest work is
-    * ONE md5 per shingle (Similarity.shingleHash); each permutation is
-    * four integer ops on that hash (Similarity.permuted) — at 100 TB
-    * the md5-per-(perm,shingle) formulation spends `perms`× the digest
-    * compute for the same LSH guarantees. Values are identical to the
-    * explode-per-permutation formulation (the oracle's shape): min over
-    * an array of the distinct shingles' permuted hashes ≡ min over
-    * grouped rows. Each array alias lives in its own projection so the
-    * md5 pass runs once, not once per permutation (CollapseProject keeps
-    * non-cheap multi-referenced aliases separate). */
+    * permutation order (see [[minhashSigCols]]; values identical to the
+    * explode-per-permutation formulation, the oracle's shape). */
   def minhashSignatures(docs: DataFrame, k: Int, perms: Int): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"), Similarity.shinglesOfWords(col("w"), k).as("sh"))
-      .select(col("doc_id"), transform(col("sh"), s => Similarity.shingleHash(s)).as("hs"))
-      .select(col("doc_id"), array((0 until perms).map(p =>
-        array_min(transform(col("hs"), h => Similarity.permuted(h, p)))): _*).as("sig"))
+    minhashSigCols(docs, k, perms)
+      .select(col("doc_id"),
+        array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
 
   /** LSH banding over MinHash signatures: `bands` bands of `perms/bands`
     * rows each; docs sharing any band bucket become a candidate pair.
     * Buckets key on (band, md5-of-band-slice) — fixed 16-byte keys, never
     * signatures or text.
     *
-    * ONE SHUFFLE TOTAL. Membership rows (doc_id, sig, band, bk) are
-    * derived row-locally from the zero-shuffle signatures; the bucket
-    * -size window hash-partitions them on (band, bk) — the plan's only
-    * Exchange — and the bucket group-by REUSES that partitioning (same
-    * keys), so EnsureRequirements inserts nothing. Each member carries
-    * its full signature (perms × 8 bytes), so inside the bucket's task a
-    * pair's complete band-agreement vector is computable by comparing
-    * signature slices: emission keys off the FIRST matching band
-    * ([[firstMatch]] — each pair emitted at most once, no pair-level
-    * dedup shuffle), and `n_bands` is the number of agreeing bands (all
-    * of them — the similarity estimate does not depend on the maxBucket
-    * performance guard). A capped (> maxBucket) bucket is a
-    * mass-duplicate cluster: its pairs belong to exact dedup and are
-    * dropped here, including pairs whose first collision it is. */
+    * TWO SHUFFLES TOTAL: the per-doc signature aggregation
+    * ([[minhashSigCols]]) and the (band, bk) bucket shuffle — which the
+    * bucket-size window and the bucket group-by SHARE (same hash
+    * partitioning, no exchange between them). Each member carries its
+    * `bands` band keys as struct fields, so inside the bucket's task a
+    * pair's band-agreement is `bands` codegen'd string equalities:
+    * emission keys off the FIRST matching band ([[firstMatchCols]] —
+    * each pair emitted at most once, no pair-level dedup shuffle), and
+    * `n_bands` counts ALL agreeing bands (the similarity estimate does
+    * not depend on the maxBucket performance guard). A capped
+    * (> maxBucket) bucket is a mass-duplicate cluster: its pairs belong
+    * to exact dedup and are dropped here, including pairs whose first
+    * collision it is. */
   def minhashCandidates(docs: DataFrame, k: Int, perms: Int, bands: Int,
       maxBucket: Int = 10000): DataFrame = {
     require(perms % bands == 0, s"perms ($perms) must be a multiple of bands ($bands)")
     val rows = perms / bands
-    val banded = minhashSignatures(docs, k, perms)
-      .select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          md5(concat_ws("|", (0 until rows).map(r =>
-            element_at(col("sig"), b * lit(rows) + lit(r + 1))): _*))))
-          .as(Seq("band", "bk")))
+    val keyNames = (0 until bands).map(b => s"k$b")
+    val keyed = minhashSigCols(docs, k, perms).select(
+      col("doc_id") +: (0 until bands).map(b =>
+        md5(concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+          .as(s"k$b")): _*)
+    val banded = keyed.select(
+      col("doc_id") +: keyNames.map(col) :+
+        posexplode(array(keyNames.map(col): _*)).as(Seq("band", "bk")): _*)
     // a bucket larger than maxBucket is a mass-duplicate cluster whose
     // n² pair fan-out belongs to EXACT dedup (same digest), not LSH —
     // drop it here to bound the explosion (oracle mirrors the cap);
@@ -189,16 +199,13 @@ object Dedup {
       .filter(col("bsz").between(2, maxBucket))
     val buckets = surviving
       .groupBy(col("band"), col("bk"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id") +: keyNames.map(col): _*))).as("ds"))
+    val ms = keyNames.map(k => col("a").getField(k) === col("b").getField(k))
     explodePairs(buckets, "ds", carry = Seq("band"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("band"),
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          when(slice(col("a.sig"), b * lit(rows) + lit(1), lit(rows)) ===
-               slice(col("b.sig"), b * lit(rows) + lit(1), lit(rows)), 1)
-            .otherwise(0)).as("m"))
-      .filter(firstMatch(col("m"), col("band")))
-      .select(col("doc_a"), col("doc_b"),
-        aggregate(col("m"), lit(0), _ + _).cast("long").as("n_bands"))
+      .filter(firstMatchCols(ms, col("band")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        countMatches(ms).as("n_bands"))
   }
 
   /** The `tables × bitsPerTable` random hyperplanes, derived DRIVER-SIDE
@@ -218,18 +225,18 @@ object Dedup {
   /** Embedding-cosine near-dup pairs via banded random-hyperplane LSH.
     *
     * Each vector's bucket in table t is the `bitsPerTable`-bit sign
-    * pattern of its hyperplane dots — computed row-locally against the
-    * inlined [[hyperplanes]] literals (no codebook join, no per-plane
-    * row fan-out). Candidates share a bucket in ANY table
+    * pattern of its hyperplane dots — computed once per vector against
+    * the inlined [[hyperplanes]] literals (no codebook join, no
+    * per-plane row fan-out). Candidates share a bucket in ANY table
     * (OR-amplification: recall ≈ 1-(1-p^b)^T for per-bit agreement p),
-    * then exact quantized cosine filters — computed INSIDE the bucket's
-    * task from the carried embeddings, so there is no candidate
-    * join-back. ONE shuffle total, on (table, bucket): the bucket-size
-    * window partitions membership rows and the bucket group-by reuses
-    * that exchange. Carrying `ce` costs tables×dim floats per vector
-    * through the single shuffle — versus TWO corpus-wide join shuffles
-    * plus shuffling the n² candidate stream twice in the join-back
-    * formulation. */
+    * then exact quantized cosine filters — the codegen'd `graft_cosine`
+    * expression over the carried embeddings, INSIDE the bucket's task,
+    * so there is no candidate join-back. ONE shuffle total, on
+    * (table, bucket): the bucket-size window partitions membership rows
+    * and the bucket group-by reuses that exchange. Carrying `ce` costs
+    * tables×dim floats per vector through the single shuffle — versus
+    * TWO corpus-wide join shuffles plus shuffling the n² candidate
+    * stream twice in the join-back formulation. */
   def embeddingCosPairs(emb0: DataFrame, tables: Int, bitsPerTable: Int,
       minCosQ: Long, dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
     // A wrong-width vector must FAIL the job, not degrade: zip_with over a
@@ -242,66 +249,72 @@ object Dedup {
           lit(s"embeddingCosPairs: embedding dim must be $dim, got "),
           size(col("ce")).cast("string")))))
     val hp = hyperplanes(tables * bitsPerTable, dim)
-    val keyed = emb.select(col("vec_id"), col("ce"),
-      array((0 until tables).map(t =>
+    val keyNames = (0 until tables).map(t => s"k$t")
+    // Bucket bits stay on the higher-order dot: it runs once per VECTOR
+    // (not per pair), and measured faster than routing through the fused
+    // cosine expression (which also accumulates both norms). The
+    // per-PAIR verify below is the opposite case — it must be the
+    // codegen'd graft_cosine, because the candidate stream is ~n²/2^bits
+    // per table and an interpreted cosine there costs minutes.
+    val keyed = emb.select(
+      col("vec_id") +: col("ce") +: (0 until tables).map(t =>
         concat((0 until bitsPerTable).map(b =>
           when(Similarity.dot(col("ce"), typedLit(hp(t * bitsPerTable + b))) >= 0, "1")
-            .otherwise("0")): _*)): _*).as("keys"))
-    val memberships = keyed.select(col("vec_id"), col("keys"), col("ce"),
-      posexplode(col("keys")).as(Seq("t", "bucket")))
+            .otherwise("0")): _*).as(s"k$t")): _*)
+    val banded = keyed.select(
+      col("vec_id") +: col("ce") +: keyNames.map(col) :+
+        posexplode(array(keyNames.map(col): _*)).as(Seq("t", "bucket")): _*)
     // mass-duplicate buckets belong to exact dedup; cap the fan-out.
     // OR-amplification makes a near-dup pair collide in MANY tables, so a
     // distinct() over the emitted pairs would shuffle the n² candidate
     // stream ~T times over — instead only the first colliding table
-    // emits a pair ([[firstMatch]]; distinct by construction, on-CPU).
-    val surviving = memberships
+    // emits a pair ([[firstMatchCols]]; distinct by construction, on-CPU).
+    val surviving = banded
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("t"), col("bucket"))))
       .filter(col("bsz").between(2, maxBucket))
     val buckets = surviving
       .groupBy(col("t"), col("bucket"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("keys"), col("ce")))).as("ds"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id") +: col("ce") +: keyNames.map(col): _*))).as("ds"))
+    val ms = keyNames.map(k => col("a").getField(k) === col("b").getField(k))
     explodePairs(buckets, "ds", carry = Seq("t"))
-      .filter(firstMatch(matchVec(col("a.keys"), col("b.keys")), col("t")))
+      .filter(firstMatchCols(ms, col("t")))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        floor(Similarity.cosine(col("a.ce"), col("b.ce")) * lit(1000000.0))
+        floor(call_function("graft_cosine",
+          col("a").getField("ce"), col("b").getField("ce")) * lit(1000000.0))
           .cast("long").as("cos_q"))
       .filter(col("cos_q") >= minCosQ)
   }
 
-  /** 64-bit SimHash signature per doc as a '0'/'1' bitstring — computed
-    * entirely ROW-LOCALLY (zero shuffles).
+  /** 64-bit SimHash signature per doc as a '0'/'1' bitstring.
     *
-    * Word weights = term frequency; each word votes its md5-derived 64
-    * bits (+1 per occurrence for a set bit, −1 for unset; summing over
-    * occurrences IS the tf weighting); signature bit = sign of the vote.
-    * The vote fold is a single higher-order `aggregate` over the doc's
-    * word-hash array: per word, the md5's first 64 bits are split once
-    * into two 32-bit halves (one conv each), and each bit is then two
-    * arithmetic ops (floor-divide by a power-of-two literal, mod 2) —
-    * exact in doubles since the halves are < 2³². No explode, no
-    * (doc, word) shuffle, no per-doc re-aggregation: the bit values (and
-    * so the integer vote sums) are identical to the oracle's
-    * per-distinct-word × tf formulation. */
+    * Word weights = term frequency; each word occurrence votes its
+    * md5-derived 64 bits (+1 for a set bit, −1 for unset — summing over
+    * OCCURRENCES is the tf weighting, so no per-(doc, word) count
+    * pre-aggregation and its extra corpus-wide shuffle); signature bit =
+    * sign of the vote. ONE shuffle: the md5's first 64 bits split once
+    * per occurrence into two 32-bit halves (two codegen'd `conv`s), each
+    * of the 64 votes is a literal-shift-and-mask sum aggregate, and the
+    * 64 long partials combine map-side in a single groupBy(doc_id).
+    * Values are identical to the per-distinct-word × tf formulation (the
+    * oracle's shape). */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    // 2^31 … 2^0 as exact double literals: bit i (MSB-first) of a 32-bit
-    // half x is floor(x / 2^(31-i)) mod 2
-    val pows = typedLit((0 until 32).map(i => math.pow(2.0, 31 - i)))
-    def bitsOf(x: Column): Column =
-      transform(sequence(lit(0), lit(31)), i =>
-        pmod(floor(x / element_at(pows, i + 1)), lit(2)).cast("int") * lit(2) - lit(1))
-    docs
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), transform(col("ws"), w => md5(w)).as("hs"))
-      .select(col("doc_id"), transform(col("hs"), h => struct(
-        conv(h.substr(lit(1), lit(8)), 16, 10).cast("long").as("ha"),
-        conv(h.substr(lit(9), lit(8)), 16, 10).cast("long").as("hb"))).as("ab"))
-      .select(col("doc_id"), aggregate(col("ab"), array_repeat(lit(0L), 64),
-        (acc, x) => zip_with(acc,
-          concat(bitsOf(x.getField("ha")), bitsOf(x.getField("hb"))),
-          (v, s) => v + s)).as("v"))
+    val occ = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), md5(col("word")).as("h"))
       .select(col("doc_id"),
-        array_join(transform(col("v"), v => when(v > 0, "1").otherwise("0")), "").as("sig"))
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("ha"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("hb"))
+    // bit i (MSB-first) of the 32-bit half: (half >> (31 - i%32)) & 1
+    def bitSign(i: Int): Column =
+      shiftright(if (i < 32) col("ha") else col("hb"), 31 - i % 32)
+        .bitwiseAND(lit(1L)) * 2 - 1
+    val votes = (0 until 64).map(i => sum(bitSign(i)).as(s"v$i"))
+    occ.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 64).map(i =>
+          when(col(s"v$i") > 0, "1").otherwise("0")): _*).as("sig"))
   }
 
   /** Hamming-near pairs over SimHash signatures. Candidates come from a
@@ -309,40 +322,44 @@ object Dedup {
     * each other must agree on at least one 16-bit chunk; wider distances
     * trade recall for the same bounded cost).
     *
-    * ONE SHUFFLE TOTAL, on (chunk-index, chunk): membership rows carry
-    * the full 64-char signature (the chunk keys are its substrings, so
-    * the match vector, first-collision test, and the exact hamming
-    * verify are all computable inside the bucket's task — see
-    * [[minhashCandidates]] for the exchange-reuse structure). */
+    * TWO SHUFFLES TOTAL: the signature aggregation
+    * ([[simhashSignatures]]) and the (chunk-index, chunk) bucket shuffle
+    * shared by the size window and the bucket group-by. Chunks are
+    * parsed to 16-bit LONGS once per doc (4 `conv`s per doc, never per
+    * pair — a hot chunk bucket emits millions of pairs, and a
+    * string-parse per pair was the measured bottleneck), so the bucket
+    * key is a compact 8-byte long and the match columns, first-collision
+    * test, and exact `bit_count(xor)` hamming verify are pure integer
+    * codegen'd expressions per candidate pair. Bucketing by chunk VALUE
+    * is bijective with bucketing by chunk bitstring — the oracle's
+    * substring grouping is unchanged. */
   def simhashPairs(docs: DataFrame, maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
-    val chunks = simhashSignatures(docs)
-      .select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(3)), j =>
-          col("sig").substr(j * lit(16) + lit(1), lit(16)))).as(Seq("j", "chunk")))
+    val chunkNames = (0 until 4).map(j => s"c$j")
+    val chunked = simhashSignatures(docs).select(
+      col("doc_id") +: (0 until 4).map(j =>
+        conv(substring(col("sig"), j * 16 + 1, 16), 2, 10).cast("long").as(s"c$j")): _*)
+    val banded = chunked.select(
+      col("doc_id") +: chunkNames.map(col) :+
+        posexplode(array(chunkNames.map(col): _*)).as(Seq("j", "chunk")): _*)
     // mass-duplicate buckets belong to exact dedup; cap the fan-out.
     // Near-identical docs agree on up to all 4 chunks, so a distinct()
     // over emitted pairs would shuffle the n² candidate stream — the
-    // first-collision emission ([[firstMatch]]) keeps it on-CPU.
-    val surviving = chunks
+    // first-collision emission ([[firstMatchCols]]) keeps it on-CPU.
+    val surviving = banded
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("j"), col("chunk"))))
       .filter(col("bsz").between(2, maxBucket))
     val buckets = surviving
       .groupBy(col("j"), col("chunk"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
-    val cand = explodePairs(buckets, "ds", carry = Seq("j"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("j"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"),
-        transform(sequence(lit(0), lit(3)), jj =>
-          when(col("a.sig").substr(jj * lit(16) + lit(1), lit(16)) ===
-               col("b.sig").substr(jj * lit(16) + lit(1), lit(16)), 1)
-            .otherwise(0)).as("m"))
-      .filter(firstMatch(col("m"), col("j")))
-    val ham = (0 until 4).map(j =>
-      expr(s"bit_count(CAST(conv(substring(sig_a, ${j * 16 + 1}, 16), 2, 10) AS BIGINT) ^ " +
-        s"CAST(conv(substring(sig_b, ${j * 16 + 1}, 16), 2, 10) AS BIGINT))"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id") +: chunkNames.map(col): _*))).as("ds"))
+    val ms = chunkNames.map(c => col("a").getField(c) === col("b").getField(c))
+    val ham = chunkNames.map(c =>
+      bit_count(col("a").getField(c).bitwiseXOR(col("b").getField(c))))
       .reduce(_ + _)
-    cand
-      .select(col("doc_a"), col("doc_b"), ham.cast("long").as("hamming"))
+    explodePairs(buckets, "ds", carry = Seq("j"))
+      .filter(firstMatchCols(ms, col("j")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        ham.cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

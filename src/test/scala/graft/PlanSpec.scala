@@ -86,13 +86,14 @@ class PlanSpec extends AnyFunSuite {
       // relation (consistency requires it), and the static plan
       // sort-merge-joins sizes on; AQE reuses the bucket exchange and
       // converts the joins to broadcast at runtime when sizes is small.
-      // minhash/simhash/embcos: signatures and bucket keys are row-local
-      // array arithmetic, the bucket-size window and the bucket group-by
-      // share one (table, key) hash partitioning, and pair emission +
-      // similarity verify run inside the bucket task (Dedup.scala) — so
-      // each LSH pipeline's ONLY exchange is the bucket shuffle itself
-      "q_dedup_exact" -> 1, "q_dedup_ngram_jaccard" -> 6, "q_dedup_minhash" -> 1,
-      "q_dedup_simhash" -> 1, "q_dedup_embcos" -> 1,
+      // minhash/simhash: one per-doc signature agg (map-side partial
+      // mins/votes) + one bucket shuffle SHARED by the size window and
+      // bucket group-by; pair emission + verify are codegen'd scalar
+      // expressions inside the bucket task (Dedup.scala). embcos derives
+      // its keys from inlined hyperplane literals with no signature agg,
+      // so its bucket shuffle is the whole plan
+      "q_dedup_exact" -> 1, "q_dedup_ngram_jaccard" -> 6, "q_dedup_minhash" -> 2,
+      "q_dedup_simhash" -> 2, "q_dedup_embcos" -> 1,
       "q_sim_topk" -> 1, "q_sim_ivf" -> 3, "q_sim_ivf_probe2" -> 3,
       "q_text_langid" -> 0, "q_text_quality" -> 0, "q_text_tokens" -> 1,
       "q_text_fingerprint" -> 1, "q_multimodal_meta" -> 0,
