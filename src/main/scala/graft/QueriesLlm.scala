@@ -55,6 +55,34 @@ object QueriesLlm {
     TextAnalysis.fingerprint(docs(s, dir))
       .select(col("doc_id"), col("fp"), col("cluster_size"), col("is_canonical"))
 
+  /** PII scrub over text with deterministically planted PII (the
+    * synthetic corpus has none; both engines plant the identical
+    * suffix, so counts and redactions are real and verifiable). */
+  val textPii: Q = (s, dir) =>
+    TextAnalysis.scrubPii(
+      docs(s, dir).withColumn("text", concat(
+        col("text"),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@example.com or 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") % 100).cast("string"),
+        lit(" tel +1555000"), (col("doc_id") % 10000).cast("string"))))
+      .select(col("doc_id"), col("n_pii_emails"), col("n_pii_ips"),
+        col("n_pii_phones"), col("scrubbed"))
+
+  /** Within-doc duplicate-3-gram repetition score (curation filter). */
+  val textRepetition: Q = (s, dir) =>
+    TextAnalysis.repetition(docs(s, dir))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"), col("rep_ratio"))
+
+  /** Benchmark decontamination: train docs (doc_id % 97 ≠ 0) sharing ≥2
+    * distinct 3-grams with the eval slice (doc_id % 97 = 0). */
+  val decontaminate: Q = (s, dir) => {
+    val d = docs(s, dir)
+    Dedup.contaminated(
+      d.filter(col("doc_id") % 97 =!= 0),
+      d.filter(col("doc_id") % 97 === 0), k = 3, minCommon = 2)
+  }
+
   // ---- similarity search ---------------------------------------------------
 
   private def annQueries(s: SparkSession, dir: String): DataFrame =
@@ -152,6 +180,9 @@ object QueriesLlm {
     "q_text_quality"        -> textQuality,
     "q_text_tokens"         -> textTokens,
     "q_text_fingerprint"    -> textFingerprint,
+    "q_text_pii"            -> textPii,
+    "q_text_repetition"     -> textRepetition,
+    "q_decontaminate"       -> decontaminate,
     "q_sim_topk"            -> simTopk,
     "q_sim_ivf"             -> simIvf,
     "q_sim_ivf_probe2"      -> simIvfProbe2,
@@ -390,6 +421,43 @@ FROM f"""),
   CAST(SUM(CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS INT)) AS BIGINT) AS bpe_total,
   CAST(SUM(CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS INT)) AS DOUBLE) / COUNT(*) AS avg_bpe_per_doc
 FROM documents GROUP BY 1"""),
+
+    "q_text_pii" -> (
+      s"""WITH planted AS (
+  SELECT doc_id,
+    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+         || ' tel +1555000' || CAST(doc_id % 10000 AS VARCHAR) AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailPiiRe}')) AS INT) AS n_pii_emails,
+  CAST(len(regexp_extract_all(t, '${TextAnalysis.Ipv4PiiRe}')) AS INT) AS n_pii_ips,
+  CAST(len(regexp_extract_all(t, '${TextAnalysis.PhonePiiRe}')) AS INT) AS n_pii_phones,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t, '${TextAnalysis.EmailPiiRe}', '<EMAIL>', 'g'),
+      '${TextAnalysis.Ipv4PiiRe}', '<IP>', 'g'),
+    '${TextAnalysis.PhonePiiRe}', '<PHONE>', 'g') AS scrubbed
+FROM planted"""),
+
+    "q_text_repetition" -> (
+      "WITH " + shinglesCte + """,
+t AS (SELECT doc_id, greatest(len(w) - 2, 0) AS total FROM words),
+d AS (SELECT doc_id, count(*) AS nd FROM sh0 GROUP BY 1)
+SELECT t.doc_id, CAST(total AS INT) AS n_grams,
+  CAST(coalesce(nd, 0) AS INT) AS n_distinct_grams,
+  CASE WHEN total > 0 THEN 1.0 - CAST(coalesce(nd, 0) AS DOUBLE) / total
+       ELSE 0.0 END AS rep_ratio
+FROM t LEFT JOIN d USING (doc_id)"""),
+
+    "q_decontaminate" -> (
+      "WITH " + shinglesCte + """,
+ev AS (SELECT DISTINCT s FROM sh0 WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, s FROM sh0 WHERE doc_id % 97 <> 0)
+SELECT tr.doc_id, COUNT(*) AS n_overlap
+FROM tr JOIN ev USING (s)
+GROUP BY 1 HAVING COUNT(*) >= 2"""),
 
     "q_text_fingerprint" ->
       """WITH f AS (

@@ -134,6 +134,26 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Benchmark decontamination: flag TRAINING docs sharing at least
+    * `minCommon` distinct word-k-grams with ANY doc of the (small) eval
+    * set — the overlap check every training-data pipeline runs before a
+    * corpus ships. Returns (doc_id, n_overlap) for flagged train docs.
+    *
+    * Scale shape: the eval side is tiny by definition (benchmarks are
+    * thousands of docs, the corpus is billions), so its distinct shingle
+    * set BROADCASTS and the 100 TB train side pays one scan plus one
+    * groupBy(doc_id) shuffle of its matching shingle rows only — no
+    * shuffle of the corpus, no join of corpus against corpus. */
+  def contaminated(train: DataFrame, eval: DataFrame, k: Int,
+      minCommon: Int = 1): DataFrame = {
+    val evalShingles = shingled(eval, k).select(col("s")).distinct()
+    shingled(train, k)
+      .join(broadcast(evalShingles), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minCommon)
+  }
+
   /** Per-doc MinHash mins as `perms` COLUMNS m0..m{perms-1} — the
     * codegen'd explode + groupBy formulation: one md5 per shingle
     * (Similarity.shingleHash), four integer ops per permutation

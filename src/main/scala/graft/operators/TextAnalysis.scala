@@ -76,6 +76,47 @@ object TextAnalysis {
       .withColumn("ws_tokens", size(words(col("text"))))
       .withColumn("bpe_tokens", regexp_count(col("text"), lit(TokenPattern)))
 
+  /** RE2-compatible PII patterns (no lookarounds/backreferences — the
+    * identical regex must run on Java regex AND RE2-based engines, the
+    * cross-engine contract of every operator here). */
+  val EmailPiiRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4PiiRe  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePiiRe = "\\+[0-9]{7,15}"
+
+  /** PII scrubbing for corpus curation: counts then redacts emails,
+    * IPv4s, and international-form phone numbers. Pure projection, zero
+    * shuffles — at 100 TB this runs at scan speed alongside the quality
+    * gate. Counts are taken on the ORIGINAL text; redaction order
+    * (email → ip → phone) is fixed so placeholders never partially match
+    * a later pattern. */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_pii_emails", regexp_count(col(textCol), lit(EmailPiiRe)))
+      .withColumn("n_pii_ips", regexp_count(col(textCol), lit(Ipv4PiiRe)))
+      .withColumn("n_pii_phones", regexp_count(col(textCol), lit(PhonePiiRe)))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailPiiRe, "<EMAIL>"),
+            Ipv4PiiRe, "<IP>"),
+          PhonePiiRe, "<PHONE>"))
+
+  /** Within-document repetition score (the Gopher/RefinedWeb-style
+    * duplicate-k-gram filter): 1 − distinct/total word-k-grams. A doc
+    * that repeats itself has rep_ratio → 1; docs with fewer than k words
+    * score 0. Pure per-doc array arithmetic, zero shuffles. */
+  def repetition(docs: DataFrame, k: Int = 3): DataFrame = {
+    val w = words(col("text"))
+    val total = greatest(size(w) - (k - 1), lit(0))
+    val distinctK = size(graft.functions.Similarity.shinglesOfWords(w, k))
+    docs
+      .withColumn("n_grams", total)
+      .withColumn("n_distinct_grams", when(total > 0, distinctK).otherwise(0))
+      .withColumn("rep_ratio",
+        when(total > 0, lit(1.0) - distinctK.cast("double") / total)
+          .otherwise(lit(0.0)))
+  }
+
   /** Normalized-content fingerprint (lower + squashed whitespace → md5)
     * plus cluster stats via a window over the fingerprint — one shuffle
     * keyed on the 16-byte digest. */

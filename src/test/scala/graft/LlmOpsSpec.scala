@@ -146,6 +146,56 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Array[Byte]](2).nonEmpty))
   }
 
+  test("PII scrub counts and redacts emails, IPs, phones — and never shuffles") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b+x@ex.co and c@d.org ip 10.1.2.3 tel +123456789 done"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val r = TextAnalysis.scrubPii(df).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    assert(r(1L).getAs[Int]("n_pii_emails") == 2)
+    assert(r(1L).getAs[Int]("n_pii_ips") == 1)
+    assert(r(1L).getAs[Int]("n_pii_phones") == 1)
+    assert(r(1L).getAs[String]("scrubbed") ==
+      "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE> done")
+    assert(r(2L).getAs[Int]("n_pii_emails") == 0 &&
+      r(2L).getAs[String]("scrubbed") == "no pii here at all")
+    assert(!physicalPlan(TextAnalysis.scrubPii(docs)).contains("Exchange"),
+      "pii scrub must run at scan speed")
+  }
+
+  test("repetition score separates repeated docs from diverse ones, shuffle-free") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c a b c a b c"),  // heavy 3-gram repetition
+      (2L, "one two three four five six seven eight"),
+      (3L, "tiny doc")).toDF("doc_id", "text") // < k words
+    val r = TextAnalysis.repetition(df).collect().map(x =>
+      x.getAs[Long]("doc_id") -> x.getAs[Double]("rep_ratio")).toMap
+    assert(r(1L) > 0.6, s"repeated doc scored ${r(1L)}")
+    assert(r(2L) == 0.0, s"diverse doc scored ${r(2L)}")
+    assert(r(3L) == 0.0)
+    assert(!physicalPlan(TextAnalysis.repetition(docs)).contains("Exchange"))
+  }
+
+  test("decontamination flags exactly the train docs overlapping the eval set") {
+    import spark.implicits._
+    val eval = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps somewhere"), // shares 3 3-grams
+      (2L, "a quick brown dog sits"),              // shares none (min 2)
+      (3L, "completely unrelated words entirely")).toDF("doc_id", "text")
+    val flagged = Dedup.contaminated(train, eval, k = 3, minCommon = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(1L), s"got $flagged")
+    assert(flagged(1L) == 3L) // "the quick brown","quick brown fox","brown fox jumps"
+    // the eval shingle set must broadcast — the corpus side never
+    // shuffles into a join
+    val plan = physicalPlan(Dedup.contaminated(train, eval, 3, 2))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("quality keeps are a strict subset and langid only emits known codes") {
     val q = TextAnalysis.quality(docs)
     assert(q.filter(col("keep")).count() < q.count())

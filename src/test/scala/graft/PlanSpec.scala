@@ -97,6 +97,9 @@ class PlanSpec extends AnyFunSuite {
       "q_sim_topk" -> 1, "q_sim_ivf" -> 3, "q_sim_ivf_probe2" -> 3,
       "q_text_langid" -> 0, "q_text_quality" -> 0, "q_text_tokens" -> 1,
       "q_text_fingerprint" -> 1, "q_multimodal_meta" -> 0,
+      // pii/repetition are scan-speed projections; decontamination pays
+      // the eval-side distinct (tiny) + the train-side per-doc count
+      "q_text_pii" -> 0, "q_text_repetition" -> 0, "q_decontaminate" -> 2,
       // fingerprint window + final per-language agg; langid/quality/keep
       // are projections folded into the scan stage
       "q_pipeline_prep" -> 2,
