@@ -95,4 +95,49 @@ object Programs {
     JsonIO.write(
       graft.sources.Synth.commits(graft.sources.Tables(spark, sfDir).events)
         .as(Encoders.product[Commit]), out)
+
+  import graft.operators.TextAnalysis
+
+  /** The curation program's shared transform (beyond-reference
+    * application tier): raw documents → language ID → quality gate →
+    * exact normalized dedup (canonical survivor) → repetition filter →
+    * PII scrub → curated rows with final token counts. Filter order is
+    * the 100 TB shape: the scan-speed gates (langid/quality/repetition
+    * are pure projections) and the one fingerprint shuffle see
+    * ever-smaller survivor sets, and the scrub runs before token
+    * counting so budgets reflect the text that actually ships. */
+  def curationCore(docs: DataFrame, maxRep: Double = 0.5): DataFrame = {
+    val langed = TextAnalysis.langId(docs)
+    val kept = TextAnalysis.quality(langed).filter(col("keep"))
+    val canon = TextAnalysis.fingerprint(kept).filter(col("is_canonical"))
+    val lowRep = TextAnalysis.repetition(canon).filter(col("rep_ratio") <= maxRep)
+    val scrubbed = TextAnalysis.scrubPii(lowRep)
+      .withColumn("text", col("scrubbed"))
+    TextAnalysis.tokenCounts(scrubbed)
+      .select(col("doc_id"), col("pred_lang"), col("text"), col("bpe_tokens"))
+  }
+
+  /** Batch curation program: documents table → [[curationCore]] →
+    * curated corpus partitioned BY PREDICTED LANGUAGE (the layout a
+    * per-language sampling/packing stage reads back with partition
+    * pruning instead of a full scan). */
+  def curationProgram(spark: SparkSession, sfDir: String, out: String,
+      maxRep: Double = 0.5): Unit =
+    curationCore(graft.sources.Tables(spark, sfDir).documents, maxRep)
+      .write.mode("overwrite").partitionBy("pred_lang").parquet(out)
+
+  /** Streaming curation program: the watermark-bounded pipeline twin
+    * (StreamingJobs.curationPipeline) as a deployable unit over a
+    * document stream — per-(window, language) token budgets into a
+    * checkpointed parquet store, exactly once across restarts
+    * (StreamingSpec proves the recovery contract). */
+  def curationProgramStream(spark: SparkSession, in: String, out: String,
+      checkpoint: String): StreamingQuery = {
+    val docs = spark.readStream
+      .schema("ts timestamp, doc_id bigint, text string")
+      .json(in)
+    Sinks.streamToParquet(
+      graft.streaming.StreamingJobs.curationPipeline(docs, "1 hour", "1 hour"),
+      out, checkpoint)
+  }
 }

@@ -74,6 +74,28 @@ class ProgramsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curationProgram ships the scrubbed canonical corpus partitioned by language") {
+    import org.apache.spark.sql.functions._
+    val dir = fresh("curation")
+    Programs.curationProgram(spark, sfDir, s"$dir/out")
+    val curated = spark.read.parquet(s"$dir/out")
+    assert(curated.columns.toSet == Set("doc_id", "pred_lang", "text", "bpe_tokens"))
+    // partitioned-by-language layout: a per-language read prunes partitions
+    val oneLang = curated.filter(col("pred_lang") === "en")
+    assert(formattedPlan(oneLang).contains("PartitionFilters: [isnotnull(pred_lang"),
+      "curated corpus must prune by language partition")
+    // the program adds plumbing, never query logic: store == direct transform
+    val direct = Programs.curationCore(
+      graft.sources.Tables(spark, sfDir).documents)
+    val cols = Seq("doc_id", "pred_lang", "text", "bpe_tokens")
+    val a = curated.select(cols.map(col): _*).collect().map(_.toSeq.toVector).toSet
+    val b = direct.select(cols.map(col): _*).collect().map(_.toSeq.toVector).toSet
+    assert(a == b && a.nonEmpty)
+    // the funnel dropped something (quality gate + dedup both bite)
+    assert(curated.count() <
+      graft.sources.Tables(spark, sfDir).documents.count())
+  }
+
   test("mailingListImport: mbox archives → declared-schema JSON lines, losslessly") {
     val dir = fresh("mail")
     import spark.implicits._
