@@ -256,7 +256,13 @@ object Dedup {
     * and the bucket group-by reuses that exchange. Carrying `ce` costs
     * tables×dim floats per vector through the single shuffle — versus
     * TWO corpus-wide join shuffles plus shuffling the n² candidate
-    * stream twice in the join-back formulation. */
+    * stream twice in the join-back formulation.
+    *
+    * SIZING: expected bucket population is n/2^bitsPerTable per table,
+    * so the raw per-table pair stream is ~n²/2^bitsPerTable — at corpus
+    * scale pick bitsPerTable so 2^bits ≳ n/1000 (e.g. 16-20 bits for
+    * millions of vectors); the 4-bit default here matches the
+    * verification corpus and its oracle, not a production index. */
   def embeddingCosPairs(emb0: DataFrame, tables: Int, bitsPerTable: Int,
       minCosQ: Long, dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
     // A wrong-width vector must FAIL the job, not degrade: zip_with over a

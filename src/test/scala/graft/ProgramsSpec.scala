@@ -96,6 +96,32 @@ class ProgramsSpec extends AnyFunSuite {
       graft.sources.Tables(spark, sfDir).documents.count())
   }
 
+  test("curationProgramStream emits closed per-language windows into the store") {
+    val dir = fresh("curation_stream")
+    new java.io.File(s"$dir/in").mkdirs()
+    def good(tag: String) =
+      (1 to 30).map(i => s"$tag$i").mkString(" ") + " the and of to is"
+    def doc(min: Long, id: Long, text: String): String = {
+      val iso = java.time.Instant.ofEpochSecond(86400L + min * 60L).toString
+      s"""{"ts":"$iso","doc_id":$id,"text":"$text"}"""
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in/b1.json"),
+      Seq(doc(5, 1L, good("alpha")), doc(10, 2L, good("alpha")), // dup dropped
+        doc(15, 3L, "too short")).mkString("\n"))                // gate dropped
+    val q = Programs.curationProgramStream(spark, s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    try {
+      q.processAllAvailable()
+      // sentinel far past the 1h watermark closes the hour-0 window
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in/b2.json"),
+        doc(2000, 99L, good("omega")))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/out")
+        .select("pred_lang", "n_docs", "ws_total").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq(("en", 1L, 35L)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("mailingListImport: mbox archives → declared-schema JSON lines, losslessly") {
     val dir = fresh("mail")
     import spark.implicits._
