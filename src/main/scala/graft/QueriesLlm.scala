@@ -7,10 +7,12 @@ import graft.operators.{Dedup, Multimodal, Sampling, TextAnalysis}
 import graft.sources.Tables
 
 /** §2.d — LLM-training-data pipeline operators over the `documents`
-  * corpus: dedup (exact / Jaccard / MinHash-LSH / SimHash), text
-  * analysis (langid / quality / tokens / fingerprint), multimodal binary
-  * metadata. Every query here has an exact DuckDB twin — dedup included,
-  * because all hashing is md5-based and portable.
+  * corpus: dedup (exact / Jaccard / MinHash-LSH / SimHash / embedding
+  * LSH), text analysis (langid / quality / tokens / fingerprint / PII /
+  * repetition), decontamination, similarity search (brute-force / IVF /
+  * persisted index), corpus mixing, and multimodal binary metadata.
+  * Every query here has an exact DuckDB twin — dedup included, because
+  * all hashing is md5-based and portable.
   */
 object QueriesLlm {
 
