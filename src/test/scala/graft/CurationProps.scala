@@ -1,0 +1,71 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test => SCTest}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Property checks for the curation operators over adversarial text —
+  * random words salted with PII-like fragments, repeats, and
+  * whitespace-edge shapes the synthetic corpus never produces. */
+object CurationProps extends Properties("CurationSemantics") {
+
+  override def overrideParameters(p: SCTest.Parameters): SCTest.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val word: Gen[String] = Gen.oneOf(
+    "alpha", "beta", "the", "and", "a.b@c.de", "u+tag@ex.org", "10.1.2.3",
+    "+123456789", "999.999.999.999", "not@an", "x@y.z@w.vv", "@", "+", "dot.")
+
+  private val genText: Gen[String] = for {
+    n <- Gen.choose(1, 30)
+    ws <- Gen.listOfN(n, word)
+  } yield ws.mkString(" ")
+
+  private def docsOf(texts: List[String]) = {
+    import TestSpark.spark
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  /** Scrubbing is IDEMPOTENT: placeholders must never re-match any
+    * pattern (the property that makes redaction safe to re-run on
+    * partially-curated corpora). */
+  property("scrubPii is idempotent") = Prop.forAll(Gen.listOfN(5, genText)) { texts =>
+    val once = TextAnalysis.scrubPii(docsOf(texts))
+      .select(col("doc_id"), col("scrubbed").as("text"))
+    val twice = TextAnalysis.scrubPii(once)
+    twice.filter(col("scrubbed") =!= col("text")).count() == 0 &&
+      twice.filter(col("n_pii_emails") + col("n_pii_ips") + col("n_pii_phones") > 0)
+        .count() == 0
+  }
+
+  /** rep_ratio is a ratio: always in [0, 1), and 0 exactly when every
+    * k-gram is distinct (or the doc is shorter than k words). */
+  property("repetition ratio stays in [0,1) and total >= distinct") =
+    Prop.forAll(Gen.listOfN(5, genText)) { texts =>
+      val r = TextAnalysis.repetition(docsOf(texts))
+        .select(col("rep_ratio"), col("n_grams"), col("n_distinct_grams")).collect()
+      r.forall { row =>
+        val (ratio, total, distinct) =
+          (row.getDouble(0), row.getInt(1), row.getInt(2))
+        ratio >= 0.0 && ratio < 1.0 && total >= distinct &&
+          (total == 0 || ratio == 1.0 - distinct.toDouble / total)
+      }
+    }
+
+  /** Decontamination against an eval set equal to the train set flags
+    * every doc with at least minCommon distinct k-grams (self-overlap is
+    * total), and against a disjoint-vocabulary eval set flags nothing. */
+  property("decontaminate: full self-overlap, zero disjoint-overlap") =
+    Prop.forAll(Gen.listOfN(4, genText)) { texts =>
+      import graft.operators.Dedup
+      val train = docsOf(texts)
+      val nEligible = TextAnalysis.repetition(train, k = 3)
+        .filter(col("n_distinct_grams") >= 2).count()
+      val self = Dedup.contaminated(train, train, k = 3, minCommon = 2).count()
+      val disjoint = docsOf(List("zq wx vv kj pp mm nn oo rr ss tt uu"))
+      val none = Dedup.contaminated(train, disjoint, k = 3, minCommon = 2).count()
+      self == nEligible && none == 0
+    }
+}
