@@ -121,7 +121,10 @@ object QueriesLlm {
     * self-containment; floats/doubles round-trip parquet exactly, so the
     * scores are bit-identical to the inline formulation. */
   val simIvfProbe2: Q = (s, dir) => {
-    val idx = "/tmp/graft_ivf_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // the application id keys the path per run: two concurrent harness
+    // runs over the same sfDir must not race on one shared index dir
+    val idx = "/tmp/graft_ivf_index/" + s.sparkContext.applicationId + "/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
     operators.Ann.buildIndex(annCorpus(s, dir), idx)
     operators.Ann.searchIndex(s, idx, annQueries(s, dir), k = 10, nprobe = 2)
       .select(col("query_id"), col("cell"), col("corpus_id"), col("rnk"), col("score_q"))

@@ -71,6 +71,10 @@ object MboxIO {
     * Subject keeps its continuation instead of truncating at the fold. */
   private def parse(files: DataFrame): Dataset[Email] = {
     val msgs = files
+      // CRLF archives normalize to LF up front (same contract as the V2
+      // reader's per-line CR strip): without this, the blank header
+      // terminator is "\r\n\r\n" and every header regex stops matching
+      .select(regexp_replace(col("value"), "\r\n", "\n").as("value"))
       .select(explode(split(col("value"), "(?m)^From [^\n]*\n")).as("m"))
       .filter(length(col("m")) > 0)
       .select(

@@ -158,33 +158,49 @@ final class MboxScan(path: String, required: StructType, splitSize: Long)
   *
   * The monotone-name assumption is VALIDATED at runtime, not trusted:
   * the offset also carries how many files sat at-or-below the watermark
-  * when it was taken, so a backfilled archive whose name sorts below the
-  * committed mark (which the high-water filter would otherwise skip
-  * silently, forever) fails the query loudly instead — still O(1) offset
-  * state, no unbounded seen-set. */
+  * when it was taken PLUS an order-insensitive digest of their names, so
+  * a backfilled archive whose name sorts below the committed mark (which
+  * the high-water filter would otherwise skip silently, forever) fails
+  * the query loudly instead — even when a simultaneous delete cancels it
+  * in the count — still O(1) offset state, no unbounded seen-set. */
 final class MboxMicroBatchStream(path: String, required: StructType)
     extends MicroBatchStream {
   private val conf =
     new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
 
-  override def initialOffset(): Offset = MboxOffset("", 0L)
+  override def initialOffset(): Offset = MboxOffset("", 0L, Some(0L))
   override def latestOffset(): Offset = {
     val files = MboxSource.listFiles(path, conf.value)
-    if (files.isEmpty) MboxOffset("", 0L) else MboxOffset(files.max, files.size.toLong)
+    if (files.isEmpty) MboxOffset("", 0L, Some(0L))
+    else MboxOffset(files.max, files.size.toLong, Some(MboxOffset.setDigest(files)))
   }
   override def deserializeOffset(json: String): Offset = MboxOffset.fromJson(json)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[MboxOffset]
     val hi = end.asInstanceOf[MboxOffset].watermark
     val files = MboxSource.listFiles(path, conf.value)
-    val below = files.count(_ <= lo.watermark)
+    val belowFiles = files.filter(_ <= lo.watermark)
+    val below = belowFiles.size
     // seenBelow < 0 = legacy offset without the count: can't validate.
-    // below < seenBelow = archives deleted: harmless for ingestion.
+    // below < seenBelow = archives deleted: harmless for ingestion (but
+    // see the digest note below for the delete+backfill corner).
     if (lo.seenBelow >= 0 && below > lo.seenBelow) throw new IllegalStateException(
       s"mbox stream $path: ${below - lo.seenBelow} new file(s) sort at or below the " +
         s"committed watermark '${lo.watermark}' — a backfilled or non-monotonically " +
         "named archive would be skipped silently. Ingest backfills with a batch read " +
         "or restart from a fresh checkpoint.")
+    // A count-only guard has a blind spot: a delete and a backfill in the
+    // same interval cancel (below == seenBelow) and the backfill skips
+    // silently. The order-insensitive xor digest of the at-or-below name
+    // set catches exactly that cancellation. Residual (documented) blind
+    // spot: MORE deletes than backfills in one interval is byte-for-byte
+    // indistinguishable from pure deletes with O(1) offset state.
+    if (lo.digest.exists(d => below == lo.seenBelow && MboxOffset.setDigest(belowFiles) != d))
+      throw new IllegalStateException(
+        s"mbox stream $path: the file set at or below the committed watermark " +
+          s"'${lo.watermark}' changed membership at equal count — a backfilled " +
+          "archive replaced a deleted one and would be skipped silently. Ingest " +
+          "backfills with a batch read or restart from a fresh checkpoint.")
     files.filter(f => f > lo.watermark && f <= hi).sorted
       .map(MboxFilePartition(_): InputPartition).toArray
   }
@@ -195,20 +211,40 @@ final class MboxMicroBatchStream(path: String, required: StructType)
 }
 
 /** @param seenBelow number of listed files at-or-below `watermark` when
-  *                  this offset was taken (-1 = unknown, legacy offset) */
-final case class MboxOffset(watermark: String, seenBelow: Long) extends Offset {
-  override def json(): String =
-    s"""{"n":$seenBelow,"wm":${graft.Jsons.str(watermark)}}"""
+  *                  this offset was taken (-1 = unknown, legacy offset)
+  * @param digest    order-insensitive xor of the at-or-below file names'
+  *                  md5 prefixes (None = legacy offset without one) —
+  *                  detects a delete+backfill pair that cancels in the
+  *                  count-only guard */
+final case class MboxOffset(watermark: String, seenBelow: Long,
+    digest: Option[Long] = None) extends Offset {
+  override def json(): String = {
+    val d = digest.fold("")(v => s""""d":$v,""")
+    s"""{"n":$seenBelow,$d"wm":${graft.Jsons.str(watermark)}}"""
+  }
 }
 
 object MboxOffset {
-  private val ObjRe = """\{"n":(-?\d+),"wm":(".*")\}""".r
+  private val ObjRe  = """\{"n":(-?\d+),"wm":(".*")\}""".r
+  private val ObjDRe = """\{"n":(-?\d+),"d":(-?\d+),"wm":(".*")\}""".r
 
-  /** Parses the current `{"n":…,"wm":"…"}` form; a bare JSON string (the
-    * pre-seenBelow offset format) still loads, with the count unknown. */
+  /** Stable order-insensitive digest of a file-name set: xor of each
+    * name's leading 8 md5 bytes. Deterministic across JVMs/runs (unlike
+    * String.hashCode it has no seed/version hazard) and O(1) state. */
+  def setDigest(files: Seq[String]): Long = files.foldLeft(0L) { (acc, f) =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(f.getBytes(StandardCharsets.UTF_8))
+    acc ^ java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  /** Parses the current `{"n":…,"d":…,"wm":"…"}` form; the digest-less
+    * `{"n":…,"wm":"…"}` form (pre-digest checkpoints) and a bare JSON
+    * string (pre-seenBelow checkpoints) still load, with the missing
+    * validation state unknown. */
   def fromJson(json: String): MboxOffset = json.trim match {
-    case ObjRe(n, wm) => MboxOffset(unquote(wm), n.toLong)
-    case s            => MboxOffset(unquote(s), -1L)
+    case ObjDRe(n, d, wm) => MboxOffset(unquote(wm), n.toLong, Some(d.toLong))
+    case ObjRe(n, wm)     => MboxOffset(unquote(wm), n.toLong)
+    case s                => MboxOffset(unquote(s), -1L)
   }
 
   /** Inverse of [[graft.Jsons.str]] (quoted string with \", \\, \n, \r,
@@ -266,7 +302,11 @@ private[sources] final class CountingLineReader(in: java.io.InputStream, startPo
     if (b != -1) pos += 1
   }
 
-  /** Next line without its terminator, or null at EOF. */
+  /** Next line without its terminator, or null at EOF. A trailing '\r'
+    * (CRLF archive) is part of the terminator, not the line — without
+    * this the blank header-terminator line reads as "\r" (never isEmpty)
+    * and header parsing runs off the end of the message. Byte offsets
+    * still count the CR: ownership/seek math is over raw bytes. */
   def readLine(): String = {
     last = pos
     var b = bis.read()
@@ -274,7 +314,10 @@ private[sources] final class CountingLineReader(in: java.io.InputStream, startPo
     val out = new java.io.ByteArrayOutputStream(256)
     while (b != -1 && b != '\n') { out.write(b); pos += 1; b = bis.read() }
     if (b != -1) pos += 1 // the newline
-    new String(out.toByteArray, StandardCharsets.UTF_8)
+    val bytes = out.toByteArray
+    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1
+            else bytes.length
+    new String(bytes, 0, n, StandardCharsets.UTF_8)
   }
 }
 

@@ -215,12 +215,18 @@ class SourcesSpec extends AnyFunSuite {
       q.stop()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
-    // the offset survives its own json round-trip, escapes included
-    val off = MboxOffset("/data/ar\"chive\\2024\t.mbox", 7L)
+    // the offset survives its own json round-trip, escapes included,
+    // with and without the membership digest
+    val off = MboxOffset("/data/ar\"chive\\2024\t.mbox", 7L, Some(-42L))
     assert(MboxOffset.fromJson(off.json()) == off)
+    val noDigest = MboxOffset("/data/a.mbox", 7L)
+    assert(MboxOffset.fromJson(noDigest.json()) == noDigest)
     // a legacy bare-string offset (pre-seenBelow checkpoints) still loads
     assert(MboxOffset.fromJson(graft.Jsons.str("/data/a.mbox")) ==
       MboxOffset("/data/a.mbox", -1L))
+    // the digest is order-insensitive and name-sensitive
+    assert(MboxOffset.setDigest(Seq("a", "b")) == MboxOffset.setDigest(Seq("b", "a")))
+    assert(MboxOffset.setDigest(Seq("a", "b")) != MboxOffset.setDigest(Seq("a", "c")))
   }
 
   test("mbox stream fails loudly when a backfill lands below the committed watermark") {
@@ -251,6 +257,70 @@ class SourcesSpec extends AnyFunSuite {
       try q.stop() catch { case _: Exception => () }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
+  }
+
+  test("mbox stream fails loudly when a delete cancels a backfill in the count") {
+    val root = "/tmp/graft_mbox_cancel"
+    val dir = s"$root/in"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    new java.io.File(dir).mkdirs()
+    def archive(name: String, id: Long): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, name),
+        s"From mbox@graft x\nMessage-ID: <$id@graft>\n" +
+          s"Date: 4 Mar 2024 10:00:0$id +0000\nFrom: u$id@x.org\n" +
+          s"X-From-Email: u$id@x.org\nSubject: s$id\n\nbody $id\n")
+    archive("2024-02.mbox", 1L)
+    archive("2024-04.mbox", 2L)
+    val q = spark.readStream.format("mbox").load(dir).writeStream
+      .format("memory").queryName("mbox_cancel")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mbox_cancel").count() == 2)
+      // a backfill below the watermark lands in the same interval as a
+      // delete below it: the at-or-below COUNT is unchanged, so the
+      // count-only guard is blind — the membership digest must fire
+      java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "2024-02.mbox"))
+      archive("2024-03.mbox", 3L)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("changed membership at equal count")),
+        ex.toString)
+    } finally {
+      try q.stop() catch { case _: Exception => () }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("CRLF mbox archives parse identically to LF in both readers") {
+    import spark.implicits._
+    val root = "/tmp/graft_mbox_crlf"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    // write a normal LF archive, then clone it byte-for-byte with CRLF
+    // line endings — a real-world mbox fetched over SMTP/NNTP is CRLF
+    val emails = (1L to 40L).map(i => Email(i,
+      new java.sql.Timestamp(86400000L + i * 60000L), s"subject $i",
+      s"User $i <u$i@x.org>", s"u$i@x.org",
+      s"first line $i\nFrom the quoted line\n\nbody tail $i"))
+    emails.toDS().coalesce(1).write.format("mbox").mode("append").save(s"$root/lf")
+    val crlfDir = new java.io.File(s"$root/crlf"); crlfDir.mkdirs()
+    for (f <- new java.io.File(s"$root/lf").listFiles() if f.getName.endsWith(".mbox")) {
+      val lf = java.nio.file.Files.readString(f.toPath)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(crlfDir.getPath, f.getName), lf.replace("\n", "\r\n"))
+    }
+    // header terminator is "\r\n\r\n" now; both parsers must still see the
+    // blank line, and bodies come back CR-free (BufferedReader semantics)
+    assert(MboxIO.read(spark, s"$root/crlf").collect().toSet == emails.toSet)
+    assert(spark.read.format("mbox").load(s"$root/crlf").as[Email].collect().toSet
+      == emails.toSet)
+    // byte-range splits count the CR bytes in their offsets — resync still
+    // assigns every message to exactly one split
+    val split = spark.read.format("mbox").option("splitSize", "512").load(s"$root/crlf")
+    assert(split.rdd.getNumPartitions > 1)
+    assert(split.as[Email].collect().toSet == emails.toSet)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
   test("mbox byte-range splits read one archive as N partitions, row-identical to unsplit") {
