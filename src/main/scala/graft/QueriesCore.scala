@@ -191,7 +191,49 @@ object QueriesCore {
         sum(col("psum")).as("total_value"),
         sum(col("pcnt")).as("n_events"))
 
+  /** As-of join (event attribution): each purchase event joins the same
+    * user's most recent click at-or-before it — via [[operators.Joins
+    * .asOfJoin]]'s union+window form, ONE shuffle on user_id and no
+    * time-range join anywhere in the plan (asserted in PlanSpec). */
+  val qAsofJoin: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    operators.Joins.asOfJoin(purchases, clicks,
+        key = "user_id", ts = "ts", leftId = "event_id", rightId = "event_id",
+        rightPayload = Seq("ts" -> "click_ts"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        // epoch-second longs at the output edge (engine-portable hashing
+        // — same convention as the window queries)
+        unix_timestamp(col("ts")).as("purchase_ts"),
+        col("asof_id").as("click_id"),
+        unix_timestamp(col("click_ts")).as("click_ts"))
+  }
+
+  /** Interval (range) join: count activity falling inside each sampled
+    * error event's 2-hour incident window — via [[operators.Joins
+    * .rangeJoin]]'s bucketed equi-join form: each qualifying (event,
+    * interval) pair emits exactly once, and the plan contains a HASH
+    * join on the time bucket, never a BroadcastNestedLoopJoin (asserted
+    * in PlanSpec). */
+  val qRangeJoin: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val incidents = ev
+      .filter(col("event_type") === "error" && col("event_id") % 20 === 0)
+      .select(col("event_id").as("iv_id"), col("ts").as("lo"))
+    val activity = ev.filter(col("event_type").isin("click", "view", "purchase"))
+    operators.Joins.rangeJoinFixed(incidents, activity,
+        ivId = "iv_id", lo = "lo", lengthSeconds = 7200L, ts = "ts")
+      .groupBy(col("iv_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value")).cast("long")).as("sum_val"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_asof_join"      -> qAsofJoin,
+    "q_range_join"     -> qRangeJoin,
     "q1_agg"           -> q1Agg,
     "q_join_star"      -> qJoinStar,
     "q_topk_per_group" -> qTopkPerGroup,
@@ -203,6 +245,28 @@ object QueriesCore {
   // ---- DuckDB oracles ------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts, event_type
+        |           FROM events),
+        |c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       CAST(epoch(p.ts) AS BIGINT) AS purchase_ts,
+        |       c.click_id, CAST(epoch(c.ts) AS BIGINT) AS click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, date_trunc('second', ts) AS ts, event_type, value
+        |           FROM events),
+        |iv AS (SELECT event_id AS iv_id, ts AS lo, ts + INTERVAL 2 HOUR AS hi
+        |       FROM e WHERE event_type = 'error' AND event_id % 20 = 0)
+        |SELECT iv_id, count(*) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_val
+        |FROM iv JOIN e ON e.ts >= iv.lo AND e.ts < iv.hi
+        |  AND e.event_type IN ('click','view','purchase')
+        |GROUP BY 1""".stripMargin,
+
     // DECIMAL sums are routed VARCHAR→DOUBLE at the output edge: DuckDB's
     // direct DECIMAL→DOUBLE cast double-rounds (hugeint→double, then ÷10^s)
     // and lands 1 ulp off the correctly-rounded value at ~1e11 magnitudes

@@ -33,6 +33,20 @@ object QueriesLlm {
 
   val dedupSimhash: Q = (s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 8)
 
+  /** Sub-document span dedup (RefinedWeb-style "line dedup" over 10-word
+    * spans — this corpus has no newlines): cross-doc duplicate spans are
+    * boilerplate and removed; every doc comes back reassembled. */
+  val dedupSpans: Q = (s, dir) =>
+    Dedup.spanDedup(docs(s, dir), spanWords = 10, maxDf = 1L)
+
+  /** Exact heavy hitters (vocabulary items above 2% of the token stream)
+    * via the Misra-Gries sketch + exact-verify two-pass: the corpus-wide
+    * shuffle carries k=64 counters per partition, never the vocabulary. */
+  val freqHeavyHitters: Q = (s, dir) =>
+    operators.Freq.heavyHitters(s,
+      docs(s, dir).select(explode(split(col("text"), " ")).as("item")),
+      k = 64, denom = 50L)
+
   // ---- text analysis -------------------------------------------------------
 
   val textLangid: Q = (s, dir) =>
@@ -181,6 +195,8 @@ object QueriesLlm {
     "q_dedup_minhash"       -> dedupMinhash,
     "q_dedup_simhash"       -> dedupSimhash,
     "q_dedup_embcos"        -> dedupEmbCos,
+    "q_dedup_spans"         -> dedupSpans,
+    "q_freq_heavyhitters"   -> freqHeavyHitters,
     "q_text_langid"         -> textLangid,
     "q_text_quality"        -> textQuality,
     "q_text_tokens"         -> textTokens,
@@ -277,6 +293,25 @@ object QueriesLlm {
     "q_dedup_exact" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS survivor, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_spans" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |seg AS (
+        |  SELECT doc_id, j AS pos, array_to_string(a[j*10+1 : j*10+10], ' ') AS seg
+        |  FROM arr, LATERAL unnest(range((len(a)+9)//10)) AS t(j)),
+        |df AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1)
+        |SELECT s.doc_id,
+        |  coalesce(string_agg(CASE WHEN df = 1 THEN s.seg END, ' ' ORDER BY s.pos), '') AS clean_text,
+        |  CAST(coalesce(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed
+        |FROM seg s JOIN df USING (seg) GROUP BY 1""".stripMargin,
+
+    "q_freq_heavyhitters" ->
+      """WITH w AS (
+        |  SELECT u.w AS item
+        |  FROM (SELECT string_split(text, ' ') AS a FROM documents) d,
+        |       LATERAL unnest(a) AS u(w))
+        |SELECT item, count(*) AS cnt FROM w GROUP BY 1
+        |HAVING count(*) * 50 > (SELECT count(*) FROM w)""".stripMargin,
 
     "q_dedup_ngram_jaccard" -> (
       "WITH " + shinglesCte + """,

@@ -41,6 +41,45 @@ object Dedup {
       .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_copies"))
 
+  /** Sub-document (span-level) dedup — the RefinedWeb/CCNet "line
+    * dedup" pass, over fixed word-count spans since this corpus carries
+    * no newlines: a doc splits into consecutive `spanWords`-word spans,
+    * any span whose exact text appears in more than `maxDf` distinct
+    * docs (boilerplate, quoted chain mail, license headers) is removed,
+    * and each doc reassembles from its surviving spans in order.
+    * Returns (doc_id, clean_text, n_removed) for EVERY input doc (a doc
+    * whose spans are all boilerplate comes back with empty text — the
+    * caller decides whether to drop it).
+    *
+    * Scale shape: span construction is per-row array slicing at scan
+    * speed (HOFs allowed here — per-ROW, not per-pair); the only
+    * corpus-wide shuffles key on the 16-byte span digest (document-
+    * frequency count + mark join) and on doc_id (reassembly). Raw span
+    * text never leaves its row except as the carried reassembly payload;
+    * the df side of the join is digest+count only. Within-doc repeats of
+    * a span count as ONE doc toward df, so a doc-internal refrain is not
+    * self-boilerplate. */
+  def spanDedup(docs: DataFrame, spanWords: Int, maxDf: Long = 1L): DataFrame = {
+    val nSpans = floor((size(col("w")) + lit(spanWords - 1)) / lit(spanWords)).cast("int")
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), nSpans - 1),
+        j => array_join(slice(col("w"), j * spanWords + 1, lit(spanWords)), " ")))
+        .as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val dfTab = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    spans.join(dfTab, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("df") <= maxDf,
+            struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"),
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** (doc_id, shingle) pairs — distinct word-k-shingles, exploded. The
     * words array is materialized in its own projection first (see
     * Similarity.shinglesOfWords on why that boundary matters). */

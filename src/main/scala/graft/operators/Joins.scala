@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark's relational algebra lacks as built-ins
+  * — as-of join and interval (range) join — re-expressed as shapes that
+  * scale: neither ever materializes a time-cross-product, and both key
+  * their single shuffle on a bounded-cardinality column.
+  *
+  * These fill the "operator Spark lacks" tier of the custom-operator
+  * ladder at rung ONE (compose existing ops): both semantics reduce
+  * exactly to union+window / bucket-equi-join forms, so a custom
+  * LogicalPlan would only opt them out of AQE and codegen (see
+  * SURVEY.md §4 ladder note).
+  */
+object Joins {
+
+  /** As-of join: for each left row, the single right row with the
+    * greatest `ts <=` the left row's `ts` within the same `key` (ties on
+    * right ts broken by greatest `rightId`) — the event-attribution /
+    * point-in-time-lookup join (DuckDB/kdb ASOF JOIN, pandas merge_asof).
+    *
+    * Shape: NOT a range join. Both sides union into one stream tagged
+    * left/right and a single window over (key ORDER BY ts, tag, id)
+    * carries the latest right payload forward with
+    * `last(..., ignoreNulls)`; left rows then read their answer off the
+    * running state. ONE shuffle total (the window partition on `key`),
+    * zero joins, and no per-left-row scan of right history — at 100 TB
+    * the alternative (theta-join on `r.ts <= l.ts` + per-left argmax)
+    * re-shuffles BOTH tables into a near-cross-product per key; this
+    * form is linear in rows and carries right payloads only as running
+    * window state. A right row at the same second as a left row counts
+    * as "at or before" (tag orders right rows first within a second,
+    * matching ASOF's inclusive `>=`).
+    *
+    * @param left     rows to enrich; must carry `key`, `ts`, `leftId`
+    * @param right    lookup stream; must carry `key`, `ts`, `rightId`
+    *                 plus `rightPayload` columns to surface
+    * @return left rows + `asof_id` (matched rightId, null if no match) +
+    *         the aliased payload columns, null when unmatched
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String, leftId: String, rightId: String,
+      rightPayload: Seq[(String, String)]): DataFrame = {
+    // one unioned stream: right rows carry their payload, left rows null
+    val payloadIn = rightPayload.map { case (c, a) => col(c).as(s"_p_$a") }
+    val r = right.select(
+      Seq(col(key), col(ts), lit(0).as("_tag"), col(rightId).as("_id"),
+        col(rightId).as("_r_id")) ++ payloadIn: _*)
+    val l = left.select(
+      Seq(col(key), col(ts), lit(1).as("_tag"), col(leftId).as("_id"),
+        lit(null).cast(r.schema("_r_id").dataType).as("_r_id")) ++
+        rightPayload.map { case (c, a) =>
+          lit(null).cast(r.schema(s"_p_$a").dataType).as(s"_p_$a") }: _*)
+    // within a key: time order, right-before-left at equal ts (inclusive
+    // as-of), greatest rightId wins a right-side ts tie
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("_tag").asc, col("_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val answered = r.unionByName(l)
+      .withColumn("asof_id", last(col("_r_id"), ignoreNulls = true).over(w))
+      .withColumns(rightPayload.map { case (_, a) =>
+        a -> last(col(s"_p_$a"), ignoreNulls = true).over(w) }.toMap)
+    answered.filter(col("_tag") === 1)
+      .select(Seq(col("_id").as(leftId), col(key), col(ts), col("asof_id")) ++
+        rightPayload.map { case (_, a) => col(a) }: _*)
+  }
+
+  /** Interval (range) join: pair each probe row with every interval
+    * containing its timestamp, for intervals of bounded length.
+    *
+    * Shape: NOT a theta-join. With `bucketSeconds >=` the longest
+    * interval, an interval [lo, hi) overlaps at most TWO fixed-width
+    * time buckets and a probe ts falls in exactly ONE — so a bucket
+    * equi-join (intervals exploded to <=2 bucket rows, probes to 1)
+    * followed by the exact `lo <= ts < hi` refinement produces each
+    * qualifying pair exactly once, with no dedup step. The shuffle keys
+    * on the bucket number; Catalyst plans a plain hash join (broadcast
+    * when one side is small) instead of the BroadcastNestedLoopJoin a
+    * raw inequality join forces — the difference between a linear
+    * pipeline and an O(|probe|x|interval|) scan at 100 TB.
+    *
+    * @param intervals must carry `ivId`, `lo`, `hi` (timestamps, [lo,hi))
+    * @param probes    must carry `ts` plus any payload columns
+    * @param bucketSeconds fixed bucket width; MUST be >= max(hi-lo)
+    *                      (validated per row, fails loudly)
+    * @return probe rows + their matching `ivId` (inner-join semantics)
+    */
+  def rangeJoin(
+      intervals: DataFrame, probes: DataFrame,
+      ivId: String, lo: String, hi: String, ts: String,
+      bucketSeconds: Long): DataFrame = {
+    val loS = unix_timestamp(col(lo))
+    val hiS = unix_timestamp(col(hi))
+    val ivb = intervals
+      .withColumn("_chk",
+        when(hiS - loS > bucketSeconds, raise_error(concat(
+          lit(s"rangeJoin: interval longer than bucketSeconds=$bucketSeconds ("),
+          col(ivId).cast("string"), lit(")")))).otherwise(lit(1)))
+      // [lo, hi) touches buckets floor(lo/W)..floor((hi-1)/W): 1 or 2 rows
+      .withColumn("_bucket",
+        explode(sequence(floor(loS / bucketSeconds),
+          floor((hiS - 1) / bucketSeconds))))
+      .select(col(ivId), col(lo), col(hi), col("_bucket"), col("_chk"))
+    val pb = probes.withColumn("_bucket",
+      floor(unix_timestamp(col(ts)) / bucketSeconds))
+    pb.join(ivb, "_bucket")
+      .filter(col(ts) >= col(lo) && col(ts) < col(hi))
+      .drop("_bucket", "_chk", lo, hi)
+  }
+
+  /** Convenience overload: intervals given as (start, fixed length). */
+  def rangeJoinFixed(
+      intervals: DataFrame, probes: DataFrame,
+      ivId: String, lo: String, lengthSeconds: Long, ts: String): DataFrame = {
+    val iv = intervals.withColumn("_hi",
+      timestamp_seconds(unix_timestamp(col(lo)) + lengthSeconds))
+    rangeJoin(iv, probes, ivId, lo, "_hi", ts, bucketSeconds = lengthSeconds)
+  }
+
+}
