@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, Freq, Multimodal, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-pipeline operator specs: plan-shape guarantees (candidate
@@ -144,6 +144,69 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
     assert(r(0).getDouble(1) == 0.0 && r(3).getDouble(1) > 0.0)
     assert(r.forall(_.getAs[Array[Byte]](2).nonEmpty))
+  }
+
+  test("span dedup removes cross-doc boilerplate and reassembles in order") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // one 10-word span
+    val df = Seq(
+      (1L, s"$boiler u1a u1b u1c u1d u1e u1f u1g u1h u1i u1j"),
+      (2L, s"u2a u2b u2c u2d u2e u2f u2g u2h u2i u2j $boiler"),
+      (3L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 tail words only")).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(df, spanWords = 10).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    // the shared span disappears from both carriers, position preserved
+    assert(r(1L) == ("u1a u1b u1c u1d u1e u1f u1g u1h u1i u1j", 1L))
+    assert(r(2L) == ("u2a u2b u2c u2d u2e u2f u2g u2h u2i u2j", 1L))
+    // a doc with no cross-doc span round-trips verbatim (spans rejoin to
+    // the original text even when the word count is not a span multiple)
+    assert(r(3L) == ("v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 tail words only", 0L))
+  }
+
+  test("span dedup: within-doc refrains are not self-boilerplate") {
+    import spark.implicits._
+    val refrain = (1 to 10).map(i => s"r$i").mkString(" ")
+    val df = Seq((1L, s"$refrain $refrain"), (2L, "x1 x2 x3")).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(df, spanWords = 10).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    // doc 1 repeats its own span twice: df counts DISTINCT docs, so both
+    // copies survive
+    assert(r(1L) == (s"$refrain $refrain", 0L))
+  }
+
+  test("Misra-Gries guarantee: items above n/(k+1) always survive the sketch") {
+    // adversarial stream: vocabulary (200) far exceeds the counters (9),
+    // two true heavy hitters drowned in long-tail noise, worst-case
+    // interleaving (heavy items FIRST, so decrements hit them hardest)
+    val k = 9
+    val heavy = Seq.fill(300)("hot1") ++ Seq.fill(250)("hot2")
+    val noise = (0 until 1000).map(i => s"w${i % 200}")
+    val stream = heavy ++ noise // n = 1550, n/(k+1) = 155
+    val mg = new Freq.MisraGries(k)
+    // simulate distributed partial aggregation: 7 unequal partitions,
+    // each reduced independently, merged pairwise in arbitrary order
+    val parts = stream.grouped(233).map(_.foldLeft(mg.zero)(mg.reduce)).toSeq
+    val merged = parts.reduce(mg.merge)
+    val cands = mg.finish(merged)
+    assert(cands.size <= k, s"sketch overflowed: $cands")
+    assert(cands.contains("hot1") && cands.contains("hot2"),
+      s"true heavy hitters lost by the sketch: $cands")
+  }
+
+  test("heavyHitters returns the exact answer on a skewed corpus") {
+    import spark.implicits._
+    // 3 heavy items above 1/10 of a 10k stream, 500-word noise tail
+    val items = (Seq.fill(2000)("alpha") ++ Seq.fill(1500)("beta") ++
+      Seq.fill(1100)("gamma") ++ (0 until 5400).map(i => s"n${i % 500}"))
+    val df = items.toDF("item")
+    val got = Freq.heavyHitters(spark, df, k = 16, denom = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("alpha" -> 2000L, "beta" -> 1500L, "gamma" -> 1100L))
+    // the guarantee precondition is enforced, not documented away
+    val ex = intercept[IllegalArgumentException] {
+      Freq.heavyHitters(spark, df, k = 8, denom = 10L)
+    }
+    assert(ex.getMessage.contains("cannot guarantee"))
   }
 
   test("PII scrub counts and redacts emails, IPs, phones — and never shuffles") {

@@ -105,7 +105,15 @@ class PlanSpec extends AnyFunSuite {
       "q_pipeline_prep" -> 2,
       // sampling is a pure scan-speed filter; packing pays the shard
       // window + the (shard, pack) manifest agg
-      "q_sample_stratified" -> 0, "q_pack_sequences" -> 2)
+      "q_sample_stratified" -> 0, "q_pack_sequences" -> 2,
+      // as-of = union + ONE window shuffle on the key (no join at all);
+      // range join = bucket equi-join (2: one per side) + interval agg;
+      // span dedup = df count on the span digest + mark join-back +
+      // doc reassembly, all keyed on 16-byte digests / doc_id;
+      // heavy hitters = candidate-rows group-by (the sketch agg and the
+      // total are single-partition, candidates broadcast)
+      "q_asof_join" -> 1, "q_range_join" -> 3, "q_dedup_spans" -> 3,
+      "q_freq_heavyhitters" -> 1)
     val over = budget.flatMap { case (name, max) =>
       val plan = physicalPlan(SparkEntry.queries(name)(spark, sfDir))
       val n = "Exchange hashpartitioning".r.findAllIn(plan).length +
@@ -113,6 +121,36 @@ class PlanSpec extends AnyFunSuite {
       if (n > max) Some(s"$name: $n > $max") else None
     }
     assert(over.isEmpty, s"shuffle budget exceeded: ${over.mkString("; ")}")
+  }
+
+  test("as-of join plans one window shuffle and NO join operator") {
+    val plan = physicalPlan(QueriesCore.qAsofJoin(spark, sfDir))
+    // the union+window form must not degrade into a time-range join:
+    // any join node here means the rewrite regressed to the
+    // per-left-row-scan-of-right-history shape that dies at 100 TB
+    assert(!plan.contains("Join"), s"as-of must be join-free:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"as-of is exactly one shuffle (the window partition):\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("range join plans a hash equi-join on the bucket, never a nested loop") {
+    val plan = physicalPlan(QueriesCore.qRangeJoin(spark, sfDir))
+    // a raw inequality join would plan BroadcastNestedLoopJoin — the
+    // O(probes × intervals) scan the bucketing exists to avoid
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Join"), s"expected a (hash) equi-join on the bucket:\n$plan")
+  }
+
+  test("heavy hitters: candidates and total broadcast into the verify pass") {
+    val df = QueriesLlm.freqHeavyHitters(spark, sfDir)
+    val plan = physicalPlan(df)
+    // the <= k candidate set and the 1-row total must broadcast; the
+    // only hash shuffle groups the candidate keys' rows
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 2,
+      s"candidates + total must broadcast:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1, plan)
   }
 
   test("q_component_activity is a single-shuffle partial-agg plan") {
