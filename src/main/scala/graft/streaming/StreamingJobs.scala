@@ -46,6 +46,37 @@ object StreamingJobs {
     df.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming attribution join — the stream-stream twin of the batch
+    * temporal joins (operators.Joins): each left event pairs with the
+    * right events of the same key inside a bounded lookback window
+    * ([ts - lookback, ts]), left-outer so unmatched left rows still
+    * emit once the watermark closes their join window.
+    *
+    * The BOUNDED lookback is not a convenience, it is the streaming
+    * contract: an unbounded as-of would need every right row ever seen
+    * as state. With watermarks on both inputs and a time-range
+    * condition, Spark derives the state eviction horizon for both sides
+    * — this is the canonical watermarked stream-stream join, and the
+    * join itself executes as the SAME hash equi-join on the key that
+    * the batch operators plan (the range predicate filters within key
+    * groups). */
+  def attributionJoin(left: DataFrame, right: DataFrame, key: String,
+      lookback: String, watermarkDelay: String): DataFrame = {
+    val l = left.select(col(key).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+      .withWatermark("l_ts", watermarkDelay)
+    val r = right.select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") <= col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback"),
+      "leftOuter")
+      .select(col("l_id"), col("l_key").as(key), col("l_ts"),
+        col("r_id"), col("r_ts"))
+  }
+
   /** Streaming twin of the curation pipeline (QueriesLlm.pipelinePrep):
     * language-ID and the quality gate run as STATELESS projections at
     * ingest rate; dedup keys on the normalized-content fingerprint with

@@ -56,6 +56,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join pairs within lookback, left-outer on watermark") {
+    implicit val ctx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    def df(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF().toDF("event_id", "ts", "user_id")
+    val q = StreamingJobs.attributionJoin(df(purchases), df(clicks),
+        key = "user_id", lookback = "30 MINUTES", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      // user 1: click at 10, purchases at 20 (inside lookback) and 60
+      // (click is 50min stale — outside); user 2: purchase, no click ever
+      clicks.addData((100L, ts(10), 1L))
+      purchases.addData((200L, ts(20), 1L), (201L, ts(60), 1L), (300L, ts(25), 2L))
+      q.processAllAvailable()
+      // push both watermarks far past every join window so the
+      // unmatched left rows finalize as null-padded outer results
+      clicks.addData((101L, ts(2000), 9L))
+      purchases.addData((299L, ts(2000), 9L))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))).toMap
+      assert(rows(200L) == Some(100L), s"purchase 200 must attribute to click 100: $rows")
+      assert(rows(201L) == None, s"purchase 201's click is outside the lookback: $rows")
+      assert(rows(300L) == None, s"purchase 300 has no click: $rows")
+    } finally q.stop()
+  }
+
   test("streaming curation pipeline: quality gate, watermark dedup, windowed token budget") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
