@@ -27,7 +27,14 @@ object Bench {
     // BASELINE.md (whose DuckDB timings use the same best-of policy).
     // Min, not mean: this host shows 10x wall-clock noise spikes, and
     // min-of-k is the standard noise-robust estimator for that regime.
-    val timed = SparkEntry.headline.map { name =>
+    // Optional env override of the headline set (dev loop / scale
+    // profiling of specific operators); unknown names fail loudly.
+    val names = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(SparkEntry.headline)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown bench queries: $unknown")
+    val timed = names.map { name =>
       try {
         val cold = once(name)
         val steady = math.min(once(name), once(name))

@@ -211,12 +211,16 @@ object QueriesCore {
         unix_timestamp(col("click_ts")).as("click_ts"))
   }
 
-  /** Interval (range) join: count activity falling inside each sampled
-    * error event's 2-hour incident window — via [[operators.Joins
-    * .rangeJoin]]'s bucketed equi-join form: each qualifying (event,
-    * interval) pair emits exactly once, and the plan contains a HASH
-    * join on the time bucket, never a BroadcastNestedLoopJoin (asserted
-    * in PlanSpec). */
+  /** Interval (range) aggregation: count + sum the activity falling
+    * inside each sampled error event's 2-hour incident window — via
+    * [[operators.Joins.rangeAggFixed]]'s segment-tree decomposition
+    * (per-second + per-block pre-aggregation; an interval reads ~8 block
+    * partials and 2 second-level edges). The naive formulation
+    * ([[operators.Joins.rangeJoin]] + groupBy — still the right operator
+    * when the caller needs the PAIRS, equivalence-tested in PlanSpec)
+    * streams |probes|×overlap candidate pairs; at ScaleUp sf10 density
+    * that is 5.4B pairs and 12 s, where the decomposition reads the same
+    * answer out of ~3M pre-aggregated partials. */
   val qRangeJoin: Q = (s, dir) => {
     val ev = Tables(s, dir).events
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -224,11 +228,9 @@ object QueriesCore {
       .filter(col("event_type") === "error" && col("event_id") % 20 === 0)
       .select(col("event_id").as("iv_id"), col("ts").as("lo"))
     val activity = ev.filter(col("event_type").isin("click", "view", "purchase"))
-    operators.Joins.rangeJoinFixed(incidents, activity,
-        ivId = "iv_id", lo = "lo", lengthSeconds = 7200L, ts = "ts")
-      .groupBy(col("iv_id"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(floor(col("value")).cast("long")).as("sum_val"))
+    operators.Joins.rangeAggFixed(incidents, activity,
+      ivId = "iv_id", lo = "lo", lengthSeconds = 7200L, ts = "ts",
+      valueExpr = floor(col("value")).cast("long"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -121,4 +121,73 @@ object Joins {
     rangeJoin(iv, probes, ivId, lo, "_hi", ts, bucketSeconds = lengthSeconds)
   }
 
+  /** Interval AGGREGATION without the pair stream: per-interval count and
+    * sum over `[lo, lo+lengthSeconds)`, decomposed segment-tree style.
+    *
+    * [[rangeJoin]] + groupBy is the right tool when the caller needs the
+    * PAIRS; when it only needs algebraic aggregates per interval, the
+    * pair stream is pure waste — at high interval density (the 100 TB
+    * shape: overlapping monitoring/attribution windows) it carries
+    * |probes| × avg-overlap rows, billions where the answer needs
+    * millions. Decomposition instead:
+    *
+    *   1. probes pre-aggregate per SECOND (the ts resolution), then per
+    *      `blockSeconds` block — two map-side-heavy aggs whose output is
+    *      bounded by the TIME RANGE, not the probe count;
+    *   2. an interval covers ≤ lengthSeconds/blockSeconds+1 full blocks
+    *      (joined against the tiny block table) plus ≤ 2 second-level
+    *      edge ranges (joined against the per-second table on the edge
+    *      block key);
+    *   3. per-interval partials sum — longs, exact, order-independent.
+    *
+    * The candidate stream shrinks from |probes| × density to
+    * |seconds| × edge-density + |intervals| × blocks-per-interval.
+    * Same inner-join semantics as rangeJoin+count: zero-probe intervals
+    * emit nothing.
+    *
+    * @param valueExpr probe-side LONG column to sum (pass `lit(1L)` to
+    *                  count only); must be non-null
+    */
+  def rangeAggFixed(
+      intervals: DataFrame, probes: DataFrame,
+      ivId: String, lo: String, lengthSeconds: Long, ts: String,
+      valueExpr: org.apache.spark.sql.Column,
+      blockSeconds: Long = 900L): DataFrame = {
+    require(blockSeconds > 0 && lengthSeconds > 0)
+    val w = lit(blockSeconds)
+    // per-second then per-block pre-aggregation of the probe stream
+    val fine = probes
+      .select(unix_timestamp(col(ts)).as("sec"), valueExpr.as("v"))
+      .groupBy(col("sec"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("vsum"))
+      .withColumn("blk", floor(col("sec") / w))
+    val blocks = fine.groupBy(col("blk"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("vsum")).as("vsum"))
+    val iv = intervals.select(col(ivId),
+      unix_timestamp(col(lo)).as("loS"),
+      (unix_timestamp(col(lo)) + lengthSeconds).as("hiS"))
+    // full blocks: [ceil(lo/W), floor(hi/W)) — entirely inside [lo, hi)
+    val fullLo = ceil(col("loS") / w).cast("long")
+    val fullHi = floor(col("hiS") / w)
+    val fullPart = iv
+      .withColumn("blk", explode(when(fullLo < fullHi,
+        sequence(fullLo, fullHi - 1)).otherwise(array().cast("array<long>"))))
+      .join(blocks, "blk")
+      .select(col(ivId), col("cnt"), col("vsum"))
+    // edge ranges: the (≤2 distinct) boundary blocks not fully covered,
+    // each clamped to [max(lo, blk*W), min(hi, (blk+1)*W)) and resolved
+    // at second granularity
+    val edgePart = iv
+      .withColumn("blk", explode(array_distinct(
+        filter(array(floor(col("loS") / w), floor((col("hiS") - 1) / w)),
+          b => b < fullLo || b >= fullHi))))
+      .withColumn("elo", greatest(col("loS"), col("blk") * w))
+      .withColumn("ehi", least(col("hiS"), (col("blk") + 1) * w))
+      .join(fine, "blk")
+      .filter(col("sec") >= col("elo") && col("sec") < col("ehi"))
+      .select(col(ivId), col("cnt"), col("vsum"))
+    fullPart.unionByName(edgePart)
+      .groupBy(col(ivId))
+      .agg(sum(col("cnt")).as("n_events"), sum(col("vsum")).as("sum_val"))
+  }
 }

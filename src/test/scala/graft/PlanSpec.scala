@@ -107,12 +107,15 @@ class PlanSpec extends AnyFunSuite {
       // window + the (shard, pack) manifest agg
       "q_sample_stratified" -> 0, "q_pack_sequences" -> 2,
       // as-of = union + ONE window shuffle on the key (no join at all);
-      // range join = bucket equi-join (2: one per side) + interval agg;
+      // range agg decomposition = per-second agg + per-block agg + the
+      // edge join's re-key on blk + final per-interval agg — 4, but
+      // every one is bounded by the TIME RANGE (seconds/blocks), never
+      // by the probe count, which is the property that matters;
       // span dedup = df count on the span digest + mark join-back +
       // doc reassembly, all keyed on 16-byte digests / doc_id;
       // heavy hitters = candidate-rows group-by (the sketch agg and the
       // total are single-partition, candidates broadcast)
-      "q_asof_join" -> 1, "q_range_join" -> 3, "q_dedup_spans" -> 3,
+      "q_asof_join" -> 1, "q_range_join" -> 4, "q_dedup_spans" -> 3,
       "q_freq_heavyhitters" -> 1)
     val over = budget.flatMap { case (name, max) =>
       val plan = physicalPlan(SparkEntry.queries(name)(spark, sfDir))
@@ -135,12 +138,33 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("range join plans a hash equi-join on the bucket, never a nested loop") {
-    val plan = physicalPlan(QueriesCore.qRangeJoin(spark, sfDir))
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables(spark, sfDir).events
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val incidents = ev
+      .filter(col("event_type") === "error" && col("event_id") % 20 === 0)
+      .select(col("event_id").as("iv_id"), col("ts").as("lo"))
+    val activity = ev.filter(col("event_type").isin("click", "view", "purchase"))
+    val pairs = graft.operators.Joins.rangeJoinFixed(incidents, activity,
+      ivId = "iv_id", lo = "lo", lengthSeconds = 7200L, ts = "ts")
     // a raw inequality join would plan BroadcastNestedLoopJoin — the
     // O(probes × intervals) scan the bucketing exists to avoid
+    val plan = physicalPlan(pairs)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("Join"), s"expected a (hash) equi-join on the bucket:\n$plan")
+    // the decomposed aggregation (what q_range_join ships) must read the
+    // SAME answer out of its block/edge partials as the pair stream does
+    val viaPairs = pairs.groupBy(col("iv_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value")).cast("long")).as("sum_val"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaAgg = QueriesCore.qRangeJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaAgg == viaPairs, "rangeAgg decomposition diverged from the pair join")
+    val aggPlan = physicalPlan(QueriesCore.qRangeJoin(spark, sfDir))
+    assert(!aggPlan.contains("BroadcastNestedLoopJoin") &&
+      !aggPlan.contains("CartesianProduct"), aggPlan)
   }
 
   test("heavy hitters: candidates and total broadcast into the verify pass") {
