@@ -51,33 +51,43 @@ object Dedup {
     * whose spans are all boilerplate comes back with empty text — the
     * caller decides whether to drop it).
     *
-    * Scale shape: span construction is per-row array slicing at scan
-    * speed (HOFs allowed here — per-ROW, not per-pair); the only
-    * corpus-wide shuffles key on the 16-byte span digest (document-
-    * frequency count + mark join) and on doc_id (reassembly). Raw span
-    * text never leaves its row except as the carried reassembly payload;
-    * the df side of the join is digest+count only. Within-doc repeats of
-    * a span count as ONE doc toward df, so a doc-internal refrain is not
-    * self-boilerplate. */
+    * Scale shape: SPAN TEXT NEVER CROSSES THE NETWORK. Span construction
+    * is per-row array slicing at scan speed (HOFs allowed here — per-
+    * ROW, not per-pair); the df count and the mark join shuffle only
+    * (doc_id, pos, 16-byte digest) rows; the removed-position lists
+    * (ints, only for docs that HAVE boilerplate) come back to the
+    * original doc row by a doc_id join that AQE broadcasts when the
+    * boilerplate fraction is small; and reassembly is a row-local slice
+    * of the doc's own word array — no collect_list of carried text.
+    * Within-doc repeats of a span count as ONE doc toward df, so a
+    * doc-internal refrain is not self-boilerplate (both copies share the
+    * digest, and a boilerplate digest removes every occurrence — same
+    * rule in the oracle). */
   def spanDedup(docs: DataFrame, spanWords: Int, maxDf: Long = 1L): DataFrame = {
     val nSpans = floor((size(col("w")) + lit(spanWords - 1)) / lit(spanWords)).cast("int")
-    val spans = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // digest-only span stream: (doc_id, pos, h)
+    val spansH = words
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), nSpans - 1),
-        j => array_join(slice(col("w"), j * spanWords + 1, lit(spanWords)), " ")))
-        .as(Seq("pos", "seg")))
-      .withColumn("h", md5(col("seg")))
-    val dfTab = spans.groupBy(col("h"))
+        j => md5(array_join(slice(col("w"), j * spanWords + 1, lit(spanWords)), " "))))
+        .as(Seq("pos", "h")))
+    val boiler = spansH.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    spans.join(dfTab, "h")
+      .filter(col("df") > maxDf)
+      .select(col("h"))
+    // per-doc removed-position lists — only docs with boilerplate emit one
+    val removed = spansH.join(boiler, "h")
       .groupBy(col("doc_id"))
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(when(col("df") <= maxDf,
-            struct(col("pos"), col("seg"))))),
-          x => x.getField("seg")), " ").as("clean_text"),
-        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_removed"))
+      .agg(sort_array(collect_list(col("pos"))).as("rm"))
+    words.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(flatten(filter(
+          transform(sequence(lit(0), nSpans - 1),
+            j => slice(col("w"), j * spanWords + 1, lit(spanWords))),
+          (seg, j) => col("rm").isNull || !array_contains(col("rm"), j))), " ")
+          .as("clean_text"),
+        coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
   }
 
   /** (doc_id, shingle) pairs — distinct word-k-shingles, exploded. The
