@@ -233,8 +233,30 @@ object QueriesCore {
       valueExpr = floor(col("value")).cast("long"))
   }
 
+  /** One-scan corpus profiling with MERGEABLE SKETCHES — the data-
+    * profiling pass a 100 TB ingest runs before anything else. Exact
+    * per-key distincts/percentiles shuffle every distinct value; the
+    * sketch formulation (HyperLogLog++ at 2% rsd, KLL-style quantiles at
+    * 1/10000 rank accuracy) partial-aggregates to KB-sized state per
+    * partition and merges — one shuffle of sketches, not values. Sketch
+    * outputs are not bit-portable across engines, so this row is
+    * intentionally NOT in oracleSql (the driver records a rows-only
+    * check); the accuracy contract is asserted against the EXACT
+    * aggregates in PlanSpec instead. */
+  val qProfileSketch: Q = (s, dir) =>
+    Tables(s, dir).events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
+        percentile_approx(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("value_pcts"),
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"))
+
   val queries: Map[String, Q] = Map(
     "q_asof_join"      -> qAsofJoin,
+    "q_profile_sketch" -> qProfileSketch,
     "q_range_join"     -> qRangeJoin,
     "q1_agg"           -> q1Agg,
     "q_join_star"      -> qJoinStar,

@@ -116,7 +116,9 @@ class PlanSpec extends AnyFunSuite {
       // heavy hitters = candidate-rows group-by (the sketch agg and the
       // total are single-partition, candidates broadcast)
       "q_asof_join" -> 1, "q_range_join" -> 4, "q_dedup_spans" -> 3,
-      "q_freq_heavyhitters" -> 1)
+      "q_freq_heavyhitters" -> 1,
+      // sketches partial-aggregate map-side; one shuffle of sketch state
+      "q_profile_sketch" -> 1)
     val over = budget.flatMap { case (name, max) =>
       val plan = physicalPlan(SparkEntry.queries(name)(spark, sfDir))
       val n = "Exchange hashpartitioning".r.findAllIn(plan).length +
@@ -175,6 +177,47 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastExchange".r.findAllIn(plan).length >= 2,
       s"candidates + total must broadcast:\n$plan")
     assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1, plan)
+  }
+
+  test("sketch profile: one shuffle of sketch state, accuracy vs exact aggregates") {
+    import org.apache.spark.sql.functions._
+    val df = QueriesCore.qProfileSketch(spark, sfDir)
+    val plan = physicalPlan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"profile must be one partial-aggregated shuffle:\n$plan")
+    val exactU = graft.sources.Tables(spark, sfDir).events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // test-only driver-side materialization for rank checking (the
+    // query path itself never collects)
+    val byKey = graft.sources.Tables(spark, sfDir).events
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for (r <- df.collect()) {
+      val (key, approxU) = (r.getString(0), r.getLong(2))
+      // HLL++ at rsd 2%: 3-sigma bound
+      assert(math.abs(approxU - exactU(key)) <=
+        math.max(1L, (exactU(key) * 0.06).toLong),
+        s"$key: HLL $approxU vs exact ${exactU(key)}")
+      // the quantile contract is RANK error, not value error (a tail
+      // quantile's neighboring order statistics can be far apart in
+      // value): the returned value's rank window must sit within 1% of
+      // the target rank
+      val sorted = byKey(key)
+      val n = sorted.length
+      val approxP = r.getSeq[Double](3)
+      for ((a, q) <- approxP.zip(Seq(0.5, 0.95, 0.99))) {
+        val cntLt = sorted.count(_ < a)
+        val cntLe = sorted.count(_ <= a)
+        val tol = math.max(2.0, n * 0.01)
+        assert(cntLe >= q * n - tol && cntLt <= q * n + tol,
+          s"$key q=$q: value $a has rank window [$cntLt, $cntLe] of $n")
+      }
+      assert(approxP(0) <= approxP(1) && approxP(1) <= approxP(2))
+      assert(approxP(0) >= r.getDouble(4) && approxP(2) <= r.getDouble(5))
+    }
   }
 
   test("q_component_activity is a single-shuffle partial-agg plan") {
