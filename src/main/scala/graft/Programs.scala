@@ -110,7 +110,16 @@ object Programs {
     val langed = TextAnalysis.langId(docs)
     val kept = TextAnalysis.quality(langed).filter(col("keep"))
     val canon = TextAnalysis.fingerprint(kept).filter(col("is_canonical"))
-    val lowRep = TextAnalysis.repetition(canon).filter(col("rep_ratio") <= maxRep)
+    // cross-doc boilerplate spans (quoted chains, license headers) are
+    // cut AFTER whole-doc dedup — canonical survivors only pay the span
+    // shuffles — and BEFORE repetition/PII/token accounting, so those
+    // stages score the text that actually ships; a doc that was ALL
+    // boilerplate drops here
+    val deboiler = graft.operators.Dedup.spanDedup(canon, spanWords = 10)
+      .withColumn("text", col("clean_text"))
+      .drop("clean_text", "n_removed")
+      .filter(length(col("text")) > 0)
+    val lowRep = TextAnalysis.repetition(deboiler).filter(col("rep_ratio") <= maxRep)
     val scrubbed = TextAnalysis.scrubPii(lowRep)
       .withColumn("text", col("scrubbed"))
     TextAnalysis.tokenCounts(scrubbed)

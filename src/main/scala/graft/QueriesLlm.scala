@@ -38,6 +38,7 @@ object QueriesLlm {
     * boilerplate and removed; every doc comes back reassembled. */
   val dedupSpans: Q = (s, dir) =>
     Dedup.spanDedup(docs(s, dir), spanWords = 10, maxDf = 1L)
+      .select(col("doc_id"), col("clean_text"), col("n_removed"))
 
   /** Exact heavy hitters (vocabulary items above 2% of the token stream)
     * via the Misra-Gries sketch + exact-verify two-pass: the corpus-wide

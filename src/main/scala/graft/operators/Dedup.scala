@@ -65,7 +65,7 @@ object Dedup {
     * rule in the oracle). */
   def spanDedup(docs: DataFrame, spanWords: Int, maxDf: Long = 1L): DataFrame = {
     val nSpans = floor((size(col("w")) + lit(spanWords - 1)) / lit(spanWords)).cast("int")
-    val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val words = docs.withColumn("w", split(col("text"), " "))
     // digest-only span stream: (doc_id, pos, h)
     val spansH = words
       .select(col("doc_id"), posexplode(transform(
@@ -80,14 +80,16 @@ object Dedup {
     val removed = spansH.join(boiler, "h")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("rm"))
+    // every input column survives, plus clean_text / n_removed — so the
+    // operator composes as a pipeline stage, not just a report
     words.join(removed, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .withColumn("clean_text",
         array_join(flatten(filter(
           transform(sequence(lit(0), nSpans - 1),
             j => slice(col("w"), j * spanWords + 1, lit(spanWords))),
-          (seg, j) => col("rm").isNull || !array_contains(col("rm"), j))), " ")
-          .as("clean_text"),
-        coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
+          (seg, j) => col("rm").isNull || !array_contains(col("rm"), j))), " "))
+      .withColumn("n_removed", coalesce(size(col("rm")), lit(0)).cast("long"))
+      .drop("w", "rm")
   }
 
   /** (doc_id, shingle) pairs — distinct word-k-shingles, exploded. The

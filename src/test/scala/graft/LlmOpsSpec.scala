@@ -154,7 +154,8 @@ class LlmOpsSpec extends AnyFunSuite {
       (2L, s"u2a u2b u2c u2d u2e u2f u2g u2h u2i u2j $boiler"),
       (3L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 tail words only")).toDF("doc_id", "text")
     val r = Dedup.spanDedup(df, spanWords = 10).collect()
-      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[String]("clean_text"), x.getAs[Long]("n_removed"))).toMap
     // the shared span disappears from both carriers, position preserved
     assert(r(1L) == ("u1a u1b u1c u1d u1e u1f u1g u1h u1i u1j", 1L))
     assert(r(2L) == ("u2a u2b u2c u2d u2e u2f u2g u2h u2i u2j", 1L))
@@ -168,7 +169,8 @@ class LlmOpsSpec extends AnyFunSuite {
     val refrain = (1 to 10).map(i => s"r$i").mkString(" ")
     val df = Seq((1L, s"$refrain $refrain"), (2L, "x1 x2 x3")).toDF("doc_id", "text")
     val r = Dedup.spanDedup(df, spanWords = 10).collect()
-      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[String]("clean_text"), x.getAs[Long]("n_removed"))).toMap
     // doc 1 repeats its own span twice: df counts DISTINCT docs, so both
     // copies survive
     assert(r(1L) == (s"$refrain $refrain", 0L))
