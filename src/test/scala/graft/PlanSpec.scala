@@ -220,6 +220,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selectively-filtered join") {
+    import org.apache.spark.sql.functions._
+    // at 100 TB a shuffled fact⋈dim join with a selective dim filter
+    // should not shuffle the whole fact table: Catalyst injects a bloom
+    // filter built from the filtered dim into the fact scan. The
+    // thresholds assume cluster-scale tables, so pin them down for the
+    // local corpus — production keeps the defaults.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val t = graft.sources.Tables(spark, sfDir)
+      val sel = t.customer.filter(col("c_nationkey") === 3)
+      val joined = t.orders
+        .join(sel, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilter"),
+        s"expected an injected runtime bloom filter:\n$plan")
+      assert(joined.collect().nonEmpty)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q_component_activity is a single-shuffle partial-agg plan") {
     val plan = physicalPlan(QueriesRef.componentActivity(spark, sfDir))
     val nExchange = "Exchange".r.findAllIn(plan).length
