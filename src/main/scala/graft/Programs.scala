@@ -139,7 +139,16 @@ object Programs {
     * (StreamingJobs.curationPipeline) as a deployable unit over a
     * document stream — per-(window, language) token budgets into a
     * checkpointed parquet store, exactly once across restarts
-    * (StreamingSpec proves the recovery contract). */
+    * (StreamingSpec proves the recovery contract).
+    *
+    * Deliberate boundary: the batch program's span-level boilerplate
+    * stage has NO streaming twin. Cross-doc span document-frequency
+    * needs a corpus-wide view; in a stream that is unbounded per-digest
+    * state with no watermark to evict it (a span seen in January is
+    * still boilerplate against July). The streaming contract here is
+    * whole-doc fingerprint dedup within the watermark horizon; span
+    * boilerplate removal runs in the periodic batch pass over the
+    * accumulated store. */
   def curationProgramStream(spark: SparkSession, in: String, out: String,
       checkpoint: String): StreamingQuery = {
     val docs = spark.readStream

@@ -249,8 +249,10 @@ object QueriesCore {
       .agg(
         count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
+        // accuracy 2000 = 1/2000 rank error — an order tighter than the
+        // asserted 1% contract at a fraction of the sketch cost
         percentile_approx(col("value"),
-          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("value_pcts"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(2000)).as("value_pcts"),
         min(col("value")).as("value_min"),
         max(col("value")).as("value_max"))
 
