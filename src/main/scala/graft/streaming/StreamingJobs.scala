@@ -77,6 +77,27 @@ object StreamingJobs {
         col("r_id"), col("r_ts"))
   }
 
+  /** Streaming AS-OF join: [[attributionJoin]] chained into a windowed
+    * per-left argmax, so each left event emits its single LATEST
+    * in-lookback right event — the exact batch asOfJoin semantics
+    * (bounded lookback aside), exercising Spark's chained-stateful
+    * support (stream-stream time-interval join → event-time window
+    * aggregation in one query). Ties on right ts break by greatest
+    * right id, like the batch operator; unmatched left rows emit null.
+    * Output rows finalize when the watermark passes their window. */
+  def asOfJoinStream(left: DataFrame, right: DataFrame, key: String,
+      lookback: String, watermarkDelay: String, windowDur: String): DataFrame =
+    attributionJoin(left, right, key, lookback, watermarkDelay)
+      // the window IS the group's event-time column; the raw l_ts must
+      // ride as an aggregate (l_id is unique, so max(l_ts) is its own
+      // l_ts) — grouping on both trips the one-event-time-column rule
+      .groupBy(window(col("l_ts"), windowDur), col("l_id"), col(key))
+      .agg(
+        max(col("l_ts")).as("l_ts"),
+        max_by(col("r_id"), struct(col("r_ts"), col("r_id"))).as("asof_id"),
+        max(col("r_ts")).as("asof_ts"))
+      .select(col("l_id"), col(key), col("l_ts"), col("asof_id"), col("asof_ts"))
+
   /** Streaming twin of the curation pipeline (QueriesLlm.pipelinePrep):
     * language-ID and the quality gate run as STATELESS projections at
     * ingest rate; dedup keys on the normalized-content fingerprint with

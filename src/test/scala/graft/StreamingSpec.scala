@@ -85,6 +85,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of join picks the single latest in-lookback right event") {
+    implicit val ctx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    def df(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF().toDF("event_id", "ts", "user_id")
+    val q = StreamingJobs.asOfJoinStream(df(purchases), df(clicks),
+        key = "user_id", lookback = "30 MINUTES", watermarkDelay = "10 minutes",
+        windowDur = "1 hour")
+      .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      // user 1 has TWO clicks inside the lookback (5 and 10) — the
+      // as-of answer is the latest (10), not both; user 2 never clicks
+      clicks.addData((100L, ts(5), 1L), (101L, ts(10), 1L))
+      purchases.addData((200L, ts(20), 1L), (300L, ts(25), 2L))
+      q.processAllAvailable()
+      clicks.addData((199L, ts(2000), 9L))
+      purchases.addData((299L, ts(2000), 9L))
+      q.processAllAvailable()
+      val rows = spark.table("asof_out")
+        .select("l_id", "asof_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))).toMap
+      assert(rows(200L) == Some(101L),
+        s"purchase 200 must attribute to the LATEST click 101: $rows")
+      assert(rows(300L) == None, s"purchase 300 has no click: $rows")
+    } finally q.stop()
+  }
+
   test("streaming curation pipeline: quality gate, watermark dedup, windowed token budget") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
