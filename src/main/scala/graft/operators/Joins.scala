@@ -70,46 +70,48 @@ object Joins {
   }
 
   /** Interval (range) join: pair each probe row with every interval
-    * containing its timestamp, for intervals of bounded length.
+    * containing its timestamp.
     *
-    * Shape: NOT a theta-join. With `bucketSeconds >=` the longest
-    * interval, an interval [lo, hi) overlaps at most TWO fixed-width
-    * time buckets and a probe ts falls in exactly ONE — so a bucket
-    * equi-join (intervals exploded to <=2 bucket rows, probes to 1)
-    * followed by the exact `lo <= ts < hi` refinement produces each
-    * qualifying pair exactly once, with no dedup step. The shuffle keys
-    * on the bucket number; Catalyst plans a plain hash join (broadcast
-    * when one side is small) instead of the BroadcastNestedLoopJoin a
-    * raw inequality join forces — the difference between a linear
-    * pipeline and an O(|probe|x|interval|) scan at 100 TB.
+    * Shape: NOT a theta-join. An interval [lo, hi) explodes to one row
+    * per fixed-width time bucket it touches and a probe ts falls in
+    * exactly ONE bucket — so a bucket equi-join followed by the exact
+    * `lo <= ts < hi` refinement produces each qualifying pair exactly
+    * once, with no dedup step (the probe's single bucket is either in
+    * the interval's touched set or not). The shuffle keys on the bucket
+    * number; Catalyst plans a plain hash join (broadcast when one side
+    * is small) instead of the BroadcastNestedLoopJoin a raw inequality
+    * join forces — the difference between a linear pipeline and an
+    * O(|probe|x|interval|) scan at 100 TB.
+    *
+    * Bucket sizing is a fan-out/candidate trade, not a correctness
+    * constraint: an interval touches ~length/bucketSeconds+1 buckets
+    * (its side's fan-out), while each probe's candidate set is every
+    * interval overlapping its bucket (~density x (length +
+    * bucketSeconds)). bucketSeconds ≈ the typical interval length keeps
+    * both within 2x of optimal.
     *
     * @param intervals must carry `ivId`, `lo`, `hi` (timestamps, [lo,hi))
     * @param probes    must carry `ts` plus any payload columns
-    * @param bucketSeconds fixed bucket width; MUST be >= max(hi-lo)
-    *                      (validated per row, fails loudly)
     * @return probe rows + their matching `ivId` (inner-join semantics)
     */
   def rangeJoin(
       intervals: DataFrame, probes: DataFrame,
       ivId: String, lo: String, hi: String, ts: String,
       bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0)
     val loS = unix_timestamp(col(lo))
     val hiS = unix_timestamp(col(hi))
     val ivb = intervals
-      .withColumn("_chk",
-        when(hiS - loS > bucketSeconds, raise_error(concat(
-          lit(s"rangeJoin: interval longer than bucketSeconds=$bucketSeconds ("),
-          col(ivId).cast("string"), lit(")")))).otherwise(lit(1)))
-      // [lo, hi) touches buckets floor(lo/W)..floor((hi-1)/W): 1 or 2 rows
+      // [lo, hi) touches buckets floor(lo/W)..floor((hi-1)/W)
       .withColumn("_bucket",
         explode(sequence(floor(loS / bucketSeconds),
           floor((hiS - 1) / bucketSeconds))))
-      .select(col(ivId), col(lo), col(hi), col("_bucket"), col("_chk"))
+      .select(col(ivId), col(lo), col(hi), col("_bucket"))
     val pb = probes.withColumn("_bucket",
       floor(unix_timestamp(col(ts)) / bucketSeconds))
     pb.join(ivb, "_bucket")
       .filter(col(ts) >= col(lo) && col(ts) < col(hi))
-      .drop("_bucket", "_chk", lo, hi)
+      .drop("_bucket", lo, hi)
   }
 
   /** Convenience overload: intervals given as (start, fixed length). */

@@ -71,6 +71,28 @@ object JoinsProps extends Properties("TemporalJoinSemantics") {
       ps.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) },
       len, blk)
 
+  property("rangeJoin == brute-force containment pairs for any bucket size") =
+    Prop.forAll(genIntervals) { case (ivs, ps, len, blk) =>
+      import TestSpark.spark
+      import spark.implicits._
+      // blk may be smaller than len: intervals fan out to many buckets,
+      // and every qualifying pair must still emit exactly once
+      val ivDf = ivs.toDF("iv_id", "los")
+        .withColumn("lo", col("los").cast("timestamp"))
+        .withColumn("hi", (col("los") + len).cast("timestamp")).drop("los")
+      val pDf = ps.toDF("event_id", "es", "v")
+        .withColumn("ts", col("es").cast("timestamp")).drop("es")
+      val got = Joins.rangeJoin(ivDf, pDf, ivId = "iv_id", lo = "lo", hi = "hi",
+          ts = "ts", bucketSeconds = blk)
+        .select(col("iv_id"), col("event_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList
+      val want = for {
+        (id, lo) <- ivs
+        (pid, t, _) <- ps if t >= lo && t < lo + len
+      } yield (id, pid)
+      Prop(got.sorted == want.sorted) :| s"len=$len blk=$blk got=$got want=$want"
+    }
+
   property("rangeAggFixed == brute-force interval counts/sums") =
     Prop.forAll(genIntervals) { case (ivs, ps, len, blk) =>
       import TestSpark.spark
