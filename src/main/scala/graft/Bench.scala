@@ -52,8 +52,16 @@ object Bench {
     val cs = colds.map { case (k, v) => s"${Jsons.str(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${Jsons.str(k)}:${Jsons.str(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"errors":$es,"n_failed":${errors.size},"sf":${Jsons.str(sfDir)}}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"errors":$es,"n_failed":${errors.size},"sf":${Jsons.str(sfDir)}}"""
+    println(line)
+    // also land the line in a file, so the harness never has to scrape it
+    // out of the sbt log tail (overridable for concurrent runs)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"bench.json write failed: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -211,6 +211,26 @@ object QueriesCore {
         unix_timestamp(col("click_ts")).as("click_ts"))
   }
 
+  /** Same contract and SAME ORACLE as [[qAsofJoin]], through the
+    * skew-proof chunked decomposition ([[operators.Joins
+    * .asOfJoinChunked]]): window partitions bounded by (user, hour)
+    * instead of one user's whole history — the form a 90%-one-key
+    * corpus needs (SkewSpec). Both formulations hash-match the DuckDB
+    * ASOF oracle, which is the equivalence the decomposition claims. */
+  val qAsofJoinChunked: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    operators.Joins.asOfJoinChunked(purchases, clicks,
+        key = "user_id", ts = "ts", leftId = "event_id", rightId = "event_id",
+        rightPayload = Seq("ts" -> "click_ts"), chunkSeconds = 3600L)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("purchase_ts"),
+        col("asof_id").as("click_id"),
+        unix_timestamp(col("click_ts")).as("click_ts"))
+  }
+
   /** Interval (range) aggregation: count + sum the activity falling
     * inside each sampled error event's 2-hour incident window — via
     * [[operators.Joins.rangeAggFixed]]'s segment-tree decomposition
@@ -242,7 +262,13 @@ object QueriesCore {
     * outputs are not bit-portable across engines, so this row is
     * intentionally NOT in oracleSql (the driver records a rows-only
     * check); the accuracy contract is asserted against the EXACT
-    * aggregates in PlanSpec instead. */
+    * aggregates in PlanSpec instead.
+    *
+    * The three quantiles come back from ONE sketch (the array overload —
+    * a scalar call per quantile would build three sketches) and are
+    * unpacked to scalar DOUBLE columns at the output edge: flat scalar
+    * rows are what downstream profiling consumers (and the harness's
+    * rows-only comparator) sort and diff on. */
   val qProfileSketch: Q = (s, dir) =>
     Tables(s, dir).events
       .groupBy(col("event_type"))
@@ -255,9 +281,15 @@ object QueriesCore {
           array(lit(0.5), lit(0.95), lit(0.99)), lit(2000)).as("value_pcts"),
         min(col("value")).as("value_min"),
         max(col("value")).as("value_max"))
+      .select(col("event_type"), col("n_events"), col("n_users_approx"),
+        element_at(col("value_pcts"), 1).as("p50"),
+        element_at(col("value_pcts"), 2).as("p95"),
+        element_at(col("value_pcts"), 3).as("p99"),
+        col("value_min"), col("value_max"))
 
   val queries: Map[String, Q] = Map(
     "q_asof_join"      -> qAsofJoin,
+    "q_asof_join_chunked" -> qAsofJoinChunked,
     "q_profile_sketch" -> qProfileSketch,
     "q_range_join"     -> qRangeJoin,
     "q1_agg"           -> q1Agg,
@@ -271,6 +303,19 @@ object QueriesCore {
   // ---- DuckDB oracles ------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+    // the chunked decomposition answers the IDENTICAL question — one
+    // oracle text, two Spark formulations, both hash-compared
+    "q_asof_join_chunked" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts, event_type
+        |           FROM events),
+        |c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       CAST(epoch(p.ts) AS BIGINT) AS purchase_ts,
+        |       c.click_id, CAST(epoch(c.ts) AS BIGINT) AS click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts, event_type
         |           FROM events),

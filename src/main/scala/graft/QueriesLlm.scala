@@ -174,12 +174,16 @@ object QueriesLlm {
       .select(col("doc_id"), col("lang"), col("u256"))
 
   /** Sequence packing into 4096-token budgets per language shard; emits
-    * the pack manifest (docs and tokens per pack). */
+    * the pack manifest (docs and tokens per pack). subWidth=64 forces
+    * the two-phase sub-shard path through many occupied sub-shards even
+    * at the sf0.01 correctness scale, so the oracle (a plain single
+    * window — the semantics both forms implement) checks the offset
+    * arithmetic for real. */
   val packSequences: Q = (s, dir) =>
     Sampling.packSequences(
         TextAnalysis.tokenCounts(docs(s, dir))
           .select(col("doc_id"), col("lang"), col("bpe_tokens")),
-        "lang", "doc_id", "bpe_tokens", budget = 4096L)
+        "lang", "doc_id", "bpe_tokens", budget = 4096L, subWidth = 64L)
       .groupBy(col("lang"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("bpe_tokens")).as("pack_tokens"))
 

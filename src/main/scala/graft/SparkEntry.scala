@@ -18,7 +18,9 @@ object SparkEntry {
     * exist in [[queries]] — no silent filtering. */
   def headline: Seq[String] = {
     val hs = Seq("q1_agg", "q_join_star", "q_component_activity",
-      "q_dedup_minhash", "q_sim_topk", "q_text_quality", "q_session_windows")
+      "q_dedup_minhash", "q_sim_topk", "q_text_quality", "q_session_windows",
+      // round-6 temporal/sketch tier, tracked round-over-round
+      "q_asof_join", "q_range_join", "q_dedup_spans", "q_freq_heavyhitters")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs

@@ -83,11 +83,15 @@ object Dedup {
     // every input column survives, plus clean_text / n_removed — so the
     // operator composes as a pipeline stage, not just a report
     words.join(removed, Seq("doc_id"), "left")
+      // outer coalesce: a NULL input text would otherwise propagate NULL
+      // through split/transform/reassembly — the "every doc comes back"
+      // contract means it comes back as "", same as an all-boilerplate doc
       .withColumn("clean_text",
-        array_join(flatten(filter(
+        coalesce(array_join(flatten(filter(
           transform(sequence(lit(0), nSpans - 1),
             j => slice(col("w"), j * spanWords + 1, lit(spanWords))),
-          (seg, j) => col("rm").isNull || !array_contains(col("rm"), j))), " "))
+          (seg, j) => col("rm").isNull || !array_contains(col("rm"), j))), " "),
+          lit("")))
       .withColumn("n_removed", coalesce(size(col("rm")), lit(0)).cast("long"))
       .drop("w", "rm")
   }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -25,9 +27,17 @@ object Freq {
 
   /** Mergeable Misra-Gries summary of at most k counters.
     *
+    * The buffer is a MUTABLE HashMap updated in place: Aggregator
+    * semantics permit mutating and returning the buffer, and the reduce
+    * path runs once per input ROW — an immutable `Map.updated` there
+    * allocates a fresh map per row, which at billions of rows dominates
+    * the whole sketch pass (it was the measured bottleneck at sf10).
+    * Serialization (the encoder) only touches the buffer at partial-agg
+    * shuffle boundaries, never per row.
+    *
     * reduce: classic MG — increment a tracked item, insert while free
     * slots remain, else decrement ALL counters (dropping zeros). The
-    * decrement rebuild is O(k) but fires at most n/(k+1) times total, so
+    * decrement sweep is O(k) but fires at most n/(k+1) times total, so
     * the per-row cost is amortized O(1).
     *
     * merge (per map partition per group, not per row): sum counters,
@@ -36,31 +46,38 @@ object Freq {
     * (Agarwal et al., "Mergeable Summaries", PODS'12), preserving the
     * n/(k+1) guarantee. */
   final class MisraGries(k: Int)
-      extends Aggregator[String, Map[String, Long], Seq[String]] {
+      extends Aggregator[String, mutable.HashMap[String, Long], Seq[String]] {
 
-    override def zero: Map[String, Long] = Map.empty
+    override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
-    override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
-      b.get(x) match {
-        case Some(c)            => b.updated(x, c + 1L)
-        case None if b.size < k => b.updated(x, 1L)
-        case None =>
-          b.flatMap { case (w, c) => if (c > 1L) Some(w -> (c - 1L)) else None }
-      }
-
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val sum = b.foldLeft(a) { case (m, (w, c)) =>
-        m.updated(w, m.getOrElse(w, 0L) + c)
-      }
-      if (sum.size <= k) sum
+    override def reduce(
+        b: mutable.HashMap[String, Long], x: String): mutable.HashMap[String, Long] = {
+      val c = b.getOrElse(x, 0L)
+      if (c > 0L || b.size < k) b.update(x, c + 1L)
       else {
-        val cut = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
-        sum.flatMap { case (w, c) => if (c > cut) Some(w -> (c - cut)) else None }
+        // decrement-all, dropping zeros: two in-place O(k) sweeps
+        b.mapValuesInPlace((_, c) => c - 1L)
+        b.filterInPlace((_, c) => c > 0L)
       }
+      b
     }
 
-    override def finish(r: Map[String, Long]): Seq[String] = r.keys.toSeq.sorted
-    override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    override def merge(
+        a: mutable.HashMap[String, Long],
+        b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+      b.foreach { case (w, c) => a.update(w, a.getOrElse(w, 0L) + c) }
+      if (a.size > k) {
+        val cut = a.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+        a.mapValuesInPlace((_, c) => c - cut)
+        a.filterInPlace((_, c) => c > 0L)
+      }
+      a
+    }
+
+    override def finish(r: mutable.HashMap[String, Long]): Seq[String] =
+      r.keys.toSeq.sorted
+    override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+      ExpressionEncoder()
     override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()
   }
 
@@ -72,25 +89,31 @@ object Freq {
     * longer covers the threshold and true heavy hitters could be missed
     * — enforced here, not documented away.
     *
+    * Null items carry no identity and are dropped ONCE, up front, so the
+    * population n, the sketch stream, and the verify count all agree on
+    * what they are counting (a null-bearing column must not inflate the
+    * threshold denominator against keys that can never match it).
+    *
     * Plan shape (asserted in PlanSpec): pass 1 aggregates the sketch
     * (map-side partial MG buffers merge; the shuffle is k counters per
     * partition); the <= k candidates and the single total-count row then
     * BROADCAST into pass 2, whose only shuffle groups the candidate
-    * keys' rows. */
+    * keys' rows. The total joins in as an explicit crossJoin — it is a
+    * deliberate 1-row broadcast, not an accidental cross product. */
   def heavyHitters(spark: SparkSession, items: DataFrame, k: Int, denom: Long): DataFrame = {
     require(k + 1 >= denom,
       s"heavyHitters: k=$k counters cannot guarantee capture at threshold 1/$denom " +
         s"(need k+1 >= denom) — raise k or the threshold")
     import spark.implicits._
-    val strs: Dataset[String] = items.select(col("item").cast("string")).as[String]
-    val candidates = strs
+    val pop = items.select(col("item").cast("string")).filter(col("item").isNotNull)
+    val candidates = pop.as[String]
       .select(new MisraGries(k).toColumn.name("cands"))
       .select(explode(col("cands")).as("item"))
-    val total = items.agg(count(lit(1)).as("n"))
-    items.join(broadcast(candidates), "item")
+    val total = pop.agg(count(lit(1)).as("n"))
+    pop.join(broadcast(candidates), "item")
       .groupBy(col("item"))
       .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(total))
+      .crossJoin(broadcast(total))
       .filter(col("cnt") * lit(denom) > col("n"))
       .select(col("item"), col("cnt"))
   }

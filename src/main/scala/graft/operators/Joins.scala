@@ -35,6 +35,15 @@ object Joins {
     * as "at or before" (tag orders right rows first within a second,
     * matching ASOF's inclusive `>=`).
     *
+    * SKEW BOUND: the window partition is one key's ENTIRE history, so
+    * the hottest key's row count must fit one task — the right default
+    * when keys are users/sessions/devices (millions of modest keys).
+    * For a corpus where one key carries a constant fraction of all rows
+    * (a global sentinel key, one dominant tenant), use
+    * [[asOfJoinChunked]], whose partitions are bounded by
+    * rows-per-(key, chunk) at any skew — demonstrated on a 90%-one-key
+    * corpus in SkewSpec.
+    *
     * @param left     rows to enrich; must carry `key`, `ts`, `leftId`
     * @param right    lookup stream; must carry `key`, `ts`, `rightId`
     *                 plus `rightPayload` columns to surface
@@ -45,6 +54,17 @@ object Joins {
       left: DataFrame, right: DataFrame,
       key: String, ts: String, leftId: String, rightId: String,
       rightPayload: Seq[(String, String)]): DataFrame = {
+    // fail-loud on working-name collisions (same convention as
+    // Freq.heavyHitters' require): an input already carrying one of the
+    // fabricated columns would silently corrupt the union/window logic
+    val reserved = Seq("_tag", "_id", "_r_id", "asof_id") ++
+      rightPayload.map { case (_, a) => s"_p_$a" }
+    val clash = (left.columns ++ right.columns).distinct.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"asOfJoin: input columns collide with reserved working names: ${clash.mkString(", ")}")
+    val aliasClash = rightPayload.map(_._2).filter(Seq(key, ts, leftId, "asof_id").contains)
+    require(aliasClash.isEmpty,
+      s"asOfJoin: payload aliases shadow output columns: ${aliasClash.mkString(", ")}")
     // one unioned stream: right rows carry their payload, left rows null
     val payloadIn = rightPayload.map { case (c, a) => col(c).as(s"_p_$a") }
     val r = right.select(
@@ -67,6 +87,98 @@ object Joins {
     answered.filter(col("_tag") === 1)
       .select(Seq(col("_id").as(leftId), col(key), col(ts), col("asof_id")) ++
         rightPayload.map { case (_, a) => col(a) }: _*)
+  }
+
+  /** [[asOfJoin]] with BOUNDED window partitions — the skew-proof form.
+    *
+    * The one-window form above puts a key's ENTIRE history through one
+    * sorted window task; a 90%-one-key corpus (one hot user, one global
+    * sentinel key) serializes 90% of 100 TB into that task. This variant
+    * decomposes by time, mirroring [[rangeAggFixed]]'s segment-tree
+    * trick and Sampling.packSequences' two-phase prefix sum:
+    *
+    *   1. the unioned stream windows over (key, chunk) where
+    *      `chunk = ts div chunkSeconds` — partition size is bounded by
+    *      one key's rows in ONE chunk, whatever the key skew;
+    *   2. per-(key, chunk) carry-outs (the chunk's final right-state:
+    *      latest right id by (ts, id), plus per-payload latest NON-NULL
+    *      value — tracked separately, because the running state the
+    *      window carries is last-non-null per column) aggregate to one
+    *      row per occupied chunk — bounded by time-range/chunkSeconds,
+    *      not by row count;
+    *   3. carry-ins (latest carry-out of any EARLIER chunk) resolve with
+    *      a window over that tiny spine, join back on (key, chunk) —
+    *      reusing the step-1 partitioning — and fill where the local
+    *      running state is null.
+    *
+    * Exactly [[asOfJoin]]'s semantics (property-tested equivalent in
+    * JoinsProps over arbitrary geometry and chunk widths, ties and
+    * cross-chunk lookbacks included); costs 2 extra bounded-size
+    * shuffles, so the one-window form stays the default for corpora
+    * whose hottest key fits an executor. */
+  def asOfJoinChunked(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String, leftId: String, rightId: String,
+      rightPayload: Seq[(String, String)], chunkSeconds: Long = 86400L): DataFrame = {
+    require(chunkSeconds > 0)
+    val aliases = rightPayload.map(_._2)
+    val reserved = Seq("_tag", "_id", "_r_id", "_chunk", "asof_id") ++
+      aliases.map(a => s"_p_$a") ++ aliases.map(a => s"_co_$a") ++ aliases.map(a => s"_ci_$a")
+    val clash = (left.columns ++ right.columns).distinct.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"asOfJoinChunked: input columns collide with reserved working names: ${clash.mkString(", ")}")
+    require(aliases.filter(Seq(key, ts, leftId, "asof_id").contains).isEmpty,
+      "asOfJoinChunked: payload aliases shadow output columns")
+
+    val payloadIn = rightPayload.map { case (c, a) => col(c).as(s"_p_$a") }
+    val r = right.select(
+      Seq(col(key), col(ts), lit(0).as("_tag"), col(rightId).as("_id"),
+        col(rightId).as("_r_id")) ++ payloadIn: _*)
+    val l = left.select(
+      Seq(col(key), col(ts), lit(1).as("_tag"), col(leftId).as("_id"),
+        lit(null).cast(r.schema("_r_id").dataType).as("_r_id")) ++
+        rightPayload.map { case (c, a) =>
+          lit(null).cast(r.schema(s"_p_$a").dataType).as(s"_p_$a") }: _*)
+    val chunk = floor(unix_timestamp(col(ts)) / chunkSeconds)
+    val u = r.unionByName(l).withColumn("_chunk", chunk)
+
+    // 1. running right-state WITHIN (key, chunk) — the bounded window
+    val wLoc = Window.partitionBy(col(key), col("_chunk"))
+      .orderBy(col(ts).asc, col("_tag").asc, col("_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = u
+      .withColumn("asof_id", last(col("_r_id"), ignoreNulls = true).over(wLoc))
+      .withColumns(rightPayload.map { case (_, a) =>
+        a -> last(col(s"_p_$a"), ignoreNulls = true).over(wLoc) }.toMap)
+
+    // 2. per-(key, chunk) carry-outs, right rows only; one row per
+    // occupied chunk. Per-payload max_by keys on a null-when-payload-null
+    // ordinal so it tracks the latest NON-NULL value, matching what
+    // last(_, ignoreNulls) carries across the boundary.
+    val rc = r.withColumn("_chunk", chunk)
+    val ord = struct(col(ts), col("_id"))
+    val carryOut = rc.groupBy(col(key), col("_chunk"))
+      .agg(max_by(col("_r_id"), ord).as("_co_id"),
+        rightPayload.map { case (_, a) =>
+          max_by(col(s"_p_$a"), when(col(s"_p_$a").isNotNull, ord)).as(s"_co_$a") }: _*)
+
+    // 3. carry-ins over the occupied-chunk spine (strictly earlier chunks)
+    val wPrev = Window.partitionBy(col(key)).orderBy(col("_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spine = u.select(col(key), col("_chunk")).distinct()
+      .join(carryOut, Seq(key, "_chunk"), "left")
+      .withColumn("_ci_id", last(col("_co_id"), ignoreNulls = true).over(wPrev))
+      .withColumns(rightPayload.map { case (_, a) =>
+        s"_ci_$a" -> last(col(s"_co_$a"), ignoreNulls = true).over(wPrev) }.toMap)
+      .select(col(key) +: col("_chunk") +: col("_ci_id") +:
+        rightPayload.map { case (_, a) => col(s"_ci_$a") }: _*)
+
+    local.join(spine, Seq(key, "_chunk"))
+      .filter(col("_tag") === 1)
+      .select(Seq(col("_id").as(leftId), col(key), col(ts),
+        coalesce(col("asof_id"), col("_ci_id")).as("asof_id")) ++
+        rightPayload.map { case (_, a) =>
+          coalesce(col(a), col(s"_ci_$a")).as(a) }: _*)
   }
 
   /** Interval (range) join: pair each probe row with every interval
@@ -102,7 +214,14 @@ object Joins {
     val loS = unix_timestamp(col(lo))
     val hiS = unix_timestamp(col(hi))
     val ivb = intervals
-      // [lo, hi) touches buckets floor(lo/W)..floor((hi-1)/W)
+      // guard BEFORE the explode: an empty/inverted interval ([lo, lo) or
+      // hi < lo — bad data) can match nothing under `lo <= ts < hi`, but
+      // unguarded it feeds sequence() a start > stop, which silently
+      // generates a DESCENDING bucket array (default step -1) — a fan-out
+      // cliff, not a correctness error, so it must fail closed here
+      .filter(hiS > loS)
+      // a non-empty [lo, hi) touches buckets floor(lo/W)..floor((hi-1)/W),
+      // an ascending range since hi-1 >= lo
       .withColumn("_bucket",
         explode(sequence(floor(loS / bucketSeconds),
           floor((hiS - 1) / bucketSeconds))))

@@ -42,15 +42,62 @@ object Sampling {
     * rows are laid out in `orderCol` order and cut into packs by running
     * token count — `pack_id = floor(exclusive_prefix_sum / budget)`, i.e.
     * first-fit in arrival order where a document straddling a boundary
-    * opens the next pack. One window shuffle on the shard key; at 100 TB
-    * the shard column (language, source, date bucket) keeps each window
-    * partition executor-sized. Emits per-row pack assignment; aggregate
-    * over (shard, pack_id) for pack manifests. */
+    * opens the next pack.
+    *
+    * TWO-PHASE prefix sum, because the single-window form
+    * (`sum.over(partitionBy(shard).orderBy(order))`) routes a shard's
+    * ENTIRE corpus through one sorted window task — with shard=language,
+    * a web-scale English corpus is one task, and the operator dies at
+    * 100 TB. Instead:
+    *
+    *   1. rows sub-shard by `orderCol div subWidth` — a MONOTONE
+    *      bucketing of the order key, so (sub, orderCol) order ≡ plain
+    *      orderCol order and equal order keys always share a sub-shard;
+    *      the local prefix sum windows over (shard, sub), whose size is
+    *      bounded by the rows in one `subWidth`-wide key range, however
+    *      skewed the shards are;
+    *   2. per-(shard, sub) token totals — one tiny aggregate, one row
+    *      per occupied sub-shard (≤ key-range/subWidth rows, data-size
+    *      independent) — window into exclusive per-sub offsets;
+    *   3. the offsets broadcast-join back and add: identical pack_id
+    *      arithmetic to the single window (property-tested equivalent in
+    *      CurationProps under arbitrary shard/key skew).
+    *
+    * The big side still shuffles exactly once (the (shard, sub) window);
+    * the offsets table costs two KB-scale stages. `orderCol` must be
+    * integral (or castable to BIGINT — timestamps order by epoch
+    * second); a doc straddling a sub-shard boundary packs exactly as in
+    * the single-window form because only the running SUM crosses the
+    * boundary, never the row. Emits per-row `cum_tokens`/`pack_id`;
+    * aggregate over (shard, pack_id) for pack manifests. */
   def packSequences(df: DataFrame, shardCol: String, orderCol: String,
-      tokensCol: String, budget: Long): DataFrame = {
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
-    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      tokensCol: String, budget: Long, subWidth: Long = 1L << 20): DataFrame = {
+    require(budget > 0 && subWidth > 0)
+    val reserved = Seq("_sub", "_cum_local", "_sub_tot", "_off")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"packSequences: input columns collide with reserved working names: ${clash.mkString(", ")}")
+    // integer DIV: exact at any BIGINT magnitude (a double floor-div
+    // loses monotonicity past 2^53) and monotone in orderCol
+    val sub = expr(s"CAST(`$orderCol` AS BIGINT) DIV $subWidth")
+    val withSub = df.withColumn("_sub", sub)
+    val wLocal = Window.partitionBy(col(shardCol), col("_sub")).orderBy(col(orderCol))
+    val offsets = withSub
+      .groupBy(col(shardCol), col("_sub"))
+      .agg(sum(col(tokensCol)).as("_sub_tot"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_sub_tot")).over(Window.partitionBy(col(shardCol))
+            .orderBy(col("_sub"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("_sub_tot")
+    withSub
+      .withColumn("_cum_local", sum(col(tokensCol)).over(wLocal))
+      .join(broadcast(offsets), Seq(shardCol, "_sub"))
+      .withColumn("cum_tokens", col("_cum_local") + col("_off"))
       .withColumn("pack_id",
         floor((col("cum_tokens") - col(tokensCol)) / budget).cast("long"))
+      .drop("_sub", "_cum_local", "_off")
   }
 }

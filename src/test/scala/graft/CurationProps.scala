@@ -68,4 +68,50 @@ object CurationProps extends Properties("CurationSemantics") {
       val none = Dedup.contaminated(train, disjoint, k = 3, minCommon = 2).count()
       self == nEligible && none == 0
     }
+
+  // ---- sequence packing ----------------------------------------------------
+
+  /** Order keys cluster (duplicates + sub-shard-boundary values), shards
+    * skew 6:1 toward one value, and negatives exercise truncating-DIV
+    * monotonicity around zero — the geometries where a wrong sub-shard
+    * offset or tie-frame mismatch would show. */
+  private val genPackRows: Gen[List[(String, Long, Long)]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      shard <- Gen.frequency(6 -> Gen.const("en"), 1 -> Gen.oneOf("de", "zh"))
+      ok <- Gen.oneOf(Gen.choose(-20L, -5L), Gen.choose(0L, 15L),
+        Gen.choose(60L, 80L), Gen.choose(1000L, 1010L))
+      tok <- Gen.choose(1L, 300L)
+    } yield (shard, ok, tok))
+  } yield rows
+
+  /** The scale-safe two-phase packing (bounded (shard, sub) window
+    * partitions + broadcast sub-shard offsets) must assign the IDENTICAL
+    * cum_tokens/pack_id as the obviously-correct single window over the
+    * whole shard — for any sub-shard width, including widths that slice
+    * every cluster of keys across many sub-shards. */
+  property("two-phase packSequences == single-window packing") =
+    Prop.forAll(genPackRows, Gen.oneOf(1L, 4L, 16L), Gen.oneOf(256L, 512L)) {
+      (rows, subW, budget) =>
+        import TestSpark.spark
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.Sampling
+        def rowSet(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("shard"), col("ok"), col("tokens"),
+            col("cum_tokens"), col("pack_id"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+          .toList.sorted
+        val df = rows.toDF("shard", "ok", "tokens")
+        val got = rowSet(
+          Sampling.packSequences(df, "shard", "ok", "tokens", budget, subW))
+        val w = Window.partitionBy(col("shard")).orderBy(col("ok"))
+        val want = rowSet(df
+          .withColumn("cum_tokens", sum(col("tokens")).over(w))
+          .withColumn("pack_id",
+            floor((col("cum_tokens") - col("tokens")) / budget).cast("long")))
+        Prop(got == want) :| s"subW=$subW budget=$budget got=$got want=$want"
+    }
 }

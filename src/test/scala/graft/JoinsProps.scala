@@ -51,6 +51,32 @@ object JoinsProps extends Properties("TemporalJoinSemantics") {
       Prop(got == want) :| s"got=$got want=$want"
     }
 
+  /** The skew-proof chunked decomposition must be indistinguishable from
+    * the one-window form — including the payload it carries — for any
+    * chunk width: 1 s (every row its own chunk, everything resolves via
+    * carry-ins), the 900 s event grid (boundary-aligned chunks), and a
+    * width larger than the whole time range (single chunk — degenerates
+    * to the one-window form). */
+  property("asOfJoinChunked == asOfJoin at any chunk width") =
+    Prop.forAll(genEvents, Gen.oneOf(1L, 450L, 900L, 1000000000L)) {
+      case ((ls, rs), chunkSeconds) =>
+        import TestSpark.spark
+        import spark.implicits._
+        def df(xs: List[(Long, Long, Long)]) = xs.toDF("event_id", "user_id", "es")
+          .withColumn("ts", col("es").cast("timestamp")).drop("es")
+        def run(f: => org.apache.spark.sql.DataFrame) = f
+          .select(col("event_id"), col("asof_id"), col("r_ts")).collect()
+          .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+        val payload = Seq("ts" -> "r_ts")
+        val got = run(Joins.asOfJoinChunked(df(ls), df(rs), key = "user_id",
+          ts = "ts", leftId = "event_id", rightId = "event_id",
+          rightPayload = payload, chunkSeconds = chunkSeconds))
+        val want = run(Joins.asOfJoin(df(ls), df(rs), key = "user_id",
+          ts = "ts", leftId = "event_id", rightId = "event_id",
+          rightPayload = payload))
+        Prop(got == want) :| s"chunk=$chunkSeconds got=$got want=$want"
+    }
+
   private val genIntervals: Gen[(List[(Long, Long)], List[(Long, Long, Long)], Long, Long)] =
     for {
       ni <- Gen.choose(1, 10)

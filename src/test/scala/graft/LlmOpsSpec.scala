@@ -195,6 +195,51 @@ class LlmOpsSpec extends AnyFunSuite {
       s"true heavy hitters lost by the sketch: $cands")
   }
 
+  test("multimodal binary -> decode features -> ANN dedup/search composes end-to-end") {
+    import spark.implicits._
+    import graft.operators.Ann
+    // 20 docs; 18 is a planted byte-identical duplicate of 13 (same text
+    // AND doc_id % 5 — same container header, so the whole binary
+    // matches); 7 and 12 carry distinctive byte histograms
+    val texts = (0 until 20).map {
+      case 7  => "zzzz zzzz zzzz zzzz zzzz zzzz zzzz"
+      case 12 => "qq a qq b qq c qq d qq e qq f qq g"
+      case i  => s"doc $i body " + (s"word$i " * (i + 1)).trim
+    }
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, if (i == 18) texts(13) else t) }
+      .toDF("doc_id", "text")
+    // binary → typed meta → stub decode: the features column is the
+    // real fixed-width contract a codec-backed decoder would fill
+    val feats = Multimodal.decodeStub(Multimodal.withMetaFromDocs(df))
+      .select(col("doc_id"), col("modality"), col("features"))
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    assert(feats.schema("features").dataType.asInstanceOf[ArrayType]
+      .elementType == FloatType)
+    // features → embedding-cosine LSH near-dup: the byte-identical pair
+    // must collide and verify at cosine ~1
+    val emb = feats.select(col("doc_id").as("vec_id"), col("features").as("ce"))
+    val pairs = Dedup.embeddingCosPairs(emb, tables = 4, bitsPerTable = 2,
+        minCosQ = 999999L, dim = Multimodal.featureDim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((13L, 18L)),
+      s"planted byte-identical duplicate not surfaced by LSH+verify: $pairs")
+    // features → IVF search (cells = sniffed modality): each query's
+    // nearest neighbor is itself at quantized cosine 1e6
+    val corpus = feats.select(col("modality").as("cell"),
+      col("doc_id").as("corpus_id"), col("features").as("ce"))
+    val queries = feats.filter(col("doc_id").isin(7L, 12L))
+      .select(col("doc_id").as("query_id"), col("features").as("qe"))
+    val top1 = Ann.ivfTopK(queries, corpus, k = 3, nprobe = 5,
+        dim = Multimodal.featureDim)
+      .filter(col("rnk") === 1).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Long]("score_q"))).toList.sortBy(_._1)
+    assert(top1.map(t => t._1 -> t._2) == List(7L -> 7L, 12L -> 12L),
+      s"self-match not top-1: $top1")
+    assert(top1.forall(_._3 >= 999999L), s"self-cosine below 1.0 tick: $top1")
+  }
+
   test("heavyHitters returns the exact answer on a skewed corpus") {
     import spark.implicits._
     // 3 heavy items above 1/10 of a 10k stream, 500-word noise tail

@@ -103,9 +103,14 @@ class PlanSpec extends AnyFunSuite {
       // fingerprint window + final per-language agg; langid/quality/keep
       // are projections folded into the scan stage
       "q_pipeline_prep" -> 2,
-      // sampling is a pure scan-speed filter; packing pays the shard
-      // window + the (shard, pack) manifest agg
-      "q_sample_stratified" -> 0, "q_pack_sequences" -> 2,
+      // sampling is a pure scan-speed filter; two-phase packing pays the
+      // bounded (shard, sub) window [the only corpus-sized shuffle] + the
+      // map-side-combined per-sub totals agg + the KB-scale offsets
+      // window + the (shard, pack) manifest agg — 4 exchanges, of which
+      // three carry row counts bounded by occupied sub-shards / packs,
+      // never by the corpus (the trade that removed the unbounded
+      // per-language window partition)
+      "q_sample_stratified" -> 0, "q_pack_sequences" -> 4,
       // as-of = union + ONE window shuffle on the key (no join at all);
       // range agg decomposition = per-second agg + per-block agg + the
       // edge join's re-key on blk + final per-interval agg — 4, but
@@ -116,6 +121,11 @@ class PlanSpec extends AnyFunSuite {
       // heavy hitters = candidate-rows group-by (the sketch agg and the
       // total are single-partition, candidates broadcast)
       "q_asof_join" -> 1, "q_range_join" -> 4, "q_dedup_spans" -> 3,
+      // chunked as-of: the bounded (key, chunk) window [the only
+      // corpus-sized shuffle] + map-side-combined carry-out agg +
+      // spine distinct + KB-scale carry-in window; the spine itself
+      // broadcasts back (2 BroadcastExchanges, 0 extra shuffles)
+      "q_asof_join_chunked" -> 4,
       "q_freq_heavyhitters" -> 1,
       // sketches partial-aggregate map-side; one shuffle of sketch state
       "q_profile_sketch" -> 1)
@@ -207,7 +217,8 @@ class PlanSpec extends AnyFunSuite {
       // the target rank
       val sorted = byKey(key)
       val n = sorted.length
-      val approxP = r.getSeq[Double](3)
+      // p50/p95/p99 are scalar DOUBLE columns (flat profiling output)
+      val approxP = Seq(r.getDouble(3), r.getDouble(4), r.getDouble(5))
       for ((a, q) <- approxP.zip(Seq(0.5, 0.95, 0.99))) {
         val cntLt = sorted.count(_ < a)
         val cntLe = sorted.count(_ <= a)
@@ -216,7 +227,7 @@ class PlanSpec extends AnyFunSuite {
           s"$key q=$q: value $a has rank window [$cntLt, $cntLe] of $n")
       }
       assert(approxP(0) <= approxP(1) && approxP(1) <= approxP(2))
-      assert(approxP(0) >= r.getDouble(4) && approxP(2) <= r.getDouble(5))
+      assert(approxP(0) >= r.getDouble(6) && approxP(2) <= r.getDouble(7))
     }
   }
 

@@ -44,4 +44,48 @@ class SkewSpec extends AnyFunSuite {
         s"AQE did not mark the hot partition as skewed:\n${plan.take(4000)}")
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
+
+  test("as-of join under 90%-one-key skew: chunked carry matches, partitions bounded") {
+    import spark.implicits._
+    import graft.operators.Joins
+    // 90% of all events on ONE key — the geometry where asOfJoin's
+    // per-key window serializes the corpus through one task. 10k rows
+    // keeps the test fast; the BOUND is what transfers: the chunked
+    // form's window partitions by (key, chunk), so the hot key splits
+    // across time-range/chunkSeconds partitions instead of one.
+    val n = 10000
+    val rows = (0 until n).map { i =>
+      val key = if (i % 10 == 9) (i % 7).toLong + 1L else 0L // key 0 = 90%
+      (i.toLong, key, 1000000L + (i * 13) % 86400,
+        if (i % 2 == 0) "purchase" else "click",
+        // null payloads on a third of clicks: the carry must track
+        // last-NON-NULL per payload column across chunk boundaries
+        if (i % 3 == 0) null else s"page${i % 50}")
+    }
+    val ev = rows.toDF("event_id", "user_id", "es", "event_type", "page")
+      .withColumn("ts", col("es").cast("timestamp")).drop("es")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("page"))
+    def collect(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("asof_id"), col("click_page")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val payload = Seq("page" -> "click_page")
+    val oneWindow = collect(Joins.asOfJoin(purchases, clicks,
+      key = "user_id", ts = "ts", leftId = "event_id", rightId = "event_id",
+      rightPayload = payload))
+    val chunked = Joins.asOfJoinChunked(purchases, clicks,
+      key = "user_id", ts = "ts", leftId = "event_id", rightId = "event_id",
+      rightPayload = payload, chunkSeconds = 3600L)
+    assert(collect(chunked) == oneWindow,
+      "chunked as-of diverged from the one-window form under skew")
+    // the plan's big window must partition by (key, chunk), never key alone
+    val plan = chunked.queryExecution.executedPlan.toString
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty, plan.take(2000))
+    assert(winSpecs.exists(s => s.contains("user_id") && s.contains("_chunk")),
+      s"expected a (key, chunk)-partitioned window:\n${winSpecs.mkString("\n")}")
+  }
 }
