@@ -98,6 +98,34 @@ object StreamingJobs {
         max(col("r_ts")).as("asof_ts"))
       .select(col("l_id"), col(key), col("l_ts"), col("asof_id"), col("asof_ts"))
 
+  /** Streaming heavy-hitter CANDIDATES per event-time window — the
+    * streaming twin of operators.Freq.heavyHitters' sketch pass.
+    *
+    * The same mergeable Misra-Gries Aggregator runs as the windowed
+    * aggregate (wrapped via `udaf` so the state store holds the
+    * k-counter buffer): state per open window is k counters, never the
+    * item domain — the bound that makes frequent-items tractable on an
+    * unbounded stream. Each closed window emits its ≤k surviving items
+    * plus the window's total n; MG guarantees every item with count >
+    * n/(k+1) is in that set, so the emission is a SUPERSET of the true
+    * heavy hitters at any threshold above the bound. The second (exact
+    * verify) pass of the batch operator needs a rescan by definition —
+    * in a streaming deployment it runs as the batch `heavyHitters` over
+    * the landed window's data, with the streamed candidates as the
+    * alerting/pre-filter signal. */
+  def heavyHittersStream(items: DataFrame, windowDur: String,
+      watermarkDelay: String, k: Int): DataFrame = {
+    val mg = udaf(new graft.operators.Freq.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    items
+      .filter(col("item").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(mg(col("item")).as("cands"), count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"),
+        explode(col("cands")).as("item"), col("n"))
+  }
+
   /** Streaming twin of the curation pipeline (QueriesLlm.pipelinePrep):
     * language-ID and the quality gate run as STATELESS projections at
     * ingest rate; dedup keys on the normalized-content fingerprint with

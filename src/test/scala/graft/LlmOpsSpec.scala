@@ -164,6 +164,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(3L) == ("v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 tail words only", 0L))
   }
 
+  test("span dedup: a null-text doc comes back as empty text, not null") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, null: String)).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(df, spanWords = 10).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[String]("clean_text"), x.getAs[Long]("n_removed"))).toMap
+    assert(r(2L) == ("", 0L), "the every-doc-comes-back contract covers null text")
+    assert(r(1L) == ("a b c", 0L))
+  }
+
   test("span dedup: within-doc refrains are not self-boilerplate") {
     import spark.implicits._
     val refrain = (1 to 10).map(i => s"r$i").mkString(" ")

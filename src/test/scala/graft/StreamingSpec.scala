@@ -85,6 +85,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: k-counter state per window, hot items always emitted") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "item")
+    val q = StreamingJobs.heavyHittersStream(df, "1 hour", "10 minutes", k = 4)
+      .writeStream.format("memory").queryName("hh_out").outputMode("append").start()
+    try {
+      // hour-0 window: 30× "hot" + 20 distinct noise items (n=50,
+      // n/(k+1)=10 — "hot" must survive any adversarial decrement order)
+      val hot = (0 until 30).map(i => (ts(i.toLong), "hot"))
+      val noise = (0 until 20).map(i => (ts(30L + i % 25), s"w$i"))
+      feed(q)(in.addData(hot ++ noise))
+      feed(q)(in.addData((ts(900), "later"))) // advance watermark, close hour 0
+      val rows = spark.table("hh_out").collect()
+        .map(r => (r.getAs[String]("item"), r.getAs[Long]("n")))
+      assert(rows.nonEmpty && rows.length <= 4,
+        s"a window emits at most k candidate rows: ${rows.toSeq}")
+      assert(rows.exists(_._1 == "hot"),
+        s"true heavy hitter lost by the streaming sketch: ${rows.toSeq}")
+      assert(rows.forall(_._2 == 50L), s"window total must ride along: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming as-of join picks the single latest in-lookback right event") {
     implicit val ctx = spark.sqlContext
     val purchases = MemoryStream[(Long, Timestamp, Long)]
