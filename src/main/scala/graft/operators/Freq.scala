@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -94,26 +94,27 @@ object Freq {
     * what they are counting (a null-bearing column must not inflate the
     * threshold denominator against keys that can never match it).
     *
-    * Plan shape (asserted in PlanSpec): pass 1 aggregates the sketch
-    * (map-side partial MG buffers merge; the shuffle is k counters per
-    * partition); the <= k candidates and the single total-count row then
-    * BROADCAST into pass 2, whose only shuffle groups the candidate
-    * keys' rows. The total joins in as an explicit crossJoin — it is a
-    * deliberate 1-row broadcast, not an accidental cross product. */
+    * Plan shape (asserted in PlanSpec): pass 1 aggregates the sketch AND
+    * the population count in ONE scan (the udaf-wrapped MG and count()
+    * are parallel aggregates of the same groupBy — a separate
+    * total-count pass would re-scan the whole stream); the <= k
+    * candidate rows, each carrying n, then BROADCAST into pass 2, whose
+    * only shuffle groups the candidate keys' rows. Two scans of the
+    * stream total — the information-theoretic floor for exact output
+    * (the sketch cannot know exact counts, and the verify cannot know
+    * the candidates in the same pass). */
   def heavyHitters(spark: SparkSession, items: DataFrame, k: Int, denom: Long): DataFrame = {
     require(k + 1 >= denom,
       s"heavyHitters: k=$k counters cannot guarantee capture at threshold 1/$denom " +
         s"(need k+1 >= denom) — raise k or the threshold")
-    import spark.implicits._
+    val mg = udaf(new MisraGries(k), org.apache.spark.sql.Encoders.STRING)
     val pop = items.select(col("item").cast("string")).filter(col("item").isNotNull)
-    val candidates = pop.as[String]
-      .select(new MisraGries(k).toColumn.name("cands"))
-      .select(explode(col("cands")).as("item"))
-    val total = pop.agg(count(lit(1)).as("n"))
+    val candidates = pop
+      .agg(mg(col("item")).as("cands"), count(lit(1)).as("n"))
+      .select(explode(col("cands")).as("item"), col("n"))
     pop.join(broadcast(candidates), "item")
-      .groupBy(col("item"))
+      .groupBy(col("item"), col("n"))
       .agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
       .filter(col("cnt") * lit(denom) > col("n"))
       .select(col("item"), col("cnt"))
   }

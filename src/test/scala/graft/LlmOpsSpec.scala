@@ -250,6 +250,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(top1.forall(_._3 >= 999999L), s"self-cosine below 1.0 tick: $top1")
   }
 
+  test("IVF contract: nprobe=all is exactly brute force; nprobe=1 is the exact in-cell top-k") {
+    import graft.operators.Ann
+    val emb = Tables(spark, sfDir).embeddings
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("label").as("cell"), col("vec_id").as("corpus_id"),
+        col("embedding").as("ce"))
+    val nCells = corpus.select(col("cell")).distinct().count().toInt
+    def ids(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("corpus_id"), col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = ids(Ann.bruteForceTopK(queries, corpus.drop("cell"), k = 10))
+    // probing every cell removes the approximation entirely — scores,
+    // tie-breaks and ranks must be IDENTICAL to the brute-force scan
+    assert(ids(Ann.ivfTopK(queries, corpus, k = 10, nprobe = nCells)) == brute)
+    // single-probe: the approximation must degrade EXACTLY as designed —
+    // all of a query's results come from one probed cell, and within
+    // that cell they are precisely the brute-force top-10 (this corpus's
+    // random embeddings make the cells uninformative, so GLOBAL recall
+    // at nprobe=1 is ~1/nCells by construction — per-cell exactness is
+    // the honest contract, a recall floor here would assert noise)
+    val one = Ann.ivfTopK(queries, corpus, k = 10, nprobe = 1)
+      .select(col("query_id"), col("cell"), col("corpus_id"), col("rnk")).collect()
+      .map(r => (r.getLong(0), r.get(1), r.getLong(2), r.getInt(3)))
+    for ((qid, rows) <- one.groupBy(_._1)) {
+      val cells = rows.map(_._2).distinct
+      assert(cells.length == 1, s"query $qid probed ${cells.length} cells at nprobe=1")
+      val inCell = ids(Ann.bruteForceTopK(
+        queries.filter(col("query_id") === qid),
+        corpus.filter(col("cell") === cells.head).drop("cell"), k = 10))
+      assert(rows.map(t => (t._1, t._3, t._4)).toSet == inCell,
+        s"query $qid: nprobe=1 is not the exact in-cell top-10")
+    }
+  }
+
   test("heavyHitters returns the exact answer on a skewed corpus") {
     import spark.implicits._
     // 3 heavy items above 1/10 of a 10k stream, 500-word noise tail

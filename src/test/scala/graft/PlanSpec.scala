@@ -179,14 +179,18 @@ class PlanSpec extends AnyFunSuite {
       !aggPlan.contains("CartesianProduct"), aggPlan)
   }
 
-  test("heavy hitters: candidates and total broadcast into the verify pass") {
+  test("heavy hitters: candidates (carrying n) broadcast into the verify pass") {
     val df = QueriesLlm.freqHeavyHitters(spark, sfDir)
     val plan = physicalPlan(df)
-    // the <= k candidate set and the 1-row total must broadcast; the
-    // only hash shuffle groups the candidate keys' rows
-    assert("BroadcastExchange".r.findAllIn(plan).length >= 2,
-      s"candidates + total must broadcast:\n$plan")
+    // the <= k candidate rows (each carrying the population count from
+    // the SAME scan as the sketch) must broadcast; the only hash shuffle
+    // groups the candidate keys' rows. Exactly one broadcast — a second
+    // one would mean the total-count re-scan crept back in.
+    assert("BroadcastExchange".r.findAllIn(plan).length == 1,
+      s"candidates+n must broadcast once:\n$plan")
     assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1, plan)
+    // two scans of the item stream — sketch+count, then verify — never three
+    assert("Scan parquet".r.findAllIn(plan).length <= 2, plan)
   }
 
   test("sketch profile: one shuffle of sketch state, accuracy vs exact aggregates") {
