@@ -40,6 +40,17 @@ object QueriesLlm {
     Dedup.spanDedup(docs(s, dir), spanWords = 10, maxDf = 1L)
       .select(col("doc_id"), col("clean_text"), col("n_removed"))
 
+  /** Near-dup CLUSTERS from the minhash candidate pairs: pair emission
+    * says A~B and B~C; clustering says {A,B,C} is one duplicate group
+    * with one survivor (the minimum doc id = the component label) — via
+    * [[operators.Components.connectedComponents]]' bounded-round
+    * pointer-doubling label propagation. */
+  val dedupClusters: Q = (s, dir) =>
+    operators.Components.connectedComponents(
+        Dedup.minhashCandidates(docs(s, dir), k = 3, perms = 8, bands = 4),
+        "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component"))
+
   /** Exact heavy hitters (vocabulary items above 2% of the token stream)
     * via the Misra-Gries sketch + exact-verify two-pass: the corpus-wide
     * shuffle carries k=64 counters per partition, never the vocabulary. */
@@ -198,6 +209,7 @@ object QueriesLlm {
     "q_dedup_exact"         -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_dedup_minhash"       -> dedupMinhash,
+    "q_dedup_clusters"      -> dedupClusters,
     "q_dedup_simhash"       -> dedupSimhash,
     "q_dedup_embcos"        -> dedupEmbCos,
     "q_dedup_spans"         -> dedupSpans,
@@ -251,6 +263,39 @@ object QueriesLlm {
   private val predCase = TextAnalysis.Stopwords
     .map { case (l, _) => s"WHEN s_$l = $mx THEN '$l'" }
     .mkString(s"CASE WHEN $mx = 0 THEN 'und' ", " ", " END")
+
+  /** Shared CTE chain ending in `mh_pairs` — the minhash-LSH candidate
+    * pairs. Used verbatim by BOTH the pair oracle (q_dedup_minhash) and
+    * the cluster oracle (q_dedup_clusters), so the two rows can never
+    * drift apart on the candidate semantics. */
+  private val minhashPairsChain: String = shinglesCte + s""",
+shh0 AS (
+  SELECT doc_id, md5(s) AS hx FROM sh0
+), shh AS (
+  SELECT doc_id, $hexToH AS h FROM shh0
+), pc AS (
+  SELECT * FROM (VALUES $permConsts) v(p, c, a)
+), perm AS (
+  SELECT doc_id, p, min(((xor(h, c) % 2147483647) * a) % 2147483647) AS sig
+  FROM shh, pc
+  GROUP BY 1, 2
+), sigs AS (
+  SELECT doc_id, list(sig ORDER BY p) AS sig FROM perm GROUP BY 1
+), bands AS (
+  SELECT doc_id, b, bk, count(*) OVER (PARTITION BY b, bk) AS bsz FROM (
+    SELECT doc_id, b,
+      md5(CAST(sig[b*2+1] AS VARCHAR) || '|' || CAST(sig[b*2+2] AS VARCHAR)) AS bk
+    FROM sigs, unnest(generate_series(0, 3)) t(b))
+), mh_pairs AS (
+  -- candidate iff the FIRST co-bucketing band is uncapped (capped
+  -- buckets are mass-dup clusters owned by exact dedup —
+  -- Dedup.firstMatch twin); n_bands counts ALL agreeing bands (the
+  -- similarity estimate does not depend on the performance cap)
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING arg_min(a.bsz, a.b) <= 10000
+)"""
 
   /** DuckDB twin of the IVF chain (centroids → probe nprobe cells →
     * exact top-k in the probed cells) — the same SQL verifies both the
@@ -339,33 +384,26 @@ JOIN sizes nb ON doc_b = nb.doc_id
 WHERE CAST(n_common AS DOUBLE) / (na.nsh + nb.nsh - n_common) >= 0.3"""),
 
     "q_dedup_minhash" -> (
-      "WITH " + shinglesCte + s""",
-shh0 AS (
-  SELECT doc_id, md5(s) AS hx FROM sh0
-), shh AS (
-  SELECT doc_id, $hexToH AS h FROM shh0
-), pc AS (
-  SELECT * FROM (VALUES $permConsts) v(p, c, a)
-), perm AS (
-  SELECT doc_id, p, min(((xor(h, c) % 2147483647) * a) % 2147483647) AS sig
-  FROM shh, pc
-  GROUP BY 1, 2
-), sigs AS (
-  SELECT doc_id, list(sig ORDER BY p) AS sig FROM perm GROUP BY 1
-), bands AS (
-  SELECT doc_id, b, bk, count(*) OVER (PARTITION BY b, bk) AS bsz FROM (
-    SELECT doc_id, b,
-      md5(CAST(sig[b*2+1] AS VARCHAR) || '|' || CAST(sig[b*2+2] AS VARCHAR)) AS bk
-    FROM sigs, unnest(generate_series(0, 3)) t(b))
+      "WITH " + minhashPairsChain + "\nSELECT doc_a, doc_b, n_bands FROM mh_pairs"),
+
+    // transitive closure of the SAME candidate pairs (shared CTE chain):
+    // component = minimum doc reachable over the pair graph. The
+    // recursive-closure oracle is the obviously-correct spec; the Spark
+    // side must reach the identical fixpoint via bounded-round
+    // pointer-doubling label propagation (operators.Components).
+    "q_dedup_clusters" -> (
+      "WITH RECURSIVE " + minhashPairsChain + """,
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+  UNION
+  SELECT doc_b, doc_a FROM mh_pairs
+), reach(id, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.id
 )
--- candidate iff the FIRST co-bucketing band is uncapped (capped buckets
--- are mass-dup clusters owned by exact dedup — Dedup.firstMatch twin);
--- n_bands counts ALL agreeing bands (the similarity estimate does not
--- depend on the performance cap)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
-FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
-GROUP BY 1, 2
-HAVING arg_min(a.bsz, a.b) <= 10000"""),
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY 1"""),
 
     "q_dedup_simhash" ->
       """WITH wc AS (
