@@ -51,6 +51,23 @@ object QueriesLlm {
         "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("component"))
 
+  /** Full-corpus dedup OUTPUT: one survivor per near-dup cluster (its
+    * minimum doc id) plus every doc that never entered a candidate
+    * pair. The drop list — cluster members that are not their
+    * component's minimum — is duplicate-sized, not corpus-sized, so the
+    * final pass is ONE anti join keyed on doc_id (AQE broadcasts the
+    * drop list whenever the duplicate fraction is small, the common
+    * case; the corpus itself never re-shuffles). */
+  val dedupSurvivors: Q = (s, dir) => {
+    val dropList = operators.Components.connectedComponents(
+        Dedup.minhashCandidates(docs(s, dir), k = 3, perms = 8, bands = 4),
+        "doc_a", "doc_b")
+      .filter(col("component") < col("id"))
+      .select(col("id").as("doc_id"))
+    docs(s, dir).join(dropList, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+  }
+
   /** Exact heavy hitters (vocabulary items above 2% of the token stream)
     * via the Misra-Gries sketch + exact-verify two-pass: the corpus-wide
     * shuffle carries k=64 counters per partition, never the vocabulary. */
@@ -210,6 +227,7 @@ object QueriesLlm {
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_dedup_minhash"       -> dedupMinhash,
     "q_dedup_clusters"      -> dedupClusters,
+    "q_dedup_survivors"     -> dedupSurvivors,
     "q_dedup_simhash"       -> dedupSimhash,
     "q_dedup_embcos"        -> dedupEmbCos,
     "q_dedup_spans"         -> dedupSpans,
@@ -295,6 +313,23 @@ shh0 AS (
   FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
   GROUP BY 1, 2
   HAVING arg_min(a.bsz, a.b) <= 10000
+)"""
+
+  /** Transitive closure over `mh_pairs` ending in `lbl` (id → component
+    * minimum) — shared by the cluster and survivor oracles so the three
+    * minhash-derived rows (pairs, clusters, survivors) can never drift
+    * on candidate or closure semantics. */
+  private val closureChain: String = minhashPairsChain + """,
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+  UNION
+  SELECT doc_b, doc_a FROM mh_pairs
+), reach(id, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.id
+), lbl AS (
+  SELECT id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY 1
 )"""
 
   /** DuckDB twin of the IVF chain (centroids → probe nprobe cells →
@@ -392,18 +427,16 @@ WHERE CAST(n_common AS DOUBLE) / (na.nsh + nb.nsh - n_common) >= 0.3"""),
     // side must reach the identical fixpoint via bounded-round
     // pointer-doubling label propagation (operators.Components).
     "q_dedup_clusters" -> (
-      "WITH RECURSIVE " + minhashPairsChain + """,
-sym AS (
-  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
-  UNION
-  SELECT doc_b, doc_a FROM mh_pairs
-), reach(id, r) AS (
-  SELECT a, a FROM sym
-  UNION
-  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.id
-)
-SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
-FROM reach GROUP BY 1"""),
+      "WITH RECURSIVE " + closureChain +
+        "\nSELECT id AS doc_id, component FROM lbl"),
+
+    // survivor selection over the SAME closure: one doc per cluster (the
+    // component minimum) plus every doc outside the pair graph.
+    "q_dedup_survivors" -> (
+      "WITH RECURSIVE " + closureChain + """
+SELECT d.doc_id FROM documents d
+LEFT JOIN lbl ON d.doc_id = lbl.id
+WHERE lbl.component IS NULL OR lbl.component = d.doc_id"""),
 
     "q_dedup_simhash" ->
       """WITH wc AS (

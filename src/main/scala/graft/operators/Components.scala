@@ -70,6 +70,10 @@ object Components {
     def sig(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
     var cur = sig(lbl)
+    // no edges → no vertices to label: the decimal signature of an empty
+    // label table is null (SQL sum over zero rows) and the loop would
+    // NPE comparing it; the empty (id, component) frame is the answer
+    if (cur == null) return lbl.select(col("id"), col("lbl").as("component"))
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {

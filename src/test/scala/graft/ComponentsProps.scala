@@ -60,6 +60,14 @@ object ComponentsProps extends Properties("ConnectedComponents") {
   property("== union-find on random graphs (self-loops, dup edges)") =
     Prop.forAll(genRandomGraph)(check)
 
+  property("empty edge list yields an empty labeling (no NPE)") = {
+    import TestSpark.spark
+    import spark.implicits._
+    Prop(Components.connectedComponents(
+      List.empty[(Long, Long)].toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .count() == 0L)
+  }
+
   property("== union-find on 200-long path graphs (needs the pointer jump)") =
     Prop.forAll(genChain)(check)
 }
