@@ -68,6 +68,19 @@ object QueriesLlm {
       .select(col("doc_id"))
   }
 
+  /** Incremental (delta-vs-corpus) near-dup detection: the corpus —
+    * here docs with doc_id % 10 ≠ 0, standing in for the already-deduped
+    * 100 TB store — builds a band index ONCE; the delta batch (doc_id %
+    * 10 = 0) probes it at delta cost. Emits each colliding delta doc
+    * with its smallest corpus match and match count. */
+  val dedupIncremental: Q = (s, dir) => {
+    val d = docs(s, dir)
+    Dedup.incrementalDupes(
+      corpus = d.filter(col("doc_id") % 10 =!= 0),
+      delta = d.filter(col("doc_id") % 10 === 0),
+      k = 3, perms = 8, bands = 4)
+  }
+
   /** Exact heavy hitters (vocabulary items above 2% of the token stream)
     * via the Misra-Gries sketch + exact-verify two-pass: the corpus-wide
     * shuffle carries k=64 counters per partition, never the vocabulary. */
@@ -201,6 +214,16 @@ object QueriesLlm {
         "lang", "doc_id", rates = Map("en" -> 0.25, "zh" -> 1.0), defaultRate = 0.5)
       .select(col("doc_id"), col("lang"), col("u256"))
 
+  /** Temperature-weighted mixing (α = 1/2): per-language keep-rates
+    * derived FROM the corpus's own counts — sqrt(n_min/n_i) — so the
+    * output mixture flattens toward the rare languages without anyone
+    * hand-tuning rates. Counts aggregate over one pruned column and the
+    * thresholds broadcast back: the corpus itself never shuffles. */
+  val sampleTemperature: Q = (s, dir) =>
+    Sampling.temperatureSample(docs(s, dir).select(col("doc_id"), col("lang")),
+        "lang", "doc_id")
+      .select(col("doc_id"), col("lang"), col("u256"))
+
   /** Sequence packing into 4096-token budgets per language shard; emits
     * the pack manifest (docs and tokens per pack). subWidth=64 forces
     * the two-phase sub-shard path through many occupied sub-shards even
@@ -228,6 +251,7 @@ object QueriesLlm {
     "q_dedup_minhash"       -> dedupMinhash,
     "q_dedup_clusters"      -> dedupClusters,
     "q_dedup_survivors"     -> dedupSurvivors,
+    "q_dedup_incremental"   -> dedupIncremental,
     "q_dedup_simhash"       -> dedupSimhash,
     "q_dedup_embcos"        -> dedupEmbCos,
     "q_dedup_spans"         -> dedupSpans,
@@ -244,6 +268,7 @@ object QueriesLlm {
     "q_sim_ivf_probe2"      -> simIvfProbe2,
     "q_pipeline_prep"       -> pipelinePrep,
     "q_sample_stratified"   -> sampleStratified,
+    "q_sample_temperature"  -> sampleTemperature,
     "q_pack_sequences"      -> packSequences,
     "q_multimodal_meta"     -> multimodalMeta)
 
@@ -282,11 +307,12 @@ object QueriesLlm {
     .map { case (l, _) => s"WHEN s_$l = $mx THEN '$l'" }
     .mkString(s"CASE WHEN $mx = 0 THEN 'und' ", " ", " END")
 
-  /** Shared CTE chain ending in `mh_pairs` — the minhash-LSH candidate
-    * pairs. Used verbatim by BOTH the pair oracle (q_dedup_minhash) and
-    * the cluster oracle (q_dedup_clusters), so the two rows can never
-    * drift apart on the candidate semantics. */
-  private val minhashPairsChain: String = shinglesCte + s""",
+  /** Shared CTE chain ending in `bands` — each doc's 4 minhash-LSH band
+    * keys (with the COMBINED-population bucket size). Prefix of
+    * [[minhashPairsChain]]; also used alone by the incremental-dedup
+    * oracle, whose index/delta split recomputes bucket sizes over the
+    * corpus side only. */
+  private val minhashBandsChain: String = shinglesCte + s""",
 shh0 AS (
   SELECT doc_id, md5(s) AS hx FROM sh0
 ), shh AS (
@@ -304,7 +330,14 @@ shh0 AS (
     SELECT doc_id, b,
       md5(CAST(sig[b*2+1] AS VARCHAR) || '|' || CAST(sig[b*2+2] AS VARCHAR)) AS bk
     FROM sigs, unnest(generate_series(0, 3)) t(b))
-), mh_pairs AS (
+)"""
+
+  /** Shared CTE chain ending in `mh_pairs` — the minhash-LSH candidate
+    * pairs. Used verbatim by BOTH the pair oracle (q_dedup_minhash) and
+    * the cluster oracle (q_dedup_clusters), so the two rows can never
+    * drift apart on the candidate semantics. */
+  private val minhashPairsChain: String = minhashBandsChain + s""",
+mh_pairs AS (
   -- candidate iff the FIRST co-bucketing band is uncapped (capped
   -- buckets are mass-dup clusters owned by exact dedup —
   -- Dedup.firstMatch twin); n_bands counts ALL agreeing bands (the
@@ -437,6 +470,26 @@ WHERE CAST(n_common AS DOUBLE) / (na.nsh + nb.nsh - n_common) >= 0.3"""),
 SELECT d.doc_id FROM documents d
 LEFT JOIN lbl ON d.doc_id = lbl.id
 WHERE lbl.component IS NULL OR lbl.component = d.doc_id"""),
+
+    // incremental probe over the SAME band derivation (shared prefix
+    // chain): index = corpus-side bands with corpus-only bucket sizes,
+    // delta docs hit any uncapped shared bucket. The combined-population
+    // bsz the shared chain computes is deliberately ignored — the
+    // incremental contract caps on what the INDEX saw at build time.
+    "q_dedup_incremental" -> (
+      "WITH " + minhashBandsChain + """,
+ib AS (SELECT doc_id, b, bk FROM bands WHERE doc_id % 10 <> 0),
+ibs AS (SELECT b, bk, COUNT(*) AS ibsz FROM ib GROUP BY 1, 2),
+db AS (SELECT doc_id, b, bk FROM bands WHERE doc_id % 10 = 0),
+hits AS (
+  SELECT DISTINCT db.doc_id, ib.doc_id AS dup_of
+  FROM db
+  JOIN ib ON db.b = ib.b AND db.bk = ib.bk
+  JOIN ibs ON ib.b = ibs.b AND ib.bk = ibs.bk
+  WHERE ibs.ibsz <= 10000
+)
+SELECT doc_id, CAST(min(dup_of) AS BIGINT) AS dup_of, COUNT(*) AS n_dups
+FROM hits GROUP BY 1"""),
 
     "q_dedup_simhash" ->
       """WITH wc AS (
@@ -624,6 +677,28 @@ FROM canon GROUP BY 1"""),
         |)
         |SELECT doc_id, lang, CAST(u256 AS INT) AS u256 FROM c
         |WHERE u256 < CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 256 ELSE 128 END""".stripMargin,
+
+    // thresholds floor(sqrt(n_min/n_i)*256) are bit-identical across
+    // engines because /, sqrt and * are all correctly rounded on the
+    // same BIGINT-derived doubles (this is why α is fixed at 1/2)
+    "q_sample_temperature" ->
+      """WITH n AS (
+        |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+        |), m AS (
+        |  SELECT MIN(n) AS nmin FROM n
+        |), r AS (
+        |  SELECT lang,
+        |    CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) * 256) AS INT) AS thr
+        |  FROM n, m
+        |), c AS (
+        |  SELECT doc_id, lang,
+        |    16*(strpos('0123456789abcdef', substr(md5('s|' || CAST(doc_id AS VARCHAR)), 1, 1))-1)
+        |      + (strpos('0123456789abcdef', substr(md5('s|' || CAST(doc_id AS VARCHAR)), 2, 1))-1) AS u256
+        |  FROM documents
+        |)
+        |SELECT c.doc_id, c.lang, CAST(c.u256 AS INT) AS u256
+        |FROM c JOIN r ON c.lang = r.lang
+        |WHERE c.u256 < r.thr""".stripMargin,
 
     "q_pack_sequences" -> (
       s"""WITH t AS (

@@ -55,6 +55,27 @@ object Similarity {
   def permuted(h: Column, p: Int): Column =
     (h.bitwiseXOR(lit(permC(p))) % lit(PermP)) * lit(permA(p)) % lit(PermP)
 
+  /** The 60-bit hashes of a row's shingles, as one array — materialize
+    * this in its OWN projection (same boundary rule as
+    * [[shinglesOfWords]]) so the md5s are computed once, not once per
+    * downstream permutation. */
+  def shingleHashes(w: Column, k: Int): Column =
+    transform(shinglesOfWords(w, k), shingleHash(_))
+
+  /** Per-ROW MinHash signature from a materialized hash array:
+    * sig[p] = min over shingles of [[permuted]](h, p) — the SAME values
+    * as the explode→groupBy formulation (same distinct-shingle set, same
+    * permutation arithmetic), but as a scalar projection: ZERO shuffles,
+    * so it runs on an unbounded stream (where a per-doc groupBy would be
+    * a stateful aggregation) and composes into any per-row pipeline
+    * stage. HOF evaluation is interpreted, but per ROW over that row's
+    * own shingles — the acceptable side of the per-row/per-pair codegen
+    * line (see Dedup's header note). Rows with fewer than k words yield
+    * an empty hash array → an all-null signature; filter those first
+    * (the batch formulation drops them implicitly). */
+  def minhashFromHashes(hs: Column, perms: Int): Column =
+    array((0 until perms).map(p => array_min(transform(hs, h => permuted(h, p)))): _*)
+
   /** Exact double dot product of two numeric arrays (sequential
     * accumulation — deterministic, same order as a plain loop). */
   def dot(a: Column, b: Column): Column =

@@ -260,8 +260,7 @@ object Dedup {
     val keyNames = (0 until bands).map(b => s"k$b")
     val keyed = minhashSigCols(docs, k, perms).select(
       col("doc_id") +: (0 until bands).map(b =>
-        md5(concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*))
-          .as(s"k$b")): _*)
+        bandKeyCol(b, rows).as(s"k$b")): _*)
     val banded = keyed.select(
       col("doc_id") +: keyNames.map(col) :+
         posexplode(array(keyNames.map(col): _*)).as(Seq("band", "bk")): _*)
@@ -282,6 +281,77 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         countMatches(ms).as("n_bands"))
   }
+
+  /** Band `b`'s LSH key — md5 over that band's `rows` signature slice,
+    * '|'-joined. The ONE definition both the pairwise pipeline and the
+    * incremental index derive keys from, so a delta probe can never
+    * disagree with a full-corpus run on what "same bucket" means. */
+  private def bandKeyCol(b: Int, rows: Int): Column =
+    md5(concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+
+  /** Per-doc banded LSH keys, exploded: (doc_id, band, bk). */
+  private def minhashBandKeys(docs: DataFrame, k: Int, perms: Int,
+      bands: Int): DataFrame = {
+    require(perms % bands == 0, s"perms ($perms) must be a multiple of bands ($bands)")
+    val rows = perms / bands
+    minhashSigCols(docs, k, perms).select(col("doc_id"),
+      posexplode(array((0 until bands).map(bandKeyCol(_, rows)): _*))
+        .as(Seq("band", "bk")))
+  }
+
+  /** Build the minhash band INDEX over an already-deduped corpus:
+    * (band, bk, doc_id, bsz), one row per (doc, band). `bsz` — the
+    * bucket's corpus population — is precomputed HERE, at build time,
+    * so every later probe filters mass-duplicate buckets without
+    * re-counting the corpus.
+    *
+    * This is the incremental-ingest posture for a 100 TB corpus: the
+    * full pairwise LSH ([[minhashCandidates]]) runs ONCE, its survivors'
+    * index persists (parquet, bucketed on the band key — see
+    * `Sinks.saveBucketed`), and every arriving batch probes the index at
+    * delta cost instead of re-shuffling the corpus. The index is
+    * append-able: admitted delta docs' rows (already computed by the
+    * probe's subtree) union in with bsz re-counted only for touched
+    * buckets. */
+  def minhashBandIndex(corpus: DataFrame, k: Int, perms: Int,
+      bands: Int): DataFrame =
+    minhashBandKeys(corpus, k, perms, bands)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bk"))))
+
+  /** Probe a band index with a delta batch: for each delta doc that
+    * shares ANY uncapped band bucket with the corpus, emit (doc_id,
+    * dup_of = smallest matching corpus doc, n_dups = matching corpus
+    * docs). Delta docs with no collision are absent — the caller
+    * anti-joins to admit them (mirroring [[survivors]]).
+    *
+    * Scale shape: the corpus NEVER shuffles here. The index side of the
+    * bucket join arrives pre-partitioned when the index is stored
+    * bucketed on its band key; the delta side's signature aggregation,
+    * the join shuffle, and the distinct/min aggregation are all
+    * delta-sized (a capped `bsz > maxBucket` bucket — a mass-dup
+    * cluster owned by exact dedup — is filtered BEFORE the join, so one
+    * boilerplate bucket cannot fan a batch out into millions of hit
+    * rows). Collision semantics are ANY-band (no first-match tie-break
+    * needed: hits dedup by (delta, corpus) pair, a delta-sized
+    * distinct, not the n² pair stream of the full pipeline). */
+  def probeBandIndex(delta: DataFrame, index: DataFrame, k: Int, perms: Int,
+      bands: Int, maxBucket: Int = 10000): DataFrame =
+    minhashBandKeys(delta, k, perms, bands)
+      .join(index.filter(col("bsz") <= maxBucket)
+          .select(col("band"), col("bk"), col("doc_id").as("dup_of")),
+        Seq("band", "bk"))
+      .select(col("doc_id"), col("dup_of"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(min(col("dup_of")).as("dup_of"), count(lit(1)).as("n_dups"))
+
+  /** Incremental near-dup detection, inline form: build the corpus index
+    * and probe it with `delta` in one plan (the oracle-checked shape;
+    * production persists the index once and probes many batches). */
+  def incrementalDupes(corpus: DataFrame, delta: DataFrame, k: Int,
+      perms: Int, bands: Int, maxBucket: Int = 10000): DataFrame =
+    probeBandIndex(delta, minhashBandIndex(corpus, k, perms, bands),
+      k, perms, bands, maxBucket)
 
   /** The `tables × bitsPerTable` random hyperplanes, derived DRIVER-SIDE
     * from md5 (r_p[i] = first-hex-nibble(md5("p|i")) − 7.5, a portable

@@ -38,6 +38,48 @@ object Sampling {
       .filter(col("u256") < threshold)
   }
 
+  /** Temperature-weighted corpus mixing at τ = 2 (α = 1/2), the
+    * standard multilingual flattening: with per-stratum population
+    * share p_i, the target mixture is q_i ∝ p_i^(1/2), realized by
+    * keep-rates rate_i = sqrt(n_min / n_i) — the rarest stratum keeps
+    * everything, a stratum 100× its size keeps 1/10th, and the OUTPUT
+    * shares land proportional to sqrt(n_i), i.e. the α = 1/2 mixture
+    * with the largest possible total corpus (no stratum oversampled).
+    *
+    * α is fixed at 1/2 deliberately: sqrt is correctly rounded in
+    * IEEE-754, so the thresholds floor(sqrt(n_min/n_i)·256) are
+    * BIT-IDENTICAL on any engine computing from the same counts —
+    * an arbitrary pow(p, α) is not correctly rounded and could flip a
+    * floor at a boundary between engines. (Other temperatures compose:
+    * α = 1/4 is this operator applied twice.)
+    *
+    * Scale shape: pass 1 aggregates per-stratum counts — a map-side-
+    * combined aggregate over ONE pruned column, KB-sized result; the
+    * thresholds (strata × 4 bytes) broadcast back, and pass 2 is the
+    * same zero-shuffle scan-speed filter as [[stratifiedSample]], with
+    * the same md5 coin, so it is retry-stable and reproducible. Rows
+    * with a NULL stratum are dropped (they match no threshold row —
+    * same rule as the SQL join twin). */
+  def temperatureSample(df: DataFrame, stratumCol: String, keyCol: String): DataFrame = {
+    val reserved = Seq("_n", "_nmin", "_thr", "u256")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"temperatureSample: input columns collide with reserved working names: ${clash.mkString(", ")}")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    // global-window min, NOT counts.agg(min).crossJoin(counts): the
+    // latter evaluates the counts aggregate twice — a third full corpus
+    // scan. The window moves only the KB-sized stratum rows.
+    val thresholds = counts
+      .select(col(stratumCol),
+        floor(sqrt(min(col("_n")).over(Window.partitionBy()).cast("double")
+            / col("_n").cast("double")) * 256)
+          .cast("int").as("_thr"))
+    df.join(broadcast(thresholds), Seq(stratumCol))
+      .withColumn("u256", coin(col(keyCol)))
+      .filter(col("u256") < col("_thr"))
+      .drop("_thr")
+  }
+
   /** Token-budget sequence packing: within each shard (partition column),
     * rows are laid out in `orderCol` order and cut into packs by running
     * token count — `pack_id = floor(exclusive_prefix_sum / budget)`, i.e.

@@ -53,10 +53,15 @@ object Sinks {
     * at ingest. Equality filters on the key also prune to one bucket at
     * planning time (`SelectedBucketsCount` in the scan). */
   def saveBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    saveBucketed(df, table, Seq(key), buckets)
+
+  /** Multi-column bucket key (e.g. a band index on (band, bk)): a join
+    * on exactly these columns reads the table pre-partitioned. */
+  def saveBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
     df.write
       .mode("overwrite")
       .format("parquet")
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 }

@@ -126,6 +126,61 @@ object StreamingJobs {
         explode(col("cands")).as("item"), col("n"))
   }
 
+  /** Streaming incremental ingest dedup — the streaming twin of
+    * `Dedup.probeBandIndex`: every arriving doc probes the STANDING
+    * corpus's persisted band index in-flight and emits its collisions
+    * (doc_id, dup_of = smallest matching corpus doc, n_dups) per closed
+    * window; non-colliding docs are admitted by the caller's anti-join
+    * downstream, exactly as in batch.
+    *
+    * The piece that makes this streamable is the per-ROW scalar
+    * signature (`Similarity.minhashFromHashes`): the batch
+    * formulation's per-doc groupBy would be a stateful streaming
+    * aggregation, but the signature is a pure function of the row, so
+    * here it is a zero-state projection. The index joins STREAM-STATIC
+    * (no watermark needed on the static side; capped buckets filtered
+    * before the join bound any boilerplate bucket's fan-out), and the
+    * only stateful operator is the closing window aggregate whose state
+    * is one (min, set-of-matches) per colliding doc per open window —
+    * `collect_set` because streaming aggregates cannot plan DISTINCT,
+    * with |set| ≤ bands × maxBucket by the cap.
+    *
+    * Band-key semantics are pinned to the batch operator by
+    * StreamingSpec: this transform run over a batch frame must equal
+    * `probeBandIndex` row-for-row. */
+  def incrementalDedupStream(docs: DataFrame, index: DataFrame, k: Int,
+      perms: Int, bands: Int, watermarkDelay: String, windowDur: String,
+      maxBucket: Int = 10000): DataFrame = {
+    require(perms % bands == 0, s"perms ($perms) must be a multiple of bands ($bands)")
+    val rows = perms / bands
+    import graft.functions.Similarity
+    // watermark at the SOURCE, not post-join: every arriving doc
+    // advances the event clock, so windows close even when a batch has
+    // no collisions (an inner-joined watermark would stall on quiet
+    // batches) and short docs dropped by the k-word filter still count
+    val banded = docs
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= k)
+      .withColumn("hs", Similarity.shingleHashes(col("w"), k))
+      .select(col("doc_id"), col("ts"),
+        Similarity.minhashFromHashes(col("hs"), perms).as("sig"))
+      .select(col("doc_id"), col("ts"),
+        posexplode(array((0 until bands).map(b =>
+          md5(concat_ws("|", (0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1)): _*))): _*))
+          .as(Seq("band", "bk")))
+    banded
+      .join(index.filter(col("bsz") <= maxBucket)
+          .select(col("band"), col("bk"), col("doc_id").as("dup_of")),
+        Seq("band", "bk"))
+      .groupBy(window(col("ts"), windowDur), col("doc_id"))
+      .agg(min(col("dup_of")).as("dup_of"),
+        size(collect_set(col("dup_of"))).cast("long").as("n_dups"))
+      .select(col("window.start").as("w_start"), col("doc_id"),
+        col("dup_of"), col("n_dups"))
+  }
+
   /** Streaming twin of the curation pipeline (QueriesLlm.pipelinePrep):
     * language-ID and the quality gate run as STATELESS projections at
     * ingest rate; dedup keys on the normalized-content fingerprint with

@@ -414,4 +414,101 @@ class LlmOpsSpec extends AnyFunSuite {
     val langs = out.map(_.getString(0)).toSet
     assert(langs.subsetOf(TextAnalysis.Stopwords.map(_._1).toSet + "und"))
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("incremental probe matches a brute-force cross-split collision check") {
+    val d = docs
+    val got = Dedup.incrementalDupes(
+        corpus = d.filter(col("doc_id") % 10 =!= 0),
+        delta = d.filter(col("doc_id") % 10 === 0), k = 3, perms = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // independent reimplementation: band keys recomputed in driver Scala
+    // from the signatures, collisions resolved by brute force
+    val bandsOf = Dedup.minhashSignatures(d, 3, 8).collect().map { r =>
+      val sig = r.getSeq[Long](1)
+      r.getLong(0) -> (0 until 4).map(b => (b, md5hex(s"${sig(2 * b)}|${sig(2 * b + 1)}")))
+    }.toMap
+    val corpusIds = bandsOf.keySet.filter(_ % 10 != 0)
+    val expected = bandsOf.keySet.filter(_ % 10 == 0).flatMap { did =>
+      val mine = bandsOf(did).toSet
+      val hits = corpusIds.filter(cid => bandsOf(cid).exists(mine.contains))
+      if (hits.isEmpty) None else Some((did, hits.min, hits.size.toLong))
+    }
+    assert(got == expected)
+    assert(got.nonEmpty, "planted near-dups should straddle the corpus/delta split")
+  }
+
+  test("a persisted bucketed band index probes with zero index-side shuffle") {
+    import graft.sources.Sinks
+    val d = docs
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val delta = d.filter(col("doc_id") % 10 === 0)
+    spark.sql("DROP TABLE IF EXISTS b_mh_index")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("spark-warehouse/b_mh_index"))
+    Sinks.saveBucketed(Dedup.minhashBandIndex(corpus, 3, 8, 4),
+      "b_mh_index", Seq("band", "bk"), 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val persisted = Dedup.probeBandIndex(delta, spark.table("b_mh_index"), 3, 8, 4)
+      // every shuffle left is DELTA-sized: the delta signature aggregate,
+      // the delta side of the bucket join (the bucketed index side needs
+      // none), the pair distinct, and the per-doc min/count — the corpus
+      // moves zero bytes at probe time
+      val plan = physicalPlan(persisted)
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 4, plan)
+      val inline = Dedup.incrementalDupes(corpus, delta, 3, 8, 4)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows(persisted) == rows(inline))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (64L * 1024 * 1024).toString)
+  }
+
+  test("per-row scalar minhash signature: same values as explode+groupBy, zero shuffles") {
+    import graft.functions.Similarity
+    val viaAgg = Dedup.minhashSignatures(docs, 3, 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val scalarDf = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), Similarity.shingleHashes(col("w"), 3).as("hs"))
+      .select(col("doc_id"), Similarity.minhashFromHashes(col("hs"), 8).as("sig"))
+    assert(!physicalPlan(scalarDf).contains("Exchange"),
+      "the scalar signature must be a pure projection")
+    val viaScalar = scalarDf.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaScalar == viaAgg)
+  }
+
+  test("temperature mixing matches brute force and keeps the rarest stratum whole") {
+    import graft.operators.Sampling
+    val df = docs.select(col("doc_id"), col("lang"))
+    val counts = df.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nmin = counts.values.min
+    val out = Sampling.temperatureSample(df, "lang", "doc_id").collect()
+    val expected = df.collect().flatMap { r =>
+      val (id, lang) = (r.getLong(0), r.getString(1))
+      val thr = math.floor(math.sqrt(nmin.toDouble / counts(lang)) * 256).toInt
+      val u = Integer.parseInt(md5hex(s"s|$id").substring(0, 2), 16)
+      if (u < thr) Some((id, lang)) else None
+    }.toSet
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"))).toSet == expected)
+    val rarest = counts.minBy(_._2)._1
+    assert(out.count(_.getAs[String]("lang") == rarest) == counts(rarest),
+      "threshold for the minimum-count stratum is 256: every row kept")
+  }
+
+  test("temperature mixing's corpus pass broadcast-joins — the corpus never shuffles") {
+    import graft.operators.Sampling
+    val plan = physicalPlan(
+      Sampling.temperatureSample(docs.select(col("doc_id"), col("lang")), "lang", "doc_id"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the single hash exchange is the KB-sized per-stratum count
+    // aggregate (the global min is an Exchange SinglePartition)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
 }

@@ -247,4 +247,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(n == 2, s"expected a,b once each, got $n rows")
     } finally q.stop()
   }
+
+  test("streaming incremental dedup probes the static band index, equals the batch probe") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables(spark, sfDir).documents
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val delta = d.filter(col("doc_id") % 10 === 0)
+    val index = graft.operators.Dedup.minhashBandIndex(corpus, 3, 8, 4)
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingJobs.incrementalDedupStream(df, index, 3, 8, 4,
+        watermarkDelay = "10 minutes", windowDur = "1 hour")
+      .writeStream.format("memory").queryName("incdedup_out").outputMode("append").start()
+    try {
+      val deltaRows = delta.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), ts(5), r.getString(1))).toSeq
+      feed(q)(in.addData(deltaRows: _*))
+      // a far-future non-colliding doc advances the source watermark and
+      // closes the hour-0 window (the watermark sits BEFORE the join, so
+      // collision-free batches still move the clock)
+      feed(q)(in.addData((999999L, ts(1000), "flush flush flush flush")))
+      val got = spark.table("incdedup_out")
+        .filter($"doc_id" =!= 999999L)
+        .select("doc_id", "dup_of", "n_dups").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.Dedup.probeBandIndex(delta, index, 3, 8, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch)
+      assert(got.nonEmpty, "planted near-dups should straddle the corpus/delta split")
+    } finally q.stop()
+  }
 }
