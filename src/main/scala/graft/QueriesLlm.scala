@@ -224,6 +224,12 @@ object QueriesLlm {
         "lang", "doc_id")
       .select(col("doc_id"), col("lang"), col("u256"))
 
+  /** Deterministic epoch shuffle: the corpus's training order as a
+    * reproducible md5-keyed permutation (seed = the epoch label). */
+  val sampleShuffle: Q = (s, dir) =>
+    Sampling.shuffleOrder(docs(s, dir).select(col("doc_id")), "doc_id", "epoch0")
+      .select(col("doc_id"), col("skey"), col("train_idx"))
+
   /** Sequence packing into 4096-token budgets per language shard; emits
     * the pack manifest (docs and tokens per pack). subWidth=64 forces
     * the two-phase sub-shard path through many occupied sub-shards even
@@ -269,6 +275,7 @@ object QueriesLlm {
     "q_pipeline_prep"       -> pipelinePrep,
     "q_sample_stratified"   -> sampleStratified,
     "q_sample_temperature"  -> sampleTemperature,
+    "q_shuffle_order"       -> sampleShuffle,
     "q_pack_sequences"      -> packSequences,
     "q_multimodal_meta"     -> multimodalMeta)
 
@@ -699,6 +706,18 @@ FROM canon GROUP BY 1"""),
         |SELECT c.doc_id, c.lang, CAST(c.u256 AS INT) AS u256
         |FROM c JOIN r ON c.lang = r.lang
         |WHERE c.u256 < r.thr""".stripMargin,
+
+    // the oracle's single global ROW_NUMBER is the semantics; the Spark
+    // side reaches the identical permutation via the bounded two-phase
+    // bucket ranking (monotone _sub prefix + exclusive bucket offsets)
+    "q_shuffle_order" ->
+      """WITH s AS (
+        |  SELECT doc_id, md5('epoch0|' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents
+        |)
+        |SELECT doc_id, skey,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS train_idx
+        |FROM s""".stripMargin,
 
     "q_pack_sequences" -> (
       s"""WITH t AS (

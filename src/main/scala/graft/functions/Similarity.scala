@@ -72,7 +72,14 @@ object Similarity {
     * own shingles — the acceptable side of the per-row/per-pair codegen
     * line (see Dedup's header note). Rows with fewer than k words yield
     * an empty hash array → an all-null signature; filter those first
-    * (the batch formulation drops them implicitly). */
+    * (the batch formulation drops them implicitly).
+    *
+    * NOT the batch path, by measurement: at sf1 the saved shuffle wins
+    * (0.58 s vs 0.73 s) but by sf10 the interpreted per-shingle lambda
+    * overtakes it (3.8 s vs 3.3 s for explode+groupBy, whose permuted()
+    * mins run inside whole-stage codegen) — so the batch pipelines keep
+    * the codegen'd formulation and this one exists for streams, where a
+    * per-doc groupBy would be a stateful aggregation. */
   def minhashFromHashes(hs: Column, perms: Int): Column =
     array((0 until perms).map(p => array_min(transform(hs, h => permuted(h, p)))): _*)
 

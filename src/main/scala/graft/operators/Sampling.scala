@@ -80,6 +80,47 @@ object Sampling {
       .drop("_thr")
   }
 
+  /** Deterministic corpus shuffle for training order: every row gets
+    * `skey = md5(seed | id)` and `train_idx` = its dense rank 0..n−1 in
+    * (skey, id) order — a reproducible pseudo-random permutation of the
+    * corpus (same seed → same order across runs, retries, engines; a
+    * new seed is a fresh epoch shuffle). The consumer reads in
+    * train_idx order, or range-partitions on it for sharded loading.
+    *
+    * The global rank uses the SAME two-phase shape as [[packSequences]]
+    * — no single global sort task, no range-partitioner sampling:
+    * `_sub` = skey's first hex byte is a MONOTONE 256-way bucketing of
+    * the sort key with md5-uniform occupancy ≈ n/256 per bucket, so the
+    * local row_number windows over bounded partitions; the 256 bucket
+    * counts window into exclusive offsets and broadcast back. One
+    * corpus shuffle (the bucket window), two KB-scale stages. Ties on
+    * skey (128-bit collisions, or duplicate ids) break by id, so the
+    * permutation is total and the oracle's `ROW_NUMBER() OVER (ORDER BY
+    * skey, id)` is bit-identical. */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    val reserved = Seq("skey", "train_idx", "_sub", "_lrank", "_n", "_off")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"shuffleOrder: input columns collide with reserved working names: ${clash.mkString(", ")}")
+    val keyed = df.withColumn("skey",
+        md5(concat(lit(seed + "|"), col(idCol).cast("string"))))
+      .withColumn("_sub", substring(col("skey"), 1, 2))
+    val offsets = keyed.groupBy(col("_sub"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_n")).over(Window.orderBy(col("_sub"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("_n")
+    keyed
+      .withColumn("_lrank", row_number()
+        .over(Window.partitionBy(col("_sub")).orderBy(col("skey"), col(idCol))))
+      .join(broadcast(offsets), Seq("_sub"))
+      .withColumn("train_idx", col("_off") + col("_lrank") - 1)
+      .drop("_sub", "_lrank", "_off")
+  }
+
   /** Token-budget sequence packing: within each shard (partition column),
     * rows are laid out in `orderCol` order and cut into packs by running
     * token count — `pack_id = floor(exclusive_prefix_sum / budget)`, i.e.

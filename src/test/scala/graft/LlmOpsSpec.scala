@@ -502,6 +502,26 @@ class LlmOpsSpec extends AnyFunSuite {
       "threshold for the minimum-count stratum is 256: every row kept")
   }
 
+  test("shuffleOrder is the single-sort permutation: total, retry-stable, seed-keyed") {
+    import graft.operators.Sampling
+    val df = docs.select(col("doc_id"))
+    val rows = Sampling.shuffleOrder(df, "doc_id", "epoch0").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("skey"), r.getAs[Long]("train_idx")))
+    val n = rows.length
+    assert(rows.map(_._3).sorted.toSeq == (0L until n), "train_idx must be a permutation of 0..n-1")
+    // ≡ the semantics: rank in (skey, id) order
+    val expected = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, _, _), i) => id -> i.toLong }.toMap
+    assert(rows.forall(r => expected(r._1) == r._3))
+    // rerun identical (retry/restart stability); a new seed reshuffles
+    val again = Sampling.shuffleOrder(df, "doc_id", "epoch0").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("train_idx"))).toMap
+    assert(rows.forall(r => again(r._1) == r._3))
+    val ep1 = Sampling.shuffleOrder(df, "doc_id", "epoch1").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("train_idx"))).toMap
+    assert(rows.exists(r => ep1(r._1) != r._3), "a new epoch seed must permute differently")
+  }
+
   test("temperature mixing's corpus pass broadcast-joins — the corpus never shuffles") {
     import graft.operators.Sampling
     val plan = physicalPlan(
