@@ -1,6 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Properties, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextAnalysis
@@ -113,5 +114,58 @@ object CurationProps extends Properties("CurationSemantics") {
           .withColumn("pack_id",
             floor((col("cum_tokens") - col("tokens")) / budget).cast("long")))
         Prop(got == want) :| s"subW=$subW budget=$budget got=$got want=$want"
+    }
+
+  /** The bounded two-phase global ranking must equal the one-task
+    * global sort it replaces, for any id set (negatives included) and
+    * any seed. */
+  property("two-phase shuffleOrder == single global row_number") =
+    Prop.forAll(Gen.listOf(Gen.choose(-10000L, 10000L)).map(_.distinct),
+        Gen.alphaStr) { (ids, seed) =>
+      import TestSpark.spark
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Sampling
+      (ids.nonEmpty) ==> {
+        val df = ids.toDF("id")
+        val got = Sampling.shuffleOrder(df, "id", seed)
+          .select(col("id"), col("train_idx")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        val want = df
+          .withColumn("skey", md5(concat(lit(seed + "|"), col("id").cast("string"))))
+          .withColumn("train_idx",
+            (row_number().over(Window.orderBy(col("skey"), col("id"))) - 1).cast("long"))
+          .select(col("id"), col("train_idx")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        Prop(got == want) :| s"seed=$seed got=$got want=$want"
+      }
+    }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Temperature mixing under arbitrary stratum skew: the kept set is
+    * exactly the brute-force sqrt(n_min/n_i) thresholding, and every
+    * minimum-count stratum survives whole. */
+  property("temperatureSample == brute-force sqrt thresholds; rarest kept whole") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d"))) { strata =>
+      import TestSpark.spark
+      import spark.implicits._
+      import graft.operators.Sampling
+      val rows = strata.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = rows.toDF("id", "stratum")
+      val counts = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+      val nmin = counts.values.min
+      val out = Sampling.temperatureSample(df, "stratum", "id").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("stratum")))
+      val expected = rows.filter { case (id, s) =>
+        val thr = math.floor(math.sqrt(nmin.toDouble / counts(s)) * 256).toInt
+        Integer.parseInt(md5hex(s"s|$id").substring(0, 2), 16) < thr
+      }.map(_._1).toSet
+      val rarestWhole = counts.collect { case (k, n) if n == nmin => k }
+        .forall(k => out.count(_._2 == k).toLong == counts(k))
+      Prop(out.map(_._1).toSet == expected && rarestWhole) :|
+        s"counts=$counts kept=${out.length}"
     }
 }
