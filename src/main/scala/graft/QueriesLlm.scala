@@ -186,6 +186,28 @@ object QueriesLlm {
       .select(col("query_id"), col("cell"), col("corpus_id"), col("rnk"), col("score_q"))
   }
 
+  /** k-means-TRAINED IVF assignment: learn a 4-cell codebook from the
+    * corpus vectors alone (2 Lloyd iterations, deterministic md5 seeds —
+    * no given labels anywhere), then assign every corpus vector to its
+    * trained cell. The oracle unrolls the identical iterations in SQL:
+    * same seeds, same quantized-cosine argmax, same DECIMAL means —
+    * hash-matched, which pins the whole training loop, not just the
+    * final argmax.
+    *
+    * The OUTPUT score re-quantizes to 1e-3 ticks (the argmax itself
+    * stays at the ANN tier's 1e-6): a cosine landing within 1 ulp of a
+    * 1e-6 floor boundary can differ by one tick between engines'
+    * dot-product summation (observed once in 495 rows at sf0.01), and
+    * the coarser output tick cuts that boundary exposure 1000×. */
+  val simKmeans: Q = (s, dir) => {
+    val corpus = Tables(s, dir).embeddings.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"))
+    val cb = operators.Ann.kmeansCodebook(corpus, k = 4, iters = 2)
+    operators.Ann.assignCells(cb, corpus)
+      .select(col("corpus_id"), col("cell"),
+        floor(col("cscore") / 1000).cast("long").as("score_mq"))
+  }
+
   // ---- composed curation pipeline ------------------------------------------
 
   /** End-to-end training-data prep — the composition a curation run
@@ -272,6 +294,7 @@ object QueriesLlm {
     "q_sim_topk"            -> simTopk,
     "q_sim_ivf"             -> simIvf,
     "q_sim_ivf_probe2"      -> simIvfProbe2,
+    "q_sim_kmeans"          -> simKmeans,
     "q_pipeline_prep"       -> pipelinePrep,
     "q_sample_stratified"   -> sampleStratified,
     "q_sample_temperature"  -> sampleTemperature,
@@ -414,7 +437,55 @@ sym AS (
        |  FROM scored) t
        |WHERE rnk <= 10""".stripMargin
 
+  /** 1e-6-quantized cosine in DuckDB — the SQL twin of Ann.cosQ /
+    * graft_cosine (same floor, same tick). */
+  private def cosSql(a: String, b: String): String =
+    s"""CAST(floor(list_dot_product($a, $b)
+       |      / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+       |      * 1000000) AS BIGINT)""".stripMargin
+
+  /** One Lloyd ASSIGNMENT step in SQL (twin of Ann.assignCells): corpus
+    * CTE `c` × codebook CTE `cents`, argmax quantized cosine, ties to
+    * the lower cell. */
+  private def kmAssign(cents: String): String =
+    s"""SELECT corpus_id, cell, score FROM (
+       |  SELECT c.corpus_id, k.cell, ${cosSql("c.ce", "k.ce")} AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+       |                       ORDER BY ${cosSql("c.ce", "k.ce")} DESC, k.cell ASC) AS rk
+       |  FROM c, $cents k) x WHERE rk = 1""".stripMargin
+
+  /** One Lloyd UPDATE step in SQL (twin of Ann.centroids): per-cell
+    * per-dimension DECIMAL(27,10) means over the RAW float embeddings —
+    * the same accumulator type and float element source as the Spark
+    * side, so the centroid doubles are bit-identical. */
+  private def kmMeans(assign: String): String =
+    s"""SELECT cell, list(v ORDER BY i) AS ce FROM (
+       |  SELECT a.cell, i,
+       |    CAST(CAST(SUM(CAST(e.embedding[i+1] AS DECIMAL(27,10))) AS VARCHAR) AS DOUBLE)
+       |      / COUNT(*) AS v
+       |  FROM $assign a JOIN embeddings e ON e.vec_id = a.corpus_id,
+       |       unnest(generate_series(0, 63)) t(i)
+       |  GROUP BY 1, 2) m GROUP BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_sim_kmeans" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS ce
+         |  FROM embeddings WHERE vec_id >= 5
+         |), seeds AS (
+         |  SELECT corpus_id, ce, md5('km|' || CAST(corpus_id AS VARCHAR)) AS h
+         |  FROM c ORDER BY h, corpus_id LIMIT 4
+         |), k0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, corpus_id) - 1 AS INT) AS cell, ce
+         |  FROM seeds
+         |), a1 AS (${kmAssign("k0")}
+         |), k1 AS (${kmMeans("a1")}
+         |), a2 AS (${kmAssign("k1")}
+         |), k2 AS (${kmMeans("a2")}
+         |)
+         |SELECT corpus_id, cell,
+         |  CAST(floor(score / 1000.0) AS BIGINT) AS score_mq
+         |FROM (${kmAssign("k2")}) f""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS survivor, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

@@ -106,4 +106,72 @@ object Ann {
       .select(col("cell"), col("corpus_id"), col("ce"))
     ivfTopKWith(cents, queries, cells, k, nprobe)
   }
+
+  /** Nearest-centroid assignment: every corpus vector gets the cell of
+    * its max-quantized-cosine centroid (ties break toward the lower cell
+    * id, so the argmax is total and engine-portable). The codebook
+    * broadcasts; the corpus only streams — one scan, and the row_number
+    * window partitions by corpus_id over exactly |codebook| candidate
+    * rows, never more. */
+  def assignCells(cents: DataFrame, corpus: DataFrame): DataFrame = {
+    val scored = corpus.join(broadcast(
+        cents.select(col("cell"), col("ce").as("_cent"))))
+      .select(col("corpus_id"), col("ce"), col("cell"),
+        cosQ(col("ce"), col("_cent")).as("cscore"))
+    val w = Window.partitionBy(col("corpus_id"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    scored.withColumn("_crnk", row_number().over(w))
+      .filter(col("_crnk") === 1).drop("_crnk")
+  }
+
+  /** Distributed spherical k-means — the TRAINED coarse quantizer the
+    * IVF path deserves (the [[centroids]] overload above inherits a
+    * given cell assignment; this one learns it from the vectors alone).
+    *
+    * Lloyd's iterations, Spark-shaped: per iteration the KB-sized
+    * codebook broadcasts, assignment is a scan-speed argmax
+    * ([[assignCells]]), and the update is ONE map-side-combined
+    * groupBy(cell) whose state is k×dim DECIMAL partials — the corpus
+    * crosses the network zero times per iteration. With cosine
+    * assignment the per-cell MEAN is the exact maximizer of the
+    * spherical objective Σ cos(x, c_cell) (the mean is parallel to Σx,
+    * and cos(x, ·) is scale-invariant), so the objective is monotone
+    * non-decreasing per iteration — property-tested in LlmOpsSpec.
+    *
+    * Engine-portable by construction, the same way the rest of the ANN
+    * tier is: init picks the k corpus vectors with the smallest salted
+    * md5(id) via a distributed TakeOrdered (`orderBy.limit(k)` — no
+    * global sort task), assignment compares 1e-6-quantized cosines with
+    * id ties, and centroid means accumulate in DECIMAL(27,10) so the
+    * resulting doubles are independent of partition order — the DuckDB
+    * oracle unrolls the same iterations and hash-matches. A cell that
+    * loses all members drops out of the codebook (k shrinks), exactly
+    * as the SQL twin's GROUP BY does.
+    *
+    * At 100 TB: train on an md5-coin sample (the caller composes
+    * [[graft.operators.Sampling.stratifiedSample]] upstream — rate
+    * choice is corpus-dependent), then run the final [[assignCells]]
+    * pass over the full corpus; each training iteration costs one
+    * sample scan + one k×dim aggregate. */
+  def kmeansCodebook(corpus: DataFrame, k: Int, iters: Int, dim: Int = 64,
+      seed: String = "km"): DataFrame = {
+    require(k > 0 && iters >= 0, s"kmeansCodebook: k=$k iters=$iters")
+    val hash = md5(concat(lit(seed + "|"), col("corpus_id").cast("string")))
+    // TakeOrderedAndProject (k rows per partition, merged on the driver
+    // side of the exchange) — the init never global-sorts the corpus.
+    val seeds = corpus
+      .select(hash.as("_h"), col("corpus_id"), col("ce"))
+      .orderBy(col("_h"), col("corpus_id")).limit(k)
+    // the rank window runs over exactly k rows (post-limit), so the
+    // single-partition window is k-sized, not corpus-sized
+    var cents = seeds
+      .select((row_number().over(Window.orderBy(col("_h"), col("corpus_id"))) - 1)
+          .cast("int").as("cell"),
+        col("ce").cast("array<double>").as("ce"))
+    for (_ <- 1 to iters)
+      cents = centroids(
+        assignCells(cents, corpus).select(col("cell"), col("corpus_id"), col("ce")),
+        dim)
+    cents
+  }
 }

@@ -531,4 +531,63 @@ class LlmOpsSpec extends AnyFunSuite {
     // aggregate (the global min is an Exchange SinglePartition)
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
+
+  private def kmeansCorpus = Tables(spark, sfDir).embeddings
+    .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"))
+
+  /** Spherical objective Σ cos_q(x, c_assigned) under a codebook. */
+  private def kmObjective(cents: org.apache.spark.sql.DataFrame): Long =
+    graft.operators.Ann.assignCells(cents, kmeansCorpus)
+      .agg(sum(col("cscore"))).collect()(0).getLong(0)
+
+  test("kmeans: Lloyd objective is monotone non-decreasing per iteration") {
+    import graft.operators.Ann
+    // mean-centroid + cosine argmax is exact coordinate ascent on the
+    // spherical objective (the mean is parallel to Σx and cosine is
+    // scale-invariant), so each iteration must not lose ground
+    val objs = (0 to 3).map(i =>
+      kmObjective(Ann.kmeansCodebook(kmeansCorpus, k = 4, iters = i)))
+    assert(objs.zip(objs.tail).forall { case (a, b) => b >= a },
+      s"objective regressed across iterations: $objs")
+    // and training must actually move: untrained seeds are not already
+    // the converged codebook on this corpus
+    assert(objs.last > objs.head, s"training never improved: $objs")
+  }
+
+  test("kmeans: deterministic — same seed twice is bit-identical, init has no global sort") {
+    import graft.operators.Ann
+    def snap() = Ann.kmeansCodebook(kmeansCorpus, k = 3, iters = 2)
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val a = snap(); val b = snap()
+    assert(a.sameElements(b), "kmeans codebook not reproducible across runs")
+    // the seed selection plans as a distributed TakeOrdered, never a
+    // corpus-wide global Sort task
+    val plan = physicalPlan(Ann.kmeansCodebook(kmeansCorpus, k = 3, iters = 0))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("kmeans: k=1 converges to the global decimal-exact mean; all rows assigned cell 0") {
+    import graft.operators.Ann
+    val cb = Ann.kmeansCodebook(kmeansCorpus, k = 1, iters = 1)
+    val mean = Ann.centroids(
+        kmeansCorpus.withColumn("cell", lit(0)), dim = 64)
+      .collect()(0).getSeq[Double](1)
+    val got = cb.collect()(0).getSeq[Double](1)
+    assert(got == mean, "k=1 centroid after one iteration must be the global mean")
+    val cells = Ann.assignCells(cb, kmeansCorpus)
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    assert(cells == Seq(0))
+  }
+
+  test("kmeans: training iteration is broadcast-assign + one map-side-combined aggregate") {
+    import graft.operators.Ann
+    val plan = physicalPlan(Ann.kmeansCodebook(kmeansCorpus, k = 4, iters = 1))
+    // assignment joins against the broadcast codebook — the corpus side
+    // must never sort-merge or nested-loop
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
