@@ -287,7 +287,21 @@ object QueriesCore {
         element_at(col("value_pcts"), 3).as("p99"),
         col("value_min"), col("value_max"))
 
+  /** Z-order (Morton) layout key over (user bucket, time bucket) — the
+    * clustering key a 100 TB events table is laid out on so a 2-D box
+    * query (user range × time range) prunes files on BOTH dimensions
+    * ([[operators.Layout]]; the write + pruned-read round-trip is
+    * asserted in LayoutSpec). The key itself is what this row verifies:
+    * pure integer bit-interleave arithmetic, identical in both engines. */
+  val qZorder: Q = (s, dir) =>
+    Tables(s, dir).events
+      .select(col("event_id"),
+        operators.Layout.zkey2(
+          pmod(col("user_id"), lit(4096L)),
+          pmod(unix_timestamp(col("ts")), lit(4096L)), bits = 12).as("zkey"))
+
   val queries: Map[String, Q] = Map(
+    "q_zorder"         -> qZorder,
     "q_asof_join"      -> qAsofJoin,
     "q_asof_join_chunked" -> qAsofJoinChunked,
     "q_profile_sketch" -> qProfileSketch,
@@ -302,7 +316,21 @@ object QueriesCore {
 
   // ---- DuckDB oracles ------------------------------------------------------
 
+  /** Bit-interleave arithmetic of Layout.zkey2 in portable SQL: term i
+    * contributes bit i of ux at position 2i and bit i of uy at 2i+1 —
+    * pure BIGINT floor-div/mod/multiply, no engine bit operators. */
+  private val zkeyTerms: String = (0 until 12).map(i =>
+    s"((ux // ${1L << i}) % 2) * ${1L << (2 * i)} + ((uy // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+    .mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "q_zorder" ->
+      s"""SELECT event_id, $zkeyTerms AS zkey
+         |FROM (
+         |  SELECT event_id,
+         |    ((user_id % 4096) + 4096) % 4096 AS ux,
+         |    ((CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 4096) + 4096) % 4096 AS uy
+         |  FROM events) t""".stripMargin,
     // the chunked decomposition answers the IDENTICAL question — one
     // oracle text, two Spark formulations, both hash-compared
     "q_asof_join_chunked" ->
