@@ -89,6 +89,19 @@ object QueriesLlm {
       docs(s, dir).select(explode(split(col("text"), " ")).as("item")),
       k = 64, denom = 50L)
 
+  /** Count-Min point-frequency estimates for the words of the first
+    * five documents against the whole corpus word stream — 4×1024
+    * deterministic md5-hashed cells, so the sketch itself (not merely
+    * its accuracy contract) hash-matches the DuckDB twin. */
+  val freqCms: Q = (s, dir) => {
+    val words = docs(s, dir).select(explode(split(col("text"), " ")).as("item"))
+    val probes = docs(s, dir).filter(col("doc_id") < 5)
+      .select(explode(split(col("text"), " ")).as("item"))
+    operators.Freq.cmsEstimate(
+      operators.Freq.cmsSketch(words, depth = 4, width = 1024),
+      probes, depth = 4, width = 1024)
+  }
+
   // ---- text analysis -------------------------------------------------------
 
   val textLangid: Q = (s, dir) =>
@@ -208,6 +221,21 @@ object QueriesLlm {
         floor(col("cscore") / 1000).cast("long").as("score_mq"))
   }
 
+  /** Snapshot diff between the corpus and a synthetic next version
+    * (every 31st doc dropped, every 17th doc's text edited, three new
+    * ids): the ingest-delta audit, joined on 16-byte digests only
+    * ([[operators.Snapshot.diff]]). */
+  val corpusDiff: Q = (s, dir) => {
+    val old = docs(s, dir)
+    val next = old.filter(col("doc_id") % 31 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(old.filter(col("doc_id") < 3)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    operators.Snapshot.diff(old, next, "doc_id", Seq("text"))
+  }
+
   // ---- composed curation pipeline ------------------------------------------
 
   /** End-to-end training-data prep — the composition a curation run
@@ -284,6 +312,8 @@ object QueriesLlm {
     "q_dedup_embcos"        -> dedupEmbCos,
     "q_dedup_spans"         -> dedupSpans,
     "q_freq_heavyhitters"   -> freqHeavyHitters,
+    "q_freq_cms"            -> freqCms,
+    "q_corpus_diff"         -> corpusDiff,
     "q_text_langid"         -> textLangid,
     "q_text_quality"        -> textQuality,
     "q_text_tokens"         -> textTokens,
@@ -508,6 +538,49 @@ sym AS (
         |       LATERAL unnest(a) AS u(w))
         |SELECT item, count(*) AS cnt FROM w GROUP BY 1
         |HAVING count(*) * 50 > (SELECT count(*) FROM w)""".stripMargin,
+
+    // the CMS twin recomputes the identical 4×1024 md5 cells: hexToH is
+    // the shared 15-nibble md5 -> BIGINT arithmetic, salted 'cm<j>|'
+    "q_freq_cms" ->
+      s"""WITH w AS (
+         |  SELECT u.w AS item
+         |  FROM (SELECT string_split(text, ' ') AS a FROM documents) d,
+         |       LATERAL unnest(a) AS u(w)
+         |), cells AS (
+         |  SELECT j, bucket, count(*) AS cnt FROM (
+         |    SELECT j, ($hexToH) % 1024 AS bucket FROM (
+         |      SELECT t.j, md5('cm' || CAST(t.j AS VARCHAR) || '|' || item) AS hx
+         |      FROM w, (SELECT unnest(generate_series(0, 3)) AS j) t)
+         |  ) GROUP BY 1, 2
+         |), p AS (
+         |  SELECT DISTINCT u.w AS item
+         |  FROM (SELECT string_split(text, ' ') AS a FROM documents WHERE doc_id < 5) d,
+         |       LATERAL unnest(a) AS u(w)
+         |), pm AS (
+         |  SELECT item, j, ($hexToH) % 1024 AS bucket FROM (
+         |    SELECT p.item, t.j, md5('cm' || CAST(t.j AS VARCHAR) || '|' || item) AS hx
+         |    FROM p, (SELECT unnest(generate_series(0, 3)) AS j) t)
+         |)
+         |SELECT pm.item, MIN(COALESCE(c.cnt, 0)) AS est
+         |FROM pm LEFT JOIN cells c ON c.j = pm.j AND c.bucket = pm.bucket
+         |GROUP BY 1""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(coalesce(text, '')) AS d FROM documents
+        |), nw AS (
+        |  SELECT doc_id,
+        |    md5(coalesce(CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END, '')) AS d
+        |  FROM documents WHERE doc_id % 31 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(coalesce(text, '')) FROM documents WHERE doc_id < 3
+        |)
+        |SELECT COALESCE(old.doc_id, nw.doc_id) AS doc_id,
+        |  CASE WHEN old.d IS NULL THEN 'added'
+        |       WHEN nw.d IS NULL THEN 'removed'
+        |       WHEN old.d = nw.d THEN 'unchanged' ELSE 'changed' END AS status,
+        |  old.d AS old_digest, nw.d AS new_digest
+        |FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" -> (
       "WITH " + shinglesCte + """,

@@ -118,4 +118,58 @@ object Freq {
       .filter(col("cnt") * lit(denom) > col("n"))
       .select(col("item"), col("cnt"))
   }
+
+  // ---- Count-Min sketch ----------------------------------------------------
+  //
+  // The complement of Misra-Gries: MG answers "which items are heavy"
+  // (top-k membership, nothing about the rest); Count-Min answers "how
+  // often does THIS item occur" for ANY item, from depth×width cells of
+  // state, with the one-sided guarantee est >= true and
+  // est <= true + 2n/width at probability 1 - 2^-depth per hash row.
+  //
+  // Deliberately built as a plain DataFrame aggregation, not an
+  // Aggregator: a CMS cell count is just COUNT(*) grouped by
+  // (hash row, bucket), so Spark's map-side partial aggregation IS the
+  // sketch's mergeability — each map partition reduces to <= depth×width
+  // partial cells before the one KB-scale shuffle, the exact
+  // one-pass/bounded-state shape the sketch exists for. The md5-derived
+  // bucket hashes make every cell deterministic, so unlike most sketches
+  // the whole structure is engine-portable and carries a hash-matched
+  // DuckDB oracle, not just a rows-only check.
+
+  /** Bucket of `item` under hash row j: the first 15 md5 hex nibbles of
+    * the row-salted item, mod width — uniform, deterministic, and the
+    * same arithmetic the oracle SQL does. */
+  private def cmsBucket(item: org.apache.spark.sql.Column, j: Int, width: Int) =
+    pmod(conv(substring(md5(concat(lit(s"cm$j|"), item)), 1, 15), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** Build the sketch TABLE (j, bucket, cnt) over `items` (one string
+    * column `item`; nulls dropped — no identity, nothing to count).
+    * depth×width cells max (absent cells are implicit zeros); one
+    * shuffle whose payload is the map-side-combined cells, never the
+    * items. */
+  def cmsSketch(items: DataFrame, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"cmsSketch: depth=$depth width=$width")
+    val it = items.select(col("item").cast("string")).filter(col("item").isNotNull)
+    it.select(posexplode(array((0 until depth).map(j =>
+        cmsBucket(col("item"), j, width)): _*)).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes` (distinct string column `item`)
+    * against a [[cmsSketch]]: min over the depth cells, absent cells
+    * read 0. The sketch (<= depth×width rows) broadcasts; the probe
+    * side never shuffles. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame,
+      depth: Int, width: Int): DataFrame = {
+    val melted = probes
+      .select(col("item").cast("string")).filter(col("item").isNotNull).distinct()
+      .select(col("item"), posexplode(array((0 until depth).map(j =>
+        cmsBucket(col("item"), j, width)): _*)).as(Seq("j", "bucket")))
+    melted.join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -532,6 +532,58 @@ class LlmOpsSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("count-min: one-sided overestimate with the 2n/width bound; probe side broadcasts") {
+    val words = docs.select(explode(split(col("text"), " ")).as("item"))
+    val (depth, width) = (4, 256)
+    val sketch = Freq.cmsSketch(words, depth, width)
+    val probes = docs.filter(col("doc_id") < 10)
+      .select(explode(split(col("text"), " ")).as("item"))
+    val est = Freq.cmsEstimate(sketch, probes, depth, width)
+    val truth = words.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val n = words.count()
+    val joined = est.join(truth, "item")
+      .select(col("item"), col("est"), col("cnt")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (e, t) = (r.getAs[Long]("est"), r.getAs[Long]("cnt"))
+      // CMS never underestimates...
+      assert(e >= t, s"underestimate for ${r.getString(0)}: est=$e true=$t")
+      // ...and with depth=4 independent md5 rows the overshoot stays
+      // within a generous multiple of the n/width expectation
+      // (deterministic given the fixed corpus — not a flaky bound)
+      assert(e - t <= 4L * n / width,
+        s"overshoot beyond 4n/width for ${r.getString(0)}: est=$e true=$t n=$n")
+    }
+    // the sketch broadcasts into the probe join — estimation never
+    // shuffles the sketch or sort-merges
+    val plan = physicalPlan(est)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("snapshot diff: all four statuses; the join moves digests, not documents") {
+    import spark.implicits._
+    import graft.operators.Snapshot
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val nw  = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Snapshot.diff(old, nw, "doc_id", Seq("text"))
+      .select("doc_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // null payload hashes like empty string, not a crash / null status
+    val oldN = Seq((1L, null: String)).toDF("doc_id", "text")
+    val nwN  = Seq((1L, "")).toDF("doc_id", "text")
+    assert(Snapshot.diff(oldN, nwN, "doc_id", Seq("text"))
+      .select("status").collect()(0).getString(0) == "unchanged")
+    // scan-side digest projection: the parquet read under the join
+    // carries only (doc_id, text) — and the join itself only digests
+    val docsDf = Tables(spark, sfDir).documents
+    val plan = formattedPlan(Snapshot.diff(docsDf, docsDf, "doc_id", Seq("text")))
+    assert(plan.contains("ReadSchema") && !plan.contains("CartesianProduct"), plan)
+    assert(!plan.replaceAll("\\s", "").matches("(?s).*ReadSchema:[^\\n]*lang.*"),
+      s"diff scan reads columns beyond id+payload:\n$plan")
+  }
+
   private def kmeansCorpus = Tables(spark, sfDir).embeddings
     .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"))
 
