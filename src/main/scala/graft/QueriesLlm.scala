@@ -276,6 +276,15 @@ object QueriesLlm {
 
   /** Deterministic epoch shuffle: the corpus's training order as a
     * reproducible md5-keyed permutation (seed = the epoch label). */
+  /** Systematic PPS sample of documents proportional to length — one
+    * document per 10k chars of corpus in md5-shuffled order, landing ON
+    * the sampled-weight budget rather than near it. */
+  val sampleSystematic: Q = (s, dir) =>
+    Sampling.systematicSample(
+      docs(s, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", step = 10000L, seed = "sys0")
+      .select(col("doc_id"), col("n_chars"), col("cum_w"))
+
   val sampleShuffle: Q = (s, dir) =>
     Sampling.shuffleOrder(docs(s, dir).select(col("doc_id")), "doc_id", "epoch0")
       .select(col("doc_id"), col("skey"), col("train_idx"))
@@ -327,6 +336,7 @@ object QueriesLlm {
     "q_sim_kmeans"          -> simKmeans,
     "q_pipeline_prep"       -> pipelinePrep,
     "q_sample_stratified"   -> sampleStratified,
+    "q_sample_systematic"   -> sampleSystematic,
     "q_sample_temperature"  -> sampleTemperature,
     "q_shuffle_order"       -> sampleShuffle,
     "q_pack_sequences"      -> packSequences,
@@ -564,6 +574,20 @@ sym AS (
          |SELECT pm.item, MIN(COALESCE(c.cnt, 0)) AS est
          |FROM pm LEFT JOIN cells c ON c.j = pm.j AND c.bucket = pm.bucket
          |GROUP BY 1""".stripMargin,
+
+    // single-window twin of the two-phase prefix sum: (skey, doc_id)
+    // order is total, so ROWS/RANGE framing coincide
+    "q_sample_systematic" ->
+      """WITH k AS (
+        |  SELECT doc_id, COALESCE(n_chars, 0) AS w,
+        |    md5('sys0|' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, w,
+        |    CAST(SUM(w) OVER (ORDER BY skey, doc_id) AS BIGINT) AS cum_w FROM k
+        |)
+        |SELECT doc_id, w AS n_chars, cum_w FROM c
+        |WHERE cum_w // 10000 > (cum_w - w) // 10000""".stripMargin,
 
     "q_corpus_diff" ->
       """WITH old AS (

@@ -20,7 +20,9 @@ object SparkEntry {
     val hs = Seq("q1_agg", "q_join_star", "q_component_activity",
       "q_dedup_minhash", "q_sim_topk", "q_text_quality", "q_session_windows",
       // round-6 temporal/sketch tier, tracked round-over-round
-      "q_asof_join", "q_range_join", "q_dedup_spans", "q_freq_heavyhitters")
+      "q_asof_join", "q_range_join", "q_dedup_spans", "q_freq_heavyhitters",
+      // round-7 tier: trained quantizer, CMS, snapshot diff, layout key
+      "q_sim_kmeans", "q_freq_cms", "q_corpus_diff", "q_zorder")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs

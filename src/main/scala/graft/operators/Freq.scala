@@ -144,6 +144,13 @@ object Freq {
     pmod(conv(substring(md5(concat(lit(s"cm$j|"), item)), 1, 15), 16, 10)
       .cast("long"), lit(width.toLong))
 
+  /** All `depth` bucket positions of `item` as one array column —
+    * shared by the batch sketch below and the streaming twin
+    * ([[graft.streaming.StreamingJobs.cmsSketchStream]]), so the two
+    * can never hash apart. */
+  def cmsBuckets(item: org.apache.spark.sql.Column, depth: Int, width: Int) =
+    array((0 until depth).map(j => cmsBucket(item, j, width)): _*)
+
   /** Build the sketch TABLE (j, bucket, cnt) over `items` (one string
     * column `item`; nulls dropped — no identity, nothing to count).
     * depth×width cells max (absent cells are implicit zeros); one
@@ -152,8 +159,7 @@ object Freq {
   def cmsSketch(items: DataFrame, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, s"cmsSketch: depth=$depth width=$width")
     val it = items.select(col("item").cast("string")).filter(col("item").isNotNull)
-    it.select(posexplode(array((0 until depth).map(j =>
-        cmsBucket(col("item"), j, width)): _*)).as(Seq("j", "bucket")))
+    it.select(posexplode(cmsBuckets(col("item"), depth, width)).as(Seq("j", "bucket")))
       .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -166,8 +172,8 @@ object Freq {
       depth: Int, width: Int): DataFrame = {
     val melted = probes
       .select(col("item").cast("string")).filter(col("item").isNotNull).distinct()
-      .select(col("item"), posexplode(array((0 until depth).map(j =>
-        cmsBucket(col("item"), j, width)): _*)).as(Seq("j", "bucket")))
+      .select(col("item"),
+        posexplode(cmsBuckets(col("item"), depth, width)).as(Seq("j", "bucket")))
     melted.join(broadcast(sketch), Seq("j", "bucket"), "left")
       .groupBy(col("item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))

@@ -121,6 +121,63 @@ object Sampling {
       .drop("_sub", "_lrank", "_off")
   }
 
+  /** Deterministic SYSTEMATIC weighted (PPS) sampling: rows are laid on
+    * a weight axis in md5-shuffled order and one row is taken at every
+    * `step` weight units — row i is selected iff its interval
+    * (cum_i − w_i, cum_i] contains a multiple of `step`, so inclusion is
+    * proportional to weight (exact w_i/step for w_i ≤ step), the sample
+    * size is fixed at totalW DIV step (±1), and — unlike independent
+    * coin-flipping — a token-budgeted subsample lands ON budget, not
+    * just in expectation. With weight = token count this is "give me a
+    * 10B-token proportional slice of the corpus", the subsampling step a
+    * token-budget training run actually wants.
+    *
+    * Same determinism contract as every sampler here: the shuffle order
+    * is md5(seed|id), so the sample is stable across runs/retries and
+    * engines, and a different seed is a fresh draw. All arithmetic is
+    * BIGINT (weights are integral); selection uses integer DIV, so there
+    * is no float boundary anywhere.
+    *
+    * Scale shape: the global prefix sum is the same bounded two-phase
+    * construction as [[shuffleOrder]] — skey's first hex byte is a
+    * monotone 256-way bucketing, local weight prefix sums window over
+    * ~n/256-row partitions, 256 bucket totals window into exclusive
+    * offsets and broadcast back. ONE corpus shuffle, no global sort
+    * task, no range-partitioner sampling. Null weights count 0 (never
+    * selected); negative weights are rejected up front. */
+  def systematicSample(df: DataFrame, idCol: String, weightCol: String,
+      step: Long, seed: String): DataFrame = {
+    require(step > 0, s"systematicSample: step=$step must be positive")
+    val reserved = Seq("skey", "_w", "_sub", "_lw", "_n", "_off", "cum_w")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"systematicSample: input columns collide with reserved working names: ${clash.mkString(", ")}")
+    val keyed = df
+      .withColumn("_w", coalesce(col(weightCol).cast("long"), lit(0L)))
+      .withColumn("skey", md5(concat(lit(seed + "|"), col(idCol).cast("string"))))
+      .withColumn("_sub", substring(col("skey"), 1, 2))
+    val offsets = keyed.groupBy(col("_sub"))
+      .agg(sum(col("_w")).as("_n"), min(col("_w")).as("_mn"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_n")).over(Window.orderBy(col("_sub"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_sub"), col("_off"), col("_mn"))
+    keyed
+      .withColumn("_lw", sum(col("_w"))
+        .over(Window.partitionBy(col("_sub")).orderBy(col("skey"), col(idCol))))
+      .join(broadcast(offsets), Seq("_sub"))
+      // fail loud on negative weights without a separate validation scan:
+      // the per-bucket min rides the KB-sized offsets table for free
+      .withColumn("cum_w",
+        when(col("_mn") < 0,
+          raise_error(lit(s"systematicSample: negative weight in $weightCol")))
+          .otherwise(col("_lw") + col("_off")))
+      .filter(expr(s"cum_w DIV $step") > expr(s"(cum_w - _w) DIV $step"))
+      .drop("skey", "_w", "_sub", "_lw", "_off", "_mn")
+  }
+
   /** Token-budget sequence packing: within each shard (partition column),
     * rows are laid out in `orderCol` order and cut into packs by running
     * token count — `pack_id = floor(exclusive_prefix_sum / budget)`, i.e.

@@ -126,6 +126,30 @@ object StreamingJobs {
         explode(col("cands")).as("item"), col("n"))
   }
 
+  /** Streaming Count-Min cells per event-time window — the streaming
+    * twin of [[graft.operators.Freq.cmsSketch]] (the shared
+    * `Freq.cmsBuckets` hashing means the two can never drift apart).
+    *
+    * State per open window is bounded by depth×width cells REGARDLESS
+    * of item cardinality — the property that makes per-window frequency
+    * estimation tractable on an unbounded stream (a plain per-item
+    * count's state is the item domain). Each closed window emits its
+    * cell table; CMS merge is cell-wise SUM, so a consumer aggregates
+    * emitted cells over any horizon of windows and probes the result
+    * with `Freq.cmsEstimate` — asserted ≡ the batch sketch of the same
+    * rows in StreamingSpec. */
+  def cmsSketchStream(items: DataFrame, windowDur: String,
+      watermarkDelay: String, depth: Int, width: Int): DataFrame =
+    items
+      .filter(col("item").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"),
+        posexplode(graft.operators.Freq.cmsBuckets(col("item").cast("string"),
+          depth, width)).as(Seq("j", "bucket")))
+      .groupBy(window(col("ts"), windowDur), col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("j"), col("bucket"), col("cnt"))
+
   /** Streaming incremental ingest dedup — the streaming twin of
     * `Dedup.probeBandIndex`: every arriving doc probes the STANDING
     * corpus's persisted band index in-flight and emits its collisions

@@ -141,6 +141,42 @@ object CurationProps extends Properties("CurationSemantics") {
       }
     }
 
+  /** Systematic PPS sampling: the two-phase prefix sum must equal the
+    * single global window, selection must be exactly "interval contains
+    * a multiple of step", and the selected intervals cover EVERY
+    * multiple of step in (0, totalW] exactly once — so the sample size
+    * is totalW DIV step except where a single heavy row spans several
+    * multiples (it is selected once, never duplicated). */
+  property("systematicSample == single-window systematic selection; on-budget size") =
+    Prop.forAll(
+        Gen.nonEmptyListOf(Gen.zip(Gen.choose(-10000L, 10000L), Gen.choose(0L, 500L)))
+          .map(_.distinctBy(_._1)),
+        Gen.oneOf(97L, 256L, 1000L), Gen.alphaStr) { (rows, step, seed) =>
+      import TestSpark.spark
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Sampling
+      val df = rows.toDF("id", "w")
+      val got = Sampling.systematicSample(df, "id", "w", step, seed)
+        .select(col("id"), col("cum_w")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      val wOf = rows.toMap
+      val want = df
+        .withColumn("skey", md5(concat(lit(seed + "|"), col("id").cast("string"))))
+        .withColumn("cum_w", sum(col("w"))
+          .over(Window.orderBy(col("skey"), col("id"))))
+        .filter(expr(s"cum_w DIV $step") > expr(s"(cum_w - w) DIV $step"))
+        .select(col("id"), col("cum_w")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      val totalW = rows.map(_._2).sum
+      // every step-multiple in (0, totalW] covered exactly once
+      val covered = got.map { case (id, cum) =>
+        cum / step - (cum - wOf(id)) / step }.sum
+      Prop(got == want && covered == totalW / step &&
+          got.length <= totalW / step) :|
+        s"step=$step totalW=$totalW covered=$covered |got|=${got.length} want=$want"
+    }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -108,6 +108,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming count-min cells: bounded per-window state, cell-sum merges match batch") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val (depth, width) = (4, 64)
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "item")
+    val q = StreamingJobs.cmsSketchStream(df, "1 hour", "10 minutes", depth, width)
+      .writeStream.format("memory").queryName("cms_out").outputMode("append").start()
+    try {
+      // two hour-windows of items, then a late row to close both
+      val w0 = (0 until 40).map(i => (ts(i.toLong), s"a${i % 7}"))
+      val w1 = (0 until 25).map(i => (ts(3600L + i), s"b${i % 5}"))
+      feed(q)(in.addData(w0 ++ w1))
+      feed(q)(in.addData((ts(9000), "later")))
+      val cells = spark.table("cms_out")
+      // bounded state: each closed window emitted at most depth×width cells
+      val perWindow = cells.groupBy(col("w_start")).count().collect().map(_.getLong(1))
+      assert(perWindow.nonEmpty && perWindow.forall(_ <= depth.toLong * width))
+      // CMS merge = cell-wise sum: cells summed across the two closed
+      // windows must equal the batch sketch of the same rows
+      val merged = cells.groupBy(col("j"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val batch = graft.operators.Freq.cmsSketch(
+        (w0 ++ w1).map(_._2).toDF("item"), depth, width)
+      assert(merged.except(batch).isEmpty && batch.except(merged).isEmpty,
+        "streamed cell sums diverge from the batch sketch")
+      // and probing the merged cells never underestimates
+      val est = graft.operators.Freq.cmsEstimate(
+        merged, Seq("a0", "b4", "absent").toDF("item"), depth, width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val truth = (w0 ++ w1).map(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+      assert(est("a0") >= truth("a0") && est("b4") >= truth("b4"))
+    } finally q.stop()
+  }
+
   test("streaming as-of join picks the single latest in-lookback right event") {
     implicit val ctx = spark.sqlContext
     val purchases = MemoryStream[(Long, Timestamp, Long)]
