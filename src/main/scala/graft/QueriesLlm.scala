@@ -225,16 +225,37 @@ object QueriesLlm {
     * (every 31st doc dropped, every 17th doc's text edited, three new
     * ids): the ingest-delta audit, joined on 16-byte digests only
     * ([[operators.Snapshot.diff]]). */
-  val corpusDiff: Q = (s, dir) => {
-    val old = docs(s, dir)
-    val next = old.filter(col("doc_id") % 31 =!= 0)
+  /** The synthetic "next ingest" of the corpus the snapshot operators
+    * audit against: every 31st doc dropped, every 17th doc's text
+    * edited, three new ids. */
+  private def nextVersion(old: DataFrame): DataFrame =
+    old.filter(col("doc_id") % 31 =!= 0)
       .withColumn("text",
         when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text")))
       .unionByName(old.filter(col("doc_id") < 3)
         .withColumn("doc_id", col("doc_id") + 1000000L))
-    operators.Snapshot.diff(old, next, "doc_id", Seq("text"))
+
+  val corpusDiff: Q = (s, dir) => {
+    val old = docs(s, dir)
+    operators.Snapshot.diff(old, nextVersion(old), "doc_id", Seq("text"))
   }
+
+  /** Term-distribution drift of the same synthetic next version: the 20
+    * terms whose relative frequency moved most, ranked by the exact
+    * DECIMAL cross-multiplied difference. */
+  val corpusDrift: Q = (s, dir) => {
+    val old = docs(s, dir)
+    operators.Snapshot.termDrift(old, nextVersion(old), "text", k = 20)
+  }
+
+  /** Conjunctive search over the inverted postings index: documents
+    * containing BOTH probe terms, ranked by exact matched term
+    * frequency. */
+  val textSearch: Q = (s, dir) =>
+    operators.TextIndex.searchAll(
+      operators.TextIndex.buildPostings(docs(s, dir), "doc_id", "text"),
+      Seq("hash", "window"))
 
   // ---- composed curation pipeline ------------------------------------------
 
@@ -323,6 +344,8 @@ object QueriesLlm {
     "q_freq_heavyhitters"   -> freqHeavyHitters,
     "q_freq_cms"            -> freqCms,
     "q_corpus_diff"         -> corpusDiff,
+    "q_corpus_drift"        -> corpusDrift,
+    "q_text_search"         -> textSearch,
     "q_text_langid"         -> textLangid,
     "q_text_quality"        -> textQuality,
     "q_text_tokens"         -> textTokens,
@@ -605,6 +628,45 @@ sym AS (
         |       WHEN old.d = nw.d THEN 'unchanged' ELSE 'changed' END AS status,
         |  old.d AS old_digest, nw.d AS new_digest
         |FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id""".stripMargin,
+
+    "q_corpus_drift" ->
+      """WITH nw AS (
+        |  SELECT CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 31 <> 0
+        |  UNION ALL
+        |  SELECT text FROM documents WHERE doc_id < 3
+        |), co AS (
+        |  SELECT u.w AS term, count(*) AS c_old
+        |  FROM (SELECT string_split(text, ' ') AS a FROM documents) d,
+        |       LATERAL unnest(a) AS u(w)
+        |  WHERE len(u.w) > 0 GROUP BY 1
+        |), cn AS (
+        |  SELECT u.w AS term, count(*) AS c_new
+        |  FROM (SELECT string_split(text, ' ') AS a FROM nw) d,
+        |       LATERAL unnest(a) AS u(w)
+        |  WHERE len(u.w) > 0 GROUP BY 1
+        |), j AS (
+        |  SELECT COALESCE(co.term, cn.term) AS term,
+        |    COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new
+        |  FROM co FULL OUTER JOIN cn ON co.term = cn.term
+        |)
+        |SELECT term, c_old, c_new FROM j,
+        |  (SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+        |          CAST(SUM(c_new) AS BIGINT) AS n_new FROM j) t
+        |ORDER BY abs(CAST(c_old AS HUGEINT) * n_new
+        |           - CAST(c_new AS HUGEINT) * n_old) DESC, term ASC
+        |LIMIT 20""".stripMargin,
+
+    "q_text_search" ->
+      """WITH p AS (
+        |  SELECT u.w AS term, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents) d,
+        |       LATERAL unnest(a) AS u(w)
+        |  WHERE len(u.w) > 0 GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_sum
+        |FROM p WHERE term IN ('hash', 'window')
+        |GROUP BY 1 HAVING count(*) = 2""".stripMargin,
 
     "q_dedup_ngram_jaccard" -> (
       "WITH " + shinglesCte + """,

@@ -38,4 +38,45 @@ object Snapshot {
           .otherwise(lit("changed")).as("status"),
         col("old_digest"), col("new_digest"))
   }
+
+  /** Term-distribution DRIFT between two corpus versions: the k terms
+    * whose relative frequency moved most — the first question after a
+    * snapshot diff says "8% of documents changed" (did the ingest shift
+    * the corpus's language, or just touch bytes?).
+    *
+    * The drift of term t is |c_old(t)·n_new − c_new(t)·n_old| — the
+    * cross-multiplied frequency difference |p_old − p_new| scaled by
+    * n_old·n_new, kept EXACT: the products run in DECIMAL(38,0) (longs
+    * overflow at ~1e19, and 100 TB corpora put c·n near 1e24), so the
+    * ranking is deterministic on any engine with exact decimal
+    * arithmetic — no float epsilon anywhere. Emitted columns are the
+    * raw counts (longs); the decimal lives only in the ORDER BY.
+    *
+    * Scale shape: each side collapses to per-term counts first
+    * (map-side combined; the full-outer join shuffles vocabulary-sized
+    * count rows, never text); the two 1-row totals broadcast; the
+    * top-k is a TakeOrdered, not a global sort. */
+  def termDrift(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"termDrift: k=$k")
+    def counts(df: DataFrame, name: String) =
+      df.select(explode(split(col(textCol), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("term")).agg(count(lit(1)).as(name))
+    val a = counts(oldDf, "c_old")
+    val b = counts(newDf, "c_new")
+    val totals = a.agg(sum(col("c_old")).as("n_old"))
+      .crossJoin(b.agg(sum(col("c_new")).as("n_new")))
+    a.join(b, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+      .crossJoin(broadcast(totals))
+      .withColumn("_drift",
+        abs(col("c_old").cast("decimal(19,0)") * col("n_new")
+          - col("c_new").cast("decimal(19,0)") * col("n_old")))
+      .orderBy(col("_drift").desc, col("term").asc)
+      .limit(k)
+      .select(col("term"), col("c_old"), col("c_new"))
+  }
 }

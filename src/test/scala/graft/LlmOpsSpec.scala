@@ -584,6 +584,41 @@ class LlmOpsSpec extends AnyFunSuite {
       s"diff scan reads columns beyond id+payload:\n$plan")
   }
 
+  test("text search: term probe is a pushed isin filter, never a join against the corpus") {
+    import graft.operators.TextIndex
+    // deployment shape: postings persisted once, searched many times —
+    // the probe filter must push into the PERSISTED index scan
+    val idxDir = "/tmp/graft_postings/" + spark.sparkContext.applicationId
+    TextIndex.buildPostings(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxDir)
+    val postings = spark.read.parquet(idxDir)
+    val q = TextIndex.searchAll(postings, Seq("hash", "window", "hash"))
+    val plan = formattedPlan(q)
+    assert(!plan.contains("Join"), s"probe terms must filter, not join:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"), plan)
+    // duplicate probe terms must not double-count the conjunction
+    val withDup = q.collect().map(r => r.getLong(0)).toSet
+    val noDup = TextIndex.searchAll(postings, Seq("hash", "window"))
+      .collect().map(r => r.getLong(0)).toSet
+    assert(withDup == noDup && withDup.nonEmpty)
+    // ground truth on a sample: every hit really contains both terms
+    val hits = docs.filter(col("doc_id").isin(withDup.take(20).toSeq.map(Long.box): _*))
+      .select("text").collect().map(_.getString(0))
+    assert(hits.forall(t => t.split(" ").contains("hash") && t.split(" ").contains("window")))
+  }
+
+  test("term drift: the injected token tops the ranking; counts are exact") {
+    import spark.implicits._
+    import graft.operators.Snapshot
+    val old = Seq((1L, "a b c"), (2L, "a a d")).toDF("doc_id", "text")
+    val nw  = Seq((1L, "a b c"), (2L, "a a zz zz zz")).toDF("doc_id", "text")
+    val top = Snapshot.termDrift(old, nw, "text", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // zz: 0 -> 3 is the largest relative move; d: 1 -> 0 next
+    assert(top(0) == ("zz", 0L, 3L), top.toSeq.toString)
+    assert(top(1)._1 == "d", top.toSeq.toString)
+  }
+
   private def kmeansCorpus = Tables(spark, sfDir).embeddings
     .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"))
 
