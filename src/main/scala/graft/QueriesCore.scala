@@ -300,7 +300,34 @@ object QueriesCore {
           pmod(col("user_id"), lit(4096L)),
           pmod(unix_timestamp(col("ts")), lit(4096L)), bits = 12).as("zkey"))
 
+  /** Gap-filled hourly resample of each user's click-value series with
+    * last-observation-carried-forward — via [[operators.Windows
+    * .gapFillLocf]]'s explode-the-gap form: the carried value is emitted
+    * directly from the observation's window row (no spine table, no
+    * LOCF second pass). Values pass through untouched (no arithmetic),
+    * so the doubles hash-match the oracle exactly. */
+  val qGapfill: Q = (s, dir) => {
+    val clicks = Tables(s, dir).events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    operators.Windows.gapFillLocf(clicks,
+      key = "user_id", ts = "ts", tie = "event_id", value = "value",
+      stepSeconds = 3600L)
+  }
+
+  /** SCD-2 dimension history from the event changelog: each user's
+    * event_type stream collapses to validity intervals with change
+    * suppression — via [[operators.Snapshot.scd2]]. Longs + strings
+    * only (epoch-second bounds), exact on both engines. */
+  val qScd2: Q = (s, dir) =>
+    operators.Snapshot.scd2(
+      Tables(s, dir).events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")),
+      key = "user_id", ts = "ts", tie = "event_id", attr = "event_type")
+
   val queries: Map[String, Q] = Map(
+    "q_gapfill"        -> qGapfill,
+    "q_scd2"           -> qScd2,
     "q_zorder"         -> qZorder,
     "q_asof_join"      -> qAsofJoin,
     "q_asof_join_chunked" -> qAsofJoinChunked,
@@ -324,6 +351,47 @@ object QueriesCore {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_gapfill" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+        |         event_id, value
+        |  FROM events WHERE event_type = 'click'),
+        |ranked AS (
+        |  SELECT user_id, es // 3600 AS b, value,
+        |         row_number() OVER (PARTITION BY user_id, es // 3600
+        |                            ORDER BY es DESC, event_id DESC) AS rn
+        |  FROM e),
+        |obs AS (SELECT user_id, b, value AS v FROM ranked WHERE rn = 1),
+        |nxt AS (SELECT user_id, b, v,
+        |               lead(b) OVER (PARTITION BY user_id ORDER BY b) AS nb
+        |        FROM obs)
+        |SELECT user_id, g * 3600 AS b_start, v AS value, (g = b) AS observed
+        |FROM (SELECT user_id, b, v,
+        |             unnest(generate_series(b, coalesce(nb - 1, b))) AS g
+        |      FROM nxt) t""".stripMargin,
+
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+        |         event_id, event_type
+        |  FROM events),
+        |ranked AS (
+        |  SELECT user_id, es, event_type,
+        |         row_number() OVER (PARTITION BY user_id, es
+        |                            ORDER BY event_id DESC) AS rn
+        |  FROM e),
+        |latest AS (SELECT user_id, es, event_type FROM ranked WHERE rn = 1),
+        |chg AS (
+        |  SELECT user_id, es, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY es) AS pv,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY es) AS k
+        |  FROM latest)
+        |SELECT user_id, event_type, es AS valid_from,
+        |       lead(es) OVER (PARTITION BY user_id ORDER BY es) AS valid_to,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY es) AS version,
+        |       lead(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL AS is_current
+        |FROM chg WHERE k = 1 OR pv IS DISTINCT FROM event_type""".stripMargin,
+
     "q_zorder" ->
       s"""SELECT event_id, $zkeyTerms AS zkey
          |FROM (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus snapshot DIFF — the ingest-delta audit between two versions
@@ -78,5 +79,50 @@ object Snapshot {
       .orderBy(col("_drift").desc, col("term").asc)
       .limit(k)
       .select(col("term"), col("c_old"), col("c_new"))
+  }
+
+  /** Slowly-changing-dimension TYPE-2 history from a change log: collapse
+    * a (key, ts, attribute) event stream into validity intervals — one
+    * row per key per DISTINCT consecutive attribute value, with
+    * half-open [valid_from, valid_to) bounds and a version counter. The
+    * lakehouse dimension-snapshot builder: replaying a 100 TB changelog
+    * into the table a point-in-time join (as-of) then reads.
+    *
+    * Semantics: within a (key, ts) collision the row with the largest
+    * `tie` wins (same deterministic latest-wins pick as [[Windows
+    * .gapFillLocf]]); runs of equal consecutive values are suppressed
+    * (null-safe comparison — a null attribute is a value, not a wildcard);
+    * the last interval per key is open (`valid_to` null, `is_current`).
+    *
+    * Scale shape: one shuffle on (key, ts-collision) collapse, then the
+    * per-key ordered walk. Change suppression needs each row's
+    * predecessor, so the walk is a per-key window — bounded by the KEY'S
+    * CHANGE HISTORY, not the corpus (a dimension key with 10⁹ updates is
+    * a data-model bug). Where a key's history genuinely cannot fit one
+    * task, the time-chunked carry decomposition of [[Joins
+    * .asOfJoinChunked]] applies verbatim (per-chunk suppression + carried
+    * boundary value); this operator keeps the direct form.
+    */
+  def scd2(log: DataFrame, key: String, ts: String, tie: String,
+      attr: String): DataFrame = {
+    val es = col(ts).cast("long")
+    val latest = log
+      .select(col(key), es.as("_es"),
+        struct(col(tie).cast("long").as("_tie"), col(attr).as("_a")).as("_pick"))
+      .groupBy(col(key), col("_es"))
+      .agg(max(col("_pick")).getField("_a").as("_a"))
+    val w = Window.partitionBy(col(key)).orderBy(col("_es"))
+    val changed = latest
+      .withColumn("_prev", lag(col("_a"), 1).over(w))
+      // first row per key (lag null) always opens an interval; after it,
+      // keep only genuine value changes (null-safe: NULL ≢ 'x', NULL ≡ NULL)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 || !(col("_a") <=> col("_prev")))
+    val ws = Window.partitionBy(col(key)).orderBy(col("_es"))
+    changed
+      .select(col(key), col("_a").as(attr), col("_es").as("valid_from"),
+        lead(col("_es"), 1).over(ws).as("valid_to"),
+        row_number().over(ws).cast("long").as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
   }
 }

@@ -128,7 +128,10 @@ class PlanSpec extends AnyFunSuite {
       "q_asof_join_chunked" -> 4,
       "q_freq_heavyhitters" -> 1,
       // sketches partial-aggregate map-side; one shuffle of sketch state
-      "q_profile_sketch" -> 1)
+      "q_profile_sketch" -> 1,
+      // grid-bounded shuffles only: the (key, bucket)/(key, ts) collapse
+      // + the per-key ordered window — raw rows shuffle exactly once
+      "q_gapfill" -> 2, "q_scd2" -> 2)
     val over = budget.flatMap { case (name, max) =>
       val plan = physicalPlan(SparkEntry.queries(name)(spark, sfDir))
       val n = "Exchange hashpartitioning".r.findAllIn(plan).length +
