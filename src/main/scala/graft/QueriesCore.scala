@@ -325,9 +325,19 @@ object QueriesCore {
         col("event_type")),
       key = "user_id", ts = "ts", tie = "event_id", attr = "event_type")
 
+  /** Edit-distance-≤1 similarity self-join over customer names — via
+    * [[operators.Fuzzy.editDistance1Pairs]]'s deletion-signature
+    * blocking (provably complete for distance 1) + exact levenshtein
+    * refine. Integer ids + integer distance: exact on both engines. */
+  val qFuzzyJoin: Q = (s, dir) =>
+    operators.Fuzzy.editDistance1Pairs(
+      Tables(s, dir).customer.select(col("c_custkey"), col("c_name")),
+      idCol = "c_custkey", strCol = "c_name")
+
   val queries: Map[String, Q] = Map(
     "q_gapfill"        -> qGapfill,
     "q_scd2"           -> qScd2,
+    "q_fuzzy_join"     -> qFuzzyJoin,
     "q_zorder"         -> qZorder,
     "q_asof_join"      -> qAsofJoin,
     "q_asof_join_chunked" -> qAsofJoinChunked,
@@ -351,6 +361,24 @@ object QueriesCore {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_fuzzy_join" ->
+      """WITH s AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |sig0 AS (
+        |  SELECT DISTINCT id, name,
+        |         CASE WHEN i = 0 THEN name
+        |              ELSE substr(name, 1, i - 1) || substr(name, i + 1) END AS sg
+        |  FROM s, unnest(generate_series(0, length(name))) AS t(i)),
+        |sig AS (
+        |  SELECT id, name, sg, count(*) OVER (PARTITION BY sg) AS bsz
+        |  FROM sig0),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, a.name AS name_a,
+        |                  b.id AS id_b, b.name AS name_b
+        |  FROM sig a JOIN sig b ON a.sg = b.sg AND a.id < b.id
+        |  WHERE a.bsz BETWEEN 2 AND 10000)
+        |SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 1""".stripMargin,
+
     "q_gapfill" ->
       """WITH e AS (
         |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,

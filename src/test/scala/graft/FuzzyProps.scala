@@ -1,0 +1,50 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test => SCTest}
+
+import graft.operators.Fuzzy
+
+/** The deletion-signature join must agree with brute-force pairwise
+  * levenshtein on arbitrary short strings — including empty strings,
+  * repeated characters (within-string duplicate deletion variants),
+  * exact duplicates (distance-0 pairs), and strings differing by
+  * insert / delete / substitute at every position. */
+object FuzzyProps extends Properties("FuzzyJoinSemantics") {
+
+  override def overrideParameters(p: SCTest.Parameters): SCTest.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val genStrings: Gen[List[String]] =
+    for {
+      n  <- Gen.choose(1, 18)
+      xs <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 6)
+        cs  <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+    } yield xs
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  property("editDistance1Pairs == brute-force pairwise levenshtein <= 1") =
+    Prop.forAll(genStrings) { xs =>
+      import TestSpark.spark.implicits._
+      val rows = xs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = Fuzzy.editDistance1Pairs(
+          rows.toDF("id", "s"), idCol = "id", strCol = "s",
+          maxBucket = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+        d = lev(sa, sb) if d <= 1
+      } yield (ia, ib, d.toLong)).toSet
+      Prop(got == want) :| s"xs=$xs got=$got want=$want"
+    }
+}

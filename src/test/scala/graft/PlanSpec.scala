@@ -131,7 +131,10 @@ class PlanSpec extends AnyFunSuite {
       "q_profile_sketch" -> 1,
       // grid-bounded shuffles only: the (key, bucket)/(key, ts) collapse
       // + the per-key ordered window — raw rows shuffle exactly once
-      "q_gapfill" -> 2, "q_scd2" -> 2)
+      "q_gapfill" -> 2, "q_scd2" -> 2,
+      // deletion-signature dedup + signature buckets (window shares the
+      // bucket group-by's exchange) + surviving-pair distinct
+      "q_fuzzy_join" -> 3)
     val over = budget.flatMap { case (name, max) =>
       val plan = physicalPlan(SparkEntry.queries(name)(spark, sfDir))
       val n = "Exchange hashpartitioning".r.findAllIn(plan).length +
