@@ -102,6 +102,26 @@ object QueriesLlm {
       probes, depth = 4, width = 1024)
   }
 
+  /** Bloom-filter membership probe: the standing corpus (doc_id % 10 ≠ 0,
+    * standing in for the already-ingested 100 TB store) builds a 3×16384
+    * deterministic set-bit table ONCE; the arriving batch (doc_id % 10 =
+    * 0) probes it at scan speed — zero shuffles on the probe side, the
+    * KB-sized bit table broadcasts. One-sided verdicts: every true
+    * member probes positive (no false negatives, property-tested);
+    * positives are a candidate set for the exact path. The md5-derived
+    * bits make every verdict — false positives included — deterministic,
+    * so the row hash-matches the DuckDB twin exactly. */
+  val bloomProbe: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val corpus = d.filter(col("doc_id") % 10 =!= 0).select(md5(col("text")).as("item"))
+    val probes = d.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), md5(col("text")).as("item"))
+    operators.Freq.bloomProbe(
+        operators.Freq.bloomBuild(corpus, k = 3, width = 16384),
+        probes, k = 3, width = 16384)
+      .select(col("doc_id"), col("n_hits"), col("maybe_member"))
+  }
+
   // ---- text analysis -------------------------------------------------------
 
   val textLangid: Q = (s, dir) =>
@@ -343,6 +363,7 @@ object QueriesLlm {
     "q_dedup_spans"         -> dedupSpans,
     "q_freq_heavyhitters"   -> freqHeavyHitters,
     "q_freq_cms"            -> freqCms,
+    "q_bloom_probe"         -> bloomProbe,
     "q_corpus_diff"         -> corpusDiff,
     "q_corpus_drift"        -> corpusDrift,
     "q_text_search"         -> textSearch,
@@ -571,6 +592,32 @@ sym AS (
         |       LATERAL unnest(a) AS u(w))
         |SELECT item, count(*) AS cnt FROM w GROUP BY 1
         |HAVING count(*) * 50 > (SELECT count(*) FROM w)""".stripMargin,
+
+    // the Bloom twin recomputes the identical 3×16384 md5 bit table
+    // (salt 'bf<j>|', shared hexToH arithmetic); LEFT JOIN keeps
+    // zero-hit probes, and the verdict — false positives included — is
+    // deterministic, so the row hash-matches, not merely rows-matches
+    "q_bloom_probe" ->
+      s"""WITH corpus AS (
+         |  SELECT DISTINCT md5(text) AS item FROM documents WHERE doc_id % 10 <> 0
+         |), bits AS (
+         |  SELECT DISTINCT j, ($hexToH) % 16384 AS pos FROM (
+         |    SELECT t.j, md5('bf' || CAST(t.j AS VARCHAR) || '|' || item) AS hx
+         |    FROM corpus, (SELECT unnest(generate_series(0, 2)) AS j) t)
+         |), probes AS (
+         |  SELECT doc_id, md5(text) AS item FROM documents WHERE doc_id % 10 = 0
+         |), pp AS (
+         |  SELECT doc_id, j, ($hexToH) % 16384 AS pos FROM (
+         |    SELECT doc_id, t.j, md5('bf' || CAST(t.j AS VARCHAR) || '|' || item) AS hx
+         |    FROM probes, (SELECT unnest(generate_series(0, 2)) AS j) t)
+         |), hits AS (
+         |  SELECT pp.doc_id, COUNT(*) AS n_hits
+         |  FROM pp JOIN bits ON pp.j = bits.j AND pp.pos = bits.pos
+         |  GROUP BY 1
+         |)
+         |SELECT p.doc_id, CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+         |  COALESCE(h.n_hits, 0) = 3 AS maybe_member
+         |FROM probes p LEFT JOIN hits h ON p.doc_id = h.doc_id""".stripMargin,
 
     // the CMS twin recomputes the identical 4×1024 md5 cells: hexToH is
     // the shared 15-nibble md5 -> BIGINT arithmetic, salted 'cm<j>|'

@@ -178,4 +178,92 @@ object Freq {
       .groupBy(col("item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  // ---- Bloom filter --------------------------------------------------------
+  //
+  // The third sketch of the family: Misra-Gries answers "which items are
+  // heavy", Count-Min answers "how often does THIS item occur", Bloom
+  // answers "have I EVER seen this item" — the membership question an
+  // ingest pipeline asks of every arriving document against the standing
+  // corpus ("is this digest already in the store?"). The contract is
+  // one-sided like CMS's: no false negatives ever (a true member always
+  // probes positive), false positives at a rate bounded by
+  // (1 - e^(-n/width))^k for n distinct items — and a positive can then
+  // be confirmed by the exact path (incrementalDupes / an id lookup), so
+  // the corpus-sized work runs only for the tiny maybe-member fraction.
+  //
+  // Same construction discipline as the CMS: a PARTITIONED Bloom filter
+  // (k hash rows × width bits, one md5-derived bit per row) built as a
+  // plain DataFrame aggregation — the set-bit table is just
+  // DISTINCT (row, bit), so map-side partial aggregation bounds every
+  // partition's shuffle contribution at k×width cells, and the
+  // md5-derived bits make the filter deterministic and engine-portable:
+  // the whole structure (and every probe verdict, false positives
+  // included) hash-matches a DuckDB twin.
+
+  /** Bit position of `item` under hash row j: first 15 md5 hex nibbles
+    * of the row-salted item, mod width — the same arithmetic family as
+    * [[cmsBuckets]], salted "bf" to decorrelate from the CMS cells. */
+  private def bloomBit(item: org.apache.spark.sql.Column, j: Int, width: Int) =
+    pmod(conv(substring(md5(concat(lit(s"bf$j|"), item)), 1, 15), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** All k bit positions of `item` as one array column — shared by the
+    * batch build/probe and the streaming probe twin
+    * ([[graft.streaming.StreamingJobs]]), so they can never hash apart. */
+  def bloomBits(item: org.apache.spark.sql.Column, k: Int, width: Int) =
+    array((0 until k).map(j => bloomBit(item, j, width)): _*)
+
+  /** Build the filter's SET-BIT table (j, pos) over `items` (one string
+    * column `item`; nulls dropped — membership of null is defined false).
+    * At most k×width rows; ONE shuffle whose payload is the map-side-
+    * deduplicated bit positions, never the items. Persist the result
+    * next to the corpus and every future ingest batch probes it for the
+    * cost of a broadcast. */
+  def bloomBuild(items: DataFrame, k: Int, width: Int): DataFrame = {
+    require(k >= 1 && width >= 2, s"bloomBuild: k=$k width=$width")
+    items.select(col("item").cast("string")).filter(col("item").isNotNull)
+      .select(posexplode(bloomBits(col("item"), k, width)).as(Seq("j", "pos")))
+      .distinct()
+  }
+
+  /** Probe `probes` (any columns + a string `item`) against a
+    * [[bloomBuild]] bit table: appends `n_hits` (how many of the k bits
+    * are set) and `maybe_member` (all k set — the Bloom verdict).
+    *
+    * ZERO shuffles on the probe side: each of the k bit positions is
+    * row-local arithmetic and checks against its hash row's set-bit list
+    * via one BROADCAST left join (the bit table is <= k×width rows ≈ KBs
+    * by construction), so the probe path runs at scan speed — the shape
+    * that matters when "probes" is every arriving document at ingest
+    * rate. A NULL item probes to n_hits = 0, maybe_member = false.
+    *
+    * The bit table is MATERIALIZED once up front (localCheckpoint —
+    * KB-sized by construction): each of the k joins references it, and
+    * without the cut the build subtree would re-plan (and its distinct
+    * re-shuffle) once per hash row. In the persisted deployment the
+    * caller passes a parquet-backed bit table and the materialization is
+    * a no-op read. */
+  def bloomProbe(bits: DataFrame, probes: DataFrame, k: Int, width: Int): DataFrame = {
+    require(k >= 1 && width >= 2, s"bloomProbe: k=$k width=$width")
+    val reserved = (0 until k).flatMap(j => Seq(s"_bp$j", s"_hit$j")) ++
+      Seq("n_hits", "maybe_member")
+    val clash = probes.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"bloomProbe: input columns collide with reserved working names: ${clash.mkString(", ")}")
+    val b = bits.localCheckpoint()
+    val joined = (0 until k).foldLeft(probes) { (acc, j) =>
+      acc.join(
+        broadcast(b.filter(col("j") === j)
+          .select(col("pos").as(s"_bp$j"), lit(1).as(s"_hit$j"))),
+        bloomBit(col("item"), j, width) === col(s"_bp$j"), "left")
+        .drop(s"_bp$j")
+    }
+    joined
+      .withColumn("n_hits",
+        (0 until k).map(j => coalesce(col(s"_hit$j"), lit(0)))
+          .reduce(_ + _).cast("int"))
+      .withColumn("maybe_member", col("n_hits") === k)
+      .drop((0 until k).map(j => s"_hit$j"): _*)
+  }
 }

@@ -561,6 +561,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("bloom: no false negatives ever; probe path is broadcast-only, scan speed") {
+    val (k, width) = (3, 16384)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0).select(md5(col("text")).as("item"))
+    val bits = Freq.bloomBuild(corpus, k, width)
+    // probe EVERY doc: the corpus split's rows are true members by
+    // construction, and any probe sharing a corpus text is one too
+    val res = Freq.bloomProbe(bits,
+      docs.select(col("doc_id"), md5(col("text")).as("item")), k, width)
+    // the one-sided contract, stated completely: a negative verdict for
+    // an item the corpus contains is a false negative — there must be none
+    val falseNeg = res.filter(!col("maybe_member"))
+      .join(corpus, Seq("item"), "left_semi").count()
+    assert(falseNeg == 0, "bloom produced a false negative")
+    // n_hits is always the full k for members (not merely >= threshold)
+    assert(res.filter(col("doc_id") % 10 =!= 0 && col("n_hits") =!= k).count() == 0)
+    // false positives stay near the analytic rate: with n distinct items
+    // the per-probe rate is (1 - e^(-n/width))^k — generous 100x slack
+    // keeps this deterministic-corpus check far from flakiness while
+    // still catching a degenerate hash (everything-positive)
+    val n = corpus.distinct().count().toDouble
+    val fpBound = math.max(1.0, 100.0 * math.pow(1 - math.exp(-n / width), k) *
+      res.filter(col("doc_id") % 10 === 0).count())
+    val fp = res.filter(col("maybe_member"))
+      .join(corpus, Seq("item"), "left_anti").count()
+    assert(fp <= fpBound, s"false positives $fp exceed 100x the analytic rate $fpBound")
+    // plan: the materialized bit table broadcasts into k joins and the
+    // probe query carries ZERO hash exchanges — probe rows never cross
+    // the network (the build's one distinct shuffle ran at
+    // materialization, outside this query)
+    val plan = physicalPlan(res)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == k, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 0,
+      s"probe side must not shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("snapshot diff: all four statuses; the join moves digests, not documents") {
     import spark.implicits._
     import graft.operators.Snapshot

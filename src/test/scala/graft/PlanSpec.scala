@@ -127,6 +127,10 @@ class PlanSpec extends AnyFunSuite {
       // broadcasts back (2 BroadcastExchanges, 0 extra shuffles)
       "q_asof_join_chunked" -> 4,
       "q_freq_heavyhitters" -> 1,
+      // bloom: the probe query is shuffle-free — the bit table
+      // materializes (one KB-scale distinct, outside this plan) and
+      // broadcasts into the k probe joins (asserted in LlmOpsSpec)
+      "q_bloom_probe" -> 0,
       // sketches partial-aggregate map-side; one shuffle of sketch state
       "q_profile_sketch" -> 1,
       // grid-bounded shuffles only: the (key, bucket)/(key, ts) collapse
