@@ -325,6 +325,21 @@ object QueriesCore {
         col("event_type")),
       key = "user_id", ts = "ts", tie = "event_id", attr = "event_type")
 
+  /** PageRank over the part↔supplier supply graph (symmetrized, so no
+    * dangling vertices): 3 damped iterations of [[operators.Graph
+    * .pageRank]]'s integer-exact update. Part ids map to even vertex
+    * ids, supplier ids to odd — disjoint spaces without magnitude
+    * assumptions. The oracle UNROLLS the identical iterations in SQL
+    * (same BIGINT truncating arithmetic), so the ranks hash-match
+    * bit-exactly — pinning the whole iterative loop, the same standard
+    * the k-means row set. */
+  val qPagerank: Q = (s, dir) => {
+    val li = Tables(s, dir).lineitem
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val sym = li.unionByName(li.select(col("dst").as("src"), col("src").as("dst")))
+    operators.Graph.pageRank(sym, "src", "dst", iters = 3)
+  }
+
   /** Edit-distance-≤1 similarity self-join over customer names — via
     * [[operators.Fuzzy.editDistance1Pairs]]'s deletion-signature
     * blocking (provably complete for distance 1) + exact levenshtein
@@ -335,6 +350,7 @@ object QueriesCore {
       idCol = "c_custkey", strCol = "c_name")
 
   val queries: Map[String, Q] = Map(
+    "q_pagerank"       -> qPagerank,
     "q_gapfill"        -> qGapfill,
     "q_scd2"           -> qScd2,
     "q_fuzzy_join"     -> qFuzzyJoin,
@@ -360,7 +376,41 @@ object QueriesCore {
     s"((ux // ${1L << i}) % 2) * ${1L << (2 * i)} + ((uy // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
     .mkString(" + ")
 
+  /** Unrolled PageRank iterations in SQL (twin of Graph.pageRank over
+    * the symmetrized part↔supplier graph): same BIGINT truncating
+    * arithmetic — rank DIV deg per edge source, damped 85/100 with
+    * teleport (scale·15) DIV 100 — so every iteration is bit-exact.
+    * DuckDB's SUM(BIGINT) widens to HUGEINT; each r_i casts back to
+    * BIGINT, matching Spark's long sum. */
+  private def pagerankChain(iters: Int): String = {
+    val base =
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+        |), e AS (
+        |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+        |), deg AS (
+        |  SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY 1
+        |), v AS (
+        |  SELECT DISTINCT src AS id FROM e
+        |), r0 AS (
+        |  SELECT id, CAST(1000000000000 AS BIGINT) AS rank FROM v
+        |)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""", m$i AS (
+         |  SELECT e.dst AS id, SUM(r.rank // d.deg) AS m
+         |  FROM e JOIN r${i - 1} r ON e.src = r.id JOIN deg d ON d.id = e.src
+         |  GROUP BY 1
+         |), r$i AS (
+         |  SELECT v.id,
+         |    CAST(150000000000 + (COALESCE(m, 0) // 100) * 85 AS BIGINT) AS rank
+         |  FROM v LEFT JOIN m$i ON v.id = m$i.id
+         |)""".stripMargin
+    }.mkString
+    base + steps + s"\nSELECT id, rank FROM r$iters"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_pagerank" -> pagerankChain(3),
     "q_fuzzy_join" ->
       """WITH s AS (SELECT c_custkey AS id, c_name AS name FROM customer),
         |sig0 AS (

@@ -127,6 +127,12 @@ class PlanSpec extends AnyFunSuite {
       // broadcasts back (2 BroadcastExchanges, 0 extra shuffles)
       "q_asof_join_chunked" -> 4,
       "q_freq_heavyhitters" -> 1,
+      // pagerank: every iteration localCheckpoints (bounded-round
+      // iteration — lineage must not grow), so the final frame reads a
+      // materialized vertex table with zero residual exchanges; the
+      // per-iteration arithmetic itself is pinned bit-exactly by
+      // GraphProps + the unrolled-iteration oracle
+      "q_pagerank" -> 0,
       // bloom: the probe query is shuffle-free — the bit table
       // materializes (one KB-scale distinct, outside this plan) and
       // broadcasts into the k probe joins (asserted in LlmOpsSpec)
