@@ -121,6 +121,59 @@ object Sampling {
       .drop("_sub", "_lrank", "_off")
   }
 
+  /** Per-group QUOTA capping: keep at most `quota` rows per group,
+    * chosen in deterministic md5(seed|id) order — the per-domain cap of
+    * web-corpus curation (CCNet/C4-style "at most N pages per host", so
+    * no single domain dominates the training mixture), and the
+    * group-wise complement of [[stratifiedSample]]'s rate-based mixing:
+    * rates scale with group size, a quota bounds it absolutely.
+    *
+    * Same determinism contract as every sampler here (md5-keyed order —
+    * stable across runs, retries and engines; a new seed redraws), and
+    * the same BOUNDED TWO-PHASE ranking as [[shuffleOrder]], because the
+    * naive form (`row_number over (partition by group order by skey)`)
+    * routes the hottest group's ENTIRE row set through one sorted window
+    * task — with group=domain, one crawl-heavy domain is one task at
+    * 100 TB. Instead: skey's first hex byte sub-buckets each group 256
+    * ways (monotone in skey, md5-uniform occupancy), local row_numbers
+    * window over (group, sub)-bounded partitions, and the per-(group,
+    * sub) counts — groups×256 rows, KBs — window into exclusive offsets
+    * and broadcast back. Candidates with a LOCAL rank beyond the quota
+    * are pruned before the join (their global rank can only be larger),
+    * so the join touches at most 256×quota rows per group. ONE corpus
+    * shuffle (the bounded window); emits the kept rows + their
+    * `qrank` (1-based rank within the group's kept order). */
+  def quotaCap(df: DataFrame, groupCol: String, idCol: String,
+      quota: Long, seed: String): DataFrame = {
+    require(quota > 0, s"quotaCap: quota=$quota must be positive")
+    val reserved = Seq("skey", "qrank", "_sub", "_lrank", "_n", "_off")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"quotaCap: input columns collide with reserved working names: ${clash.mkString(", ")}")
+    val keyed = df.withColumn("skey",
+        md5(concat(lit(seed + "|"), col(idCol).cast("string"))))
+      .withColumn("_sub", substring(col("skey"), 1, 2))
+    val offsets = keyed.groupBy(col(groupCol), col("_sub"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_n")).over(Window.partitionBy(col(groupCol)).orderBy(col("_sub"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("_n")
+    keyed
+      .withColumn("_lrank", row_number()
+        .over(Window.partitionBy(col(groupCol), col("_sub"))
+          .orderBy(col("skey"), col(idCol))))
+      // global rank = _off + _lrank >= _lrank, so a local rank past the
+      // quota can never be kept — prune before the join
+      .filter(col("_lrank") <= quota)
+      .join(broadcast(offsets), Seq(groupCol, "_sub"))
+      .withColumn("qrank", col("_off") + col("_lrank"))
+      .filter(col("qrank") <= quota)
+      .drop("_sub", "_lrank", "_off")
+  }
+
   /** Deterministic SYSTEMATIC weighted (PPS) sampling: rows are laid on
     * a weight axis in md5-shuffled order and one row is taken at every
     * `step` weight units — row i is selected iff its interval

@@ -141,6 +141,38 @@ object CurationProps extends Properties("CurationSemantics") {
       }
     }
 
+  /** The bounded two-phase per-group ranking must keep exactly the
+    * single-window quota set — for any group skew (one dominant group
+    * included: the generator draws most rows into group "hot") and any
+    * quota, with identical qranks. */
+  property("two-phase quotaCap == single-window per-group quota") =
+    Prop.forAll(
+        Gen.listOf(for {
+          id <- Gen.choose(-5000L, 5000L)
+          g <- Gen.frequency(6 -> Gen.const("hot"), 1 -> Gen.oneOf("a", "b", "c"))
+        } yield (id, g)).map(_.distinctBy(_._1)),
+        Gen.choose(1L, 12L), Gen.alphaStr) { (rows, quota, seed) =>
+      import TestSpark.spark
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Sampling
+      (rows.nonEmpty) ==> {
+        val df = rows.toDF("id", "grp")
+        val got = Sampling.quotaCap(df, "grp", "id", quota, seed)
+          .select(col("id"), col("grp"), col("qrank")).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        val want = df
+          .withColumn("skey", md5(concat(lit(seed + "|"), col("id").cast("string"))))
+          .withColumn("qrank", row_number()
+            .over(Window.partitionBy(col("grp")).orderBy(col("skey"), col("id")))
+            .cast("long"))
+          .filter(col("qrank") <= quota)
+          .select(col("id"), col("grp"), col("qrank")).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        Prop(got == want) :| s"quota=$quota seed=$seed got=$got want=$want"
+      }
+    }
+
   /** Systematic PPS sampling: the two-phase prefix sum must equal the
     * single global window, selection must be exactly "interval contains
     * a multiple of step", and the selected intervals cover EVERY
