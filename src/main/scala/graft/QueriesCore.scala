@@ -325,6 +325,24 @@ object QueriesCore {
         col("event_type")),
       key = "user_id", ts = "ts", tie = "event_id", attr = "event_type")
 
+  /** Salted fact⋈dim join under hot keys: every event joins its user's
+    * customer row through [[operators.Joins.saltedJoin]] — 10k events
+    * over 150 hot customer keys spread across 8 salted reducers instead
+    * of pinning per-key reducers, for the regime where the dim outgrows
+    * broadcast AND the output feeds a downstream keyed stage (where AQE
+    * skips its skew split). Result is row-identical to the plain join —
+    * the oracle IS the plain join + aggregate. */
+  val qSaltedJoin: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    operators.Joins.saltedJoin(
+        t.events.select(col("event_id"), col("user_id"), col("value")),
+        t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        bigKey = "user_id", smallKey = "c_custkey", saltBy = "event_id", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value")).cast("long")).as("total_value"))
+  }
+
   /** PageRank over the part↔supplier supply graph (symmetrized, so no
     * dangling vertices): 3 damped iterations of [[operators.Graph
     * .pageRank]]'s integer-exact update. Part ids map to even vertex
@@ -351,6 +369,7 @@ object QueriesCore {
 
   val queries: Map[String, Q] = Map(
     "q_pagerank"       -> qPagerank,
+    "q_salted_join"    -> qSaltedJoin,
     "q_gapfill"        -> qGapfill,
     "q_scd2"           -> qScd2,
     "q_fuzzy_join"     -> qFuzzyJoin,
@@ -411,6 +430,14 @@ object QueriesCore {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pagerankChain(3),
+
+    // the salted formulation is row-identical to the plain join — the
+    // oracle is the plain join, which is the equivalence the salt claims
+    "q_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
     "q_fuzzy_join" ->
       """WITH s AS (SELECT c_custkey AS id, c_name AS name FROM customer),
         |sig0 AS (

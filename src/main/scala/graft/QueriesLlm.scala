@@ -326,6 +326,14 @@ object QueriesLlm {
       "doc_id", "n_chars", step = 10000L, seed = "sys0")
       .select(col("doc_id"), col("n_chars"), col("cum_w"))
 
+  /** Per-source quota cap: at most 8 documents per source in
+    * deterministic md5 order — the per-domain cap of web curation, via
+    * the bounded two-phase ranking (no hot-domain window task). */
+  val sampleQuota: Q = (s, dir) =>
+    Sampling.quotaCap(docs(s, dir).select(col("doc_id"), col("source")),
+        "source", "doc_id", quota = 8L, seed = "quota0")
+      .select(col("doc_id"), col("source"), col("qrank"))
+
   val sampleShuffle: Q = (s, dir) =>
     Sampling.shuffleOrder(docs(s, dir).select(col("doc_id")), "doc_id", "epoch0")
       .select(col("doc_id"), col("skey"), col("train_idx"))
@@ -380,6 +388,7 @@ object QueriesLlm {
     "q_sim_kmeans"          -> simKmeans,
     "q_pipeline_prep"       -> pipelinePrep,
     "q_sample_stratified"   -> sampleStratified,
+    "q_sample_quota"        -> sampleQuota,
     "q_sample_systematic"   -> sampleSystematic,
     "q_sample_temperature"  -> sampleTemperature,
     "q_shuffle_order"       -> sampleShuffle,
@@ -644,6 +653,21 @@ sym AS (
          |SELECT pm.item, MIN(COALESCE(c.cnt, 0)) AS est
          |FROM pm LEFT JOIN cells c ON c.j = pm.j AND c.bucket = pm.bucket
          |GROUP BY 1""".stripMargin,
+
+    // single-window twin of the two-phase per-group ranking: the
+    // oracle's per-source ROW_NUMBER is the semantics, the Spark side
+    // reaches the identical kept set via bounded (source, sub) windows
+    "q_sample_quota" ->
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    md5('quota0|' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, CAST(rk AS BIGINT) AS qrank FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey, doc_id) AS rk
+        |  FROM k) t
+        |WHERE rk <= 8""".stripMargin,
 
     // single-window twin of the two-phase prefix sum: (skey, doc_id)
     // order is total, so ROWS/RANGE framing coincide

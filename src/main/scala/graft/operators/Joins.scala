@@ -181,6 +181,47 @@ object Joins {
           coalesce(col(a), col(s"_ci_$a")).as(a) }: _*)
   }
 
+  /** Explicit SALTED equi-join for hot-key skew — the mitigation for
+    * the one regime AQE's runtime skew splitting does not cover: when
+    * the join output must stay hash-distributed for a downstream
+    * keyed stage, AQE skips the split (see SkewSpec's note), and when
+    * the small side outgrows broadcast the naive shuffle join pins the
+    * hot key's entire row set on one reducer.
+    *
+    * Shape: each big-side row takes a deterministic salt in [0, salts)
+    * — pmod(hash(saltBy)), so retries re-derive the SAME salt and no
+    * RNG state exists (the house determinism rule) — while the small
+    * side replicates once per salt value via one row-local explode.
+    * The join keys on (key, salt): the hot key's rows now spread over
+    * `salts` reducers, each holding a full copy of the small side's
+    * rows for that key, and each big row meets exactly the one replica
+    * carrying its salt — multiplicity is preserved, so the result is
+    * row-identical to the plain join (the oracle IS the plain join).
+    * Cost: the small side shuffles salts× its size — the explicit
+    * trade a skewed 100 TB join makes, priced at `salts`, and the
+    * reason `salts` is a parameter rather than a large constant.
+    *
+    * The join is hinted SHUFFLE_HASH: this operator exists precisely
+    * for the not-broadcastable regime, and a hashed join needs no sort
+    * on either side.
+    *
+    * @param saltBy a roughly-unique big-side column (an id) whose hash
+    *               spreads the hot key's rows across salts
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String, saltBy: String, salts: Int): DataFrame = {
+    require(salts >= 2, s"saltedJoin: salts=$salts (use a plain join for 1)")
+    val clash = (big.columns ++ small.columns).distinct.filter(_ == "_salt")
+    require(clash.isEmpty,
+      "saltedJoin: input columns collide with reserved working name _salt")
+    val b = big.withColumn("_salt", pmod(hash(col(saltBy)), lit(salts)))
+    val sm = small.withColumn("_salt",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    b.join(sm.hint("shuffle_hash"),
+        b(bigKey) === sm(smallKey) && b("_salt") === sm("_salt"))
+      .drop(b("_salt")).drop(sm("_salt"))
+  }
+
   /** Interval (range) join: pair each probe row with every interval
     * containing its timestamp.
     *

@@ -82,6 +82,8 @@ class PlanSpec extends AnyFunSuite {
       "q_explode_files" -> 1, "q_pull_request_stats" -> 1, "q_email_threads" -> 2,
       "q_agg_email_aliases_company" -> 2, "q_topk_per_group" -> 1, "q_topk_agg" -> 1,
       "q_rollup" -> 1, "q_join_star" -> 2, "q_semi_anti" -> 2, "q_skew_agg" -> 2,
+      // salted join: both sides shuffle on (key, salt) + the final agg
+      "q_salted_join" -> 3,
       // jaccard: sizes and pairs both derive from the df-filtered bucket
       // relation (consistency requires it), and the static plan
       // sort-merge-joins sizes on; AQE reuses the bucket exchange and
@@ -111,6 +113,10 @@ class PlanSpec extends AnyFunSuite {
       // never by the corpus (the trade that removed the unbounded
       // per-language window partition)
       "q_sample_stratified" -> 0, "q_pack_sequences" -> 4,
+      // quota cap: the bounded (group, sub) window [the only corpus
+      // shuffle] + the per-(group, sub) counts agg + the KB-scale
+      // offsets window; the offsets broadcast back
+      "q_sample_quota" -> 3,
       // as-of = union + ONE window shuffle on the key (no join at all);
       // range agg decomposition = per-second agg + per-block agg + the
       // edge join's re-key on blk + final per-interval agg — 4, but

@@ -45,6 +45,36 @@ class SkewSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("salted join: keys on (key, salt), hashes not sorts, equals the plain join") {
+    import graft.operators.Joins
+    import graft.sources.Tables
+    val t = Tables(spark, sfDir)
+    val big = t.events.select(col("event_id"), col("user_id"), col("value"))
+    val dim = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+    val salted = Joins.saltedJoin(big, dim,
+      bigKey = "user_id", smallKey = "c_custkey", saltBy = "event_id", salts = 8)
+    // the plan must key the shuffle on (key, salt) — the spread that
+    // un-pins the hot key — and hash-join without a broadcast (the
+    // operator's regime is dims too big to broadcast)
+    val plan = physicalPlan(salted)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("_salt"), s"join keys must include the salt:\n$plan")
+    // row-identical to the plain join, multiplicities included: compare
+    // full sorted row sets, not aggregates
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(x => (x._1, x._2, x._3)).toSeq
+    val plain = big.join(dim, big("user_id") === dim("c_custkey"))
+    assert(rows(salted) == rows(plain), "salted join diverged from the plain join")
+    // every salt value actually occupied (the spread is real, not
+    // degenerate): re-derive the salt the operator assigns
+    val nSalts = big.select(pmod(hash(col("event_id")), lit(8)).as("s"))
+      .distinct().count()
+    assert(nSalts == 8, s"expected all 8 salts occupied, got $nSalts")
+  }
+
   test("as-of join under 90%-one-key skew: chunked carry matches, partitions bounded") {
     import spark.implicits._
     import graft.operators.Joins
