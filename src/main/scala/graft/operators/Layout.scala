@@ -84,6 +84,41 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-files COMPACTION — the table-maintenance pass every
+    * long-lived 100 TB store needs: streaming sinks and frequent small
+    * ingests accrete KB-scale files, and scan cost degrades with file
+    * COUNT (open/footer/seek per file, one scheduler task per split)
+    * long before it degrades with bytes. Compaction rewrites a
+    * directory into ceil(totalBytes / targetBytes) files.
+    *
+    * The file inventory is DRIVER-SIDE METADATA ONLY (a FileSystem
+    * listing — no data moves to the driver); the rewrite itself is one
+    * round-robin `repartition` shuffle, which balances output files by
+    * row count regardless of how lopsided the input files are. Written
+    * OUT-OF-PLACE: compacting into the directory being read is a
+    * read-over-write hazard, so the deployment pattern is write to a
+    * versioned sibling then atomically swap the table pointer — the
+    * same discipline as every snapshot-based table format.
+    *
+    * @return the number of output files chosen (for the caller's
+    *         manifest/audit) */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"compact: targetBytes=$targetBytes")
+    require(inPath != outPath, "compact: out-of-place only (see scaladoc)")
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"compact: no parquet files under $inPath")
+    val total = files.map(_.getLen).sum
+    val nFiles = (math.max(1L, (total + targetBytes - 1) / targetBytes)).toInt
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** Box query over a [[writeZOrdered]] layout: the coarse zkey range
     * (a plain `BETWEEN`, pushed down to parquet row-group/page stats)
     * prunes the tiles, the exact box predicate filters the residue.

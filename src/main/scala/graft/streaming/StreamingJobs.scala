@@ -172,6 +172,26 @@ object StreamingJobs {
     * Band-key semantics are pinned to the batch operator by
     * StreamingSpec: this transform run over a batch frame must equal
     * `probeBandIndex` row-for-row. */
+  /** Streaming Bloom NOVELTY filter — the membership-sketch face of
+    * ingest dedup: every arriving doc probes the STANDING corpus's bit
+    * table ([[graft.operators.Freq.bloomBuild]], built once and
+    * persisted beside the corpus) and only probable-novel docs pass.
+    *
+    * COMPLETELY STATELESS, which is the point: the bit table is a
+    * static broadcast side and the probe is row-local arithmetic + k
+    * broadcast joins, so the streaming query has ZERO stateful
+    * operators (asserted in StreamingSpec) — where `dropDuplicates`
+    * grows keyed state forever and even the watermarked variant holds
+    * a horizon's worth. The verdict is one-sided like the batch
+    * contract: a doc already in the corpus is NEVER emitted (no false
+    * negatives), a genuinely novel doc may be dropped at the
+    * false-positive rate — the right trade when the exact path
+    * ([[incrementalDedupStream]]) confirms survivors downstream. */
+  def bloomNovelStream(docs: DataFrame, bits: DataFrame, k: Int, width: Int): DataFrame =
+    graft.operators.Freq.bloomProbe(bits, docs, k, width)
+      .filter(!col("maybe_member"))
+      .drop("n_hits", "maybe_member")
+
   def incrementalDedupStream(docs: DataFrame, index: DataFrame, k: Int,
       perms: Int, bands: Int, watermarkDelay: String, windowDur: String,
       maxBucket: Int = 10000): DataFrame = {

@@ -76,4 +76,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(hashFiles > zFiles,
       s"hash layout unexpectedly as clustered as z-order: hash=$hashFiles z=$zFiles")
   }
+
+  test("compact: small files collapse to the byte-target count, rows identical") {
+    val base = "/tmp/graft_compact/" + spark.sparkContext.applicationId
+    val small = s"$base/small"
+    val out = s"$base/compacted"
+    val docs = Tables(spark, sfDir).documents
+    docs.repartition(32).write.mode("overwrite").parquet(small)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    val smallFiles = parquetFiles(small)
+    assert(smallFiles.length == 32, s"expected 32 small files, got ${smallFiles.length}")
+    // target a quarter of the total: expect ceil(total/target) = 4-5
+    // output files (ceil slack), each ~targetBytes
+    val total = smallFiles.map(_.length).sum
+    val n = Layout.compact(spark, small, out, targetBytes = total / 4)
+    val outFiles = parquetFiles(out)
+    assert(outFiles.length == n, s"returned $n but wrote ${outFiles.length} files")
+    assert(n >= 4 && n <= 6, s"expected ~4 compacted files, got $n")
+    // row-identical, multiplicities included
+    val a = spark.read.parquet(small)
+    val b = spark.read.parquet(out)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "compaction changed the row multiset")
+    // in-place compaction is refused
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, small, small, targetBytes = total / 4)
+    }
+  }
 }

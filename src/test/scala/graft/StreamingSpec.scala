@@ -143,6 +143,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bloom novelty filter: stateless, members never emitted") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val (k, width) = (3, 4096)
+    val corpus = Seq("alpha", "beta", "gamma", "delta").toDF("item")
+    val bits = graft.operators.Freq.bloomBuild(corpus, k, width)
+    val in = MemoryStream[String]
+    val q = StreamingJobs.bloomNovelStream(in.toDF().toDF("item"), bits, k, width)
+      .writeStream.format("memory").queryName("bloom_novel").outputMode("append").start()
+    try {
+      in.addData("alpha", "nov1", "beta", "nov2", "gamma", "nov3")
+      q.processAllAvailable()
+      val got = spark.table("bloom_novel").collect().map(_.getString(0)).toSet
+      // no corpus member is EVER emitted (the no-false-negative side)
+      assert(got.intersect(Set("alpha", "beta", "gamma", "delta")).isEmpty)
+      // the emitted set is exactly what the batch probe emits for the
+      // same rows — stream and batch share one transform
+      val batchNovel = graft.operators.Freq.bloomProbe(bits,
+          Seq("nov1", "nov2", "nov3").toDF("item"), k, width)
+        .filter(!col("maybe_member")).select("item")
+        .collect().map(_.getString(0)).toSet
+      assert(got == batchNovel, s"got=$got batch=$batchNovel")
+      // the point of the operator: ZERO stateful operators — nothing
+      // grows with stream length, nothing needs a watermark to evict
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"expected a stateless query: ${q.lastProgress.prettyJson}")
+    } finally q.stop()
+  }
+
   test("streaming as-of join picks the single latest in-lookback right event") {
     implicit val ctx = spark.sqlContext
     val purchases = MemoryStream[(Long, Timestamp, Long)]
