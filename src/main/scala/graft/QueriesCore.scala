@@ -400,26 +400,34 @@ object QueriesCore {
     * arithmetic — rank DIV deg per edge source, damped 85/100 with
     * teleport (scale·15) DIV 100 — so every iteration is bit-exact.
     * DuckDB's SUM(BIGINT) widens to HUGEINT; each r_i casts back to
-    * BIGINT, matching Spark's long sum. */
+    * BIGINT, matching Spark's long sum.
+    *
+    * Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    * reference, and since e/deg/v appear in every iteration the inlined
+    * tree re-runs the fact-table distinct once per reference — at the
+    * 60M-row sf10 corpus that formulation spilled the host's entire
+    * free disk and died; materialized, the same query runs in ~1 s.
+    * (Spark-side equivalent: the operator's checkpoint of the edge
+    * list.) */
   private def pagerankChain(iters: Int): String = {
     val base =
-      """WITH e0 AS (
+      """WITH e0 AS MATERIALIZED (
         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
-        |), e AS (
+        |), e AS MATERIALIZED (
         |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
-        |), deg AS (
+        |), deg AS MATERIALIZED (
         |  SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY 1
-        |), v AS (
+        |), v AS MATERIALIZED (
         |  SELECT DISTINCT src AS id FROM e
-        |), r0 AS (
+        |), r0 AS MATERIALIZED (
         |  SELECT id, CAST(1000000000000 AS BIGINT) AS rank FROM v
         |)""".stripMargin
     val steps = (1 to iters).map { i =>
-      s""", m$i AS (
+      s""", m$i AS MATERIALIZED (
          |  SELECT e.dst AS id, SUM(r.rank // d.deg) AS m
          |  FROM e JOIN r${i - 1} r ON e.src = r.id JOIN deg d ON d.id = e.src
          |  GROUP BY 1
-         |), r$i AS (
+         |), r$i AS MATERIALIZED (
          |  SELECT v.id,
          |    CAST(150000000000 + (COALESCE(m, 0) // 100) * 85 AS BIGINT) AS rank
          |  FROM v LEFT JOIN m$i ON v.id = m$i.id

@@ -47,12 +47,18 @@ object ScaleUp {
       "l_orderkey" -> "l_orderkey + rep * 1000000000"), "lineitem")
     write(scaled(raw("orders"),
       "o_orderkey" -> "o_orderkey + rep * 1000000000"), "orders")
-    // nanos-long → second-truncated TIMESTAMP on the way out (micros
-    // parquet both engines read natively; Tables.events passes through)
+    // second-truncated TIMESTAMP on the way out (micros parquet both
+    // engines read natively; Tables.events passes through). Source
+    // encoding varies by driver round — nanos-as-long or native
+    // timestamp — so branch on the schema exactly like Tables.events.
+    val tsExpr = raw("events").schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "timestamp_seconds(ts div 1000000000)"
+      case _ => "date_trunc('second', ts)"
+    }
     write(scaled(raw("events"),
       "event_id" -> "event_id + rep * 1000000000",
       "user_id"  -> "user_id + rep * 1000000",
-      "ts"       -> "timestamp_seconds(ts div 1000000000)"), "events")
+      "ts"       -> tsExpr), "events")
     write(scaled(raw("documents"),
       "doc_id" -> "doc_id + rep * 1000000",
       "text"   -> "CASE WHEN rep = 0 THEN text ELSE concat(text, ' r', CAST(rep AS STRING)) END"),

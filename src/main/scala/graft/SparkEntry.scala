@@ -22,7 +22,9 @@ object SparkEntry {
       // round-6 temporal/sketch tier, tracked round-over-round
       "q_asof_join", "q_range_join", "q_dedup_spans", "q_freq_heavyhitters",
       // round-7 tier: trained quantizer, CMS, snapshot diff, layout key
-      "q_sim_kmeans", "q_freq_cms", "q_corpus_diff", "q_zorder")
+      "q_sim_kmeans", "q_freq_cms", "q_corpus_diff", "q_zorder",
+      // round-8 tier: link analysis, membership sketch, quota, salted join
+      "q_pagerank", "q_bloom_probe", "q_sample_quota", "q_salted_join")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs
