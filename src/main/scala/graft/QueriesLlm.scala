@@ -277,6 +277,26 @@ object QueriesLlm {
       operators.TextIndex.buildPostings(docs(s, dir), "doc_id", "text"),
       Seq("hash", "window"))
 
+  /** Rarity-weighted OR search: top 20 docs by Σ tf·((N·10^6) DIV df) —
+    * the IDF shape in exact BIGINT arithmetic, so the ranking (tie
+    * boundary included) hash-matches. N (the corpus doc count) is a
+    * catalog stat in deployment; here it is read once at plan time. */
+  val textSearchRanked: Q = (s, dir) => {
+    val d = docs(s, dir)
+    operators.TextIndex.searchRanked(
+      operators.TextIndex.buildPostings(d, "doc_id", "text"),
+      Seq("hash", "window", "the"), nDocs = d.count(), k = 20)
+  }
+
+  /** Per-language percentile-rank length trim: drop each language's
+    * shortest 5% and longest 5% of documents by n_chars — the
+    * length-outlier curation filter, via the bounded two-phase ranking
+    * (no hot-language window task). */
+  val trimOutliers: Q = (s, dir) =>
+    Sampling.trimByRank(docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars", "doc_id", loPct = 5, hiPct = 95, subWidth = 64L)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("grank"))
+
   // ---- composed curation pipeline ------------------------------------------
 
   /** End-to-end training-data prep — the composition a curation run
@@ -375,6 +395,8 @@ object QueriesLlm {
     "q_corpus_diff"         -> corpusDiff,
     "q_corpus_drift"        -> corpusDrift,
     "q_text_search"         -> textSearch,
+    "q_text_search_ranked"  -> textSearchRanked,
+    "q_trim_outliers"       -> trimOutliers,
     "q_text_langid"         -> textLangid,
     "q_text_quality"        -> textQuality,
     "q_text_tokens"         -> textTokens,
@@ -738,6 +760,42 @@ sym AS (
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_sum
         |FROM p WHERE term IN ('hash', 'window')
         |GROUP BY 1 HAVING count(*) = 2""".stripMargin,
+
+    // same postings CTE as q_text_search; weight = (N·10^6) // df in
+    // BIGINT (HUGEINT sums cast back), ORDER BY (score, doc_id) total
+    // so the LIMIT boundary is deterministic on both engines
+    "q_text_search_ranked" ->
+      """WITH p AS (
+        |  SELECT u.w AS term, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents) d,
+        |       LATERAL unnest(a) AS u(w)
+        |  WHERE len(u.w) > 0 GROUP BY 1, 2
+        |), pr AS (
+        |  SELECT * FROM p WHERE term IN ('hash', 'window', 'the')
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df FROM pr GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(tf * (((SELECT COUNT(*) FROM documents) * 1000000) // df)) AS BIGINT) AS score
+        |FROM pr JOIN df USING (term)
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
+
+    // single-window twin of the two-phase value-axis ranking; the
+    // integer keep rule (rank·100 in (lo·n, hi·n]) has no float
+    // percentile boundary
+    "q_trim_outliers" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE n_chars IS NOT NULL
+        |), r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM k
+        |)
+        |SELECT doc_id, lang, n_chars, CAST(rk AS BIGINT) AS grank
+        |FROM r WHERE rk * 100 > 5 * n AND rk * 100 <= 95 * n""".stripMargin,
 
     "q_dedup_ngram_jaccard" -> (
       "WITH " + shinglesCte + """,

@@ -174,6 +174,57 @@ object Sampling {
       .drop("_sub", "_lrank", "_off")
   }
 
+  /** Per-group PERCENTILE-RANK trimming — the length-outlier filter of
+    * corpus curation ("drop each language's shortest 5% and longest 5%
+    * of documents"): keep exactly the rows whose within-group rank by
+    * `valueCol` (ties broken by `idCol`) falls in (loPct%, hiPct%] of
+    * the group's row count. Rank-based, not value-threshold-based, so
+    * it needs no distribution assumptions and the cut adapts per group.
+    *
+    * The selection rule is pure integer arithmetic —
+    * `rank·100 > loPct·n AND rank·100 <= hiPct·n` — so the kept set is
+    * engine-portable with no float percentile boundary anywhere.
+    *
+    * Bounded two-phase ranking like [[quotaCap]], but on the VALUE axis
+    * (the packSequences bucketing): `_sub = value DIV subWidth` is
+    * monotone in value, so (sub, value, id) order ≡ (value, id) order;
+    * local ranks window over (group, sub)-bounded partitions, and the
+    * per-(group, sub) counts table — KBs — windows into exclusive
+    * offsets AND carries each group's total `n` back on the same
+    * broadcast row. ONE corpus shuffle. Rows with a NULL value are
+    * dropped up front (engines disagree on null sort order; a null
+    * length is not a rankable length). */
+  def trimByRank(df: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      loPct: Int, hiPct: Int, subWidth: Long = 64L): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"trimByRank: need 0 <= loPct < hiPct <= 100, got [$loPct, $hiPct]")
+    require(subWidth > 0)
+    val reserved = Seq("grank", "_sub", "_lrank", "_n", "_off", "_tot")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"trimByRank: input columns collide with reserved working names: ${clash.mkString(", ")}")
+    val withSub = df.filter(col(valueCol).isNotNull)
+      .withColumn("_sub", expr(s"CAST(`$valueCol` AS BIGINT) DIV $subWidth"))
+    val offsets = withSub.groupBy(col(groupCol), col("_sub"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_n")).over(Window.partitionBy(col(groupCol)).orderBy(col("_sub"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("_tot", sum(col("_n")).over(Window.partitionBy(col(groupCol))))
+      .drop("_n")
+    withSub
+      .withColumn("_lrank", row_number()
+        .over(Window.partitionBy(col(groupCol), col("_sub"))
+          .orderBy(col(valueCol), col(idCol))))
+      .join(broadcast(offsets), Seq(groupCol, "_sub"))
+      .withColumn("grank", col("_off") + col("_lrank"))
+      .filter(col("grank") * 100 > lit(loPct) * col("_tot") &&
+        col("grank") * 100 <= lit(hiPct) * col("_tot"))
+      .drop("_sub", "_lrank", "_off", "_tot")
+  }
+
   /** Deterministic SYSTEMATIC weighted (PPS) sampling: rows are laid on
     * a weight axis in md5-shuffled order and one row is taken at every
     * `step` weight units — row i is selected iff its interval

@@ -45,4 +45,39 @@ object TextIndex {
       .filter(col("n_terms") === distinctTerms.length)
       .select(col("doc_id"), col("tf_sum"))
   }
+
+  /** Disjunctive (OR) search with RARITY-weighted ranking — the IDF
+    * idea in engine-portable integers: a term's weight is
+    * `(nDocs·10^6) DIV df(term)` (rare terms weigh more, linear in
+    * inverse document frequency), a doc's score is Σ tf·weight over its
+    * matched terms, and the top k emit by (score DESC, doc_id). BM25's
+    * log weights order almost identically but are not bit-portable
+    * across engines; this weighting is exact BIGINT arithmetic, so the
+    * ranking — tie boundary included — hash-matches the SQL twin.
+    *
+    * Scale shape: the probe terms are a pushed `isin` on the postings
+    * scan (bucket-pruned on a term-bucketed index, never a full scan);
+    * the per-term dfs aggregate over the FILTERED postings only and
+    * broadcast back (a terms-sized table); the only corpus-sized
+    * shuffle groups candidate doc ids; top-k is a distributed
+    * TakeOrdered, never a global sort. `nDocs` is the corpus document
+    * count — a stored catalog stat in deployment, so it is a parameter,
+    * not a second corpus scan. */
+  def searchRanked(postings: DataFrame, terms: Seq[String], nDocs: Long,
+      k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.nonEmpty),
+      "searchRanked: need at least one non-empty term")
+    require(nDocs > 0 && k > 0, s"searchRanked: nDocs=$nDocs k=$k")
+    require(nDocs <= Long.MaxValue / 1000000L,
+      s"searchRanked: nDocs=$nDocs overflows the 10^6-scaled weight")
+    val distinctTerms = terms.distinct
+    val pr = postings.filter(col("term").isin(distinctTerms: _*))
+    val dfs = pr.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    pr.join(broadcast(dfs), "term")
+      .withColumn("_w", expr(s"(${nDocs} * 1000000) DIV _df"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf") * col("_w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

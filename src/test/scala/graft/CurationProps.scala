@@ -173,6 +173,43 @@ object CurationProps extends Properties("CurationSemantics") {
       }
     }
 
+  /** The bounded two-phase value-axis ranking must keep exactly the
+    * single-window percentile band — for any value distribution
+    * (duplicates and negative values included), any band, and any
+    * sub-shard width. */
+  property("two-phase trimByRank == single-window percentile trim") =
+    Prop.forAll(
+        Gen.listOf(for {
+          id <- Gen.choose(-5000L, 5000L)
+          g <- Gen.frequency(4 -> Gen.const("hot"), 1 -> Gen.oneOf("a", "b"))
+          v <- Gen.choose(-300L, 300L) // negatives: DIV rounds toward zero,
+                                       // the bucketing must stay monotone
+        } yield (id, g, v)).map(_.distinctBy(_._1)),
+        Gen.oneOf((0, 100), (5, 95), (25, 75), (0, 50)),
+        Gen.oneOf(1L, 7L, 64L)) { (rows, band, subW) =>
+      import TestSpark.spark
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Sampling
+      (rows.nonEmpty) ==> {
+        val (lo, hi) = band
+        val df = rows.toDF("id", "grp", "v")
+        val got = Sampling.trimByRank(df, "grp", "v", "id", lo, hi, subW)
+          .select(col("id"), col("grank")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val w = Window.partitionBy(col("grp"))
+        val want = df
+          .withColumn("grank", row_number()
+            .over(w.orderBy(col("v"), col("id"))).cast("long"))
+          .withColumn("_n", count(lit(1)).over(w))
+          .filter(col("grank") * 100 > lit(lo) * col("_n") &&
+            col("grank") * 100 <= lit(hi) * col("_n"))
+          .select(col("id"), col("grank")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        Prop(got == want) :| s"band=$band subW=$subW got=$got want=$want"
+      }
+    }
+
   /** Systematic PPS sampling: the two-phase prefix sum must equal the
     * single global window, selection must be exactly "interval contains
     * a multiple of step", and the selected intervals cover EVERY

@@ -561,6 +561,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("ranked search: rare terms outweigh common ones; probe stays a pushed isin") {
+    import spark.implicits._
+    import graft.operators.TextIndex
+    // 10 docs: "rare" appears once in doc 1 (df=1); "common" appears in
+    // all docs with tf=3 (df=10). With weight = (N·10^6) DIV df the one
+    // rare hit (w=10^7) must outrank any common-only doc (3·10^6).
+    val corpus = (1 to 10).map { i =>
+      (i.toLong, (if (i == 1) "rare " else "") + "common common common")
+    }.toDF("doc_id", "text")
+    val postings = TextIndex.buildPostings(corpus, "doc_id", "text")
+    val res = TextIndex.searchRanked(postings, Seq("rare", "common"),
+      nDocs = 10L, k = 3)
+    val rows = res.collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.head._1 == 1L, s"rare-term doc must rank first: ${rows.toSeq}")
+    assert(rows.head._2 == 1L * 10000000L + 3L * 1000000L) // rare + its commons
+    assert(rows.tail.forall(_._2 == 3000000L))
+    // ties beyond doc 1 broke by doc_id: 2 then 3
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // plan: probe terms are a pushed isin on the postings side (on a
+    // parquet-backed index this reaches the scan as In(term,..)); the
+    // tiny dfs table broadcasts; top-k is TakeOrdered, never a global
+    // sort task
+    val plan = physicalPlan(res)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the parquet-scan pushdown itself, through a persisted index
+    val idxDir = "/tmp/graft_ranked_idx/" + spark.sparkContext.applicationId
+    postings.write.mode("overwrite").parquet(idxDir)
+    val persisted = TextIndex.searchRanked(spark.read.parquet(idxDir),
+      Seq("rare", "common"), nDocs = 10L, k = 3)
+    val fmt = formattedPlan(persisted)
+    assert(fmt.contains("PushedFilters: [In(term,"),
+      s"term probe must push into the index scan:\n$fmt")
+  }
+
   test("bloom: no false negatives ever; probe path is broadcast-only, scan speed") {
     val (k, width) = (3, 16384)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0).select(md5(col("text")).as("item"))

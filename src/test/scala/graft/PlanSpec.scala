@@ -113,10 +113,13 @@ class PlanSpec extends AnyFunSuite {
       // never by the corpus (the trade that removed the unbounded
       // per-language window partition)
       "q_sample_stratified" -> 0, "q_pack_sequences" -> 4,
-      // quota cap: the bounded (group, sub) window [the only corpus
-      // shuffle] + the per-(group, sub) counts agg + the KB-scale
-      // offsets window; the offsets broadcast back
-      "q_sample_quota" -> 3,
+      // quota cap / rank trim: the bounded (group, sub) window [the
+      // only corpus shuffle] + the per-(group, sub) counts agg + the
+      // KB-scale offsets window; the offsets broadcast back
+      "q_sample_quota" -> 3, "q_trim_outliers" -> 3,
+      // ranked search: postings agg + the filtered-postings dfs agg +
+      // the candidate-doc agg; dfs broadcast, top-k is TakeOrdered
+      "q_text_search_ranked" -> 3,
       // as-of = union + ONE window shuffle on the key (no join at all);
       // range agg decomposition = per-second agg + per-block agg + the
       // edge join's re-key on blk + final per-interval agg — 4, but
