@@ -24,6 +24,48 @@ object StatefulSessions {
   case class SessionOut(user_id: Long, sess_start: Long, sess_end: Long,
       n_events: Int, sum_value: Double, closed_by: String)
 
+  case class KeyedDoc(key: String, ts: Timestamp, doc_id: Long)
+
+  case class QuotaOut(key: String, ts: Timestamp, doc_id: Long, qrank: Long)
+
+  /** Streaming per-key QUOTA: emit each key's first `quota` documents
+    * (ordered by (ts, doc_id) within a micro-batch; across batches, by
+    * arrival) and silently drop the rest — the streaming face of
+    * [[graft.operators.Sampling.quotaCap]]'s per-domain cap, for the
+    * ingest path where the corpus arrives as a stream and the cap must
+    * hold online.
+    *
+    * State is ONE LONG per key — the information-theoretic floor for an
+    * exact quota over an unbounded stream (you must remember how many a
+    * key has emitted, forever; compare `dropDuplicates`, which holds
+    * every seen id). No timeout: an evicted count would silently REOPEN
+    * a key's quota, which is the one wrong answer this operator exists
+    * to prevent — at web scale the state is #domains × 8 bytes, KBs per
+    * million domains. Batch/stream asymmetry is inherent and documented:
+    * the batch quotaCap picks a deterministic md5-ordered sample, the
+    * stream keeps the first arrivals (an online operator cannot know
+    * the md5 order of documents it has not seen). */
+  def quotaFirstN(rows: Dataset[KeyedDoc], quota: Int): Dataset[QuotaOut] = {
+    require(quota > 0, s"quotaFirstN: quota=$quota")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, batch: Iterator[KeyedDoc], state: GroupState[Long]) =>
+          var c = state.getOption.getOrElse(0L)
+          // materialize before state.update — the returned iterator is
+          // consumed after this function returns, but state writes must
+          // reflect every row of THIS batch
+          val out = batch.toSeq.sortBy(e => (e.ts.getTime, e.doc_id))
+            .flatMap { e =>
+              if (c < quota) { c += 1; Some(QuotaOut(k, e.ts, e.doc_id, c)) }
+              else None
+            }
+          state.update(c)
+          out.iterator
+      }
+  }
+
   /** Sessionize a typed event stream: gap-close (no event for
     * `gapSeconds`) or count-close (`maxEvents` reached).
     *

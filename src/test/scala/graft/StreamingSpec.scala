@@ -275,6 +275,34 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("streaming per-key quota: first N emit with ranks, the cap holds across batches") {
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.KeyedDoc
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[KeyedDoc]
+    val out = StatefulSessions.quotaFirstN(in.toDS(), quota = 2)
+    val q = out.writeStream.format("memory").queryName("squota_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: key a gets 3 docs (one over quota), key b gets 1
+      feed(q)(in.addData(
+        KeyedDoc("a", ts(0), 10L), KeyedDoc("a", ts(1), 11L),
+        KeyedDoc("a", ts(2), 12L), KeyedDoc("b", ts(0), 20L)))
+      // batch 2: a is already capped — nothing more emits for it ever;
+      // b reaches its quota with rank 2 (state carried across batches)
+      feed(q)(in.addData(KeyedDoc("a", ts(3), 13L), KeyedDoc("b", ts(4), 21L)))
+      val rows = spark.table("squota_out")
+        .select("key", "doc_id", "qrank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("a", 10L, 1L), ("a", 11L, 2L),
+        ("b", 20L, 1L), ("b", 21L, 2L)), s"got $rows")
+      // state is one counter per key, not per doc
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty && st.head.numRowsTotal == 2, q.lastProgress.prettyJson)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer closes by gap and by count") {
     import graft.streaming.StatefulSessions
     import graft.streaming.StatefulSessions.Event
