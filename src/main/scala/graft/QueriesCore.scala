@@ -358,6 +358,25 @@ object QueriesCore {
     operators.Graph.pageRank(sym, "src", "dst", iters = 3)
   }
 
+  /** Per-vertex triangle counts over a deterministic synthetic graph on
+    * the part ids (each id links to up to 8 successors that survive an
+    * md5 coin at p=96/256 — locality-bounded degree, triangle-rich),
+    * via [[operators.Graph.triangleCounts]]' degree-oriented wedge
+    * join. Orientation changes cost only, never the triangle set, so
+    * the oracle counts the same triangles with plain id ordering. */
+  val qTriangles: Q = (s, dir) => {
+    val parts = Tables(s, dir).part.select(col("p_partkey").as("id"))
+    val edges = parts
+      .withColumn("nbr", explode(sequence(col("id") + 1, col("id") + 8)))
+      // keep only neighbors that exist (id gaps / range end) — the
+      // oracle's BETWEEN join does the same
+      .join(parts.select(col("id").as("nbr")), Seq("nbr"), "left_semi")
+      .filter(conv(substring(
+          md5(concat_ws("|", lit("tg"), col("id"), col("nbr"))), 1, 2), 16, 10)
+        .cast("int") < 96)
+    operators.Graph.triangleCounts(edges, "id", "nbr")
+  }
+
   /** Edit-distance-≤1 similarity self-join over customer names — via
     * [[operators.Fuzzy.editDistance1Pairs]]'s deletion-signature
     * blocking (provably complete for distance 1) + exact levenshtein
@@ -369,6 +388,7 @@ object QueriesCore {
 
   val queries: Map[String, Q] = Map(
     "q_pagerank"       -> qPagerank,
+    "q_triangles"      -> qTriangles,
     "q_salted_join"    -> qSaltedJoin,
     "q_gapfill"        -> qGapfill,
     "q_scd2"           -> qScd2,
@@ -438,6 +458,30 @@ object QueriesCore {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pagerankChain(3),
+
+    // same synthetic md5-coin graph (edges already id-ordered a < b);
+    // the id-ordered 3-way join counts each triangle once at u < v < w
+    // — the same triangle set the degree-oriented Spark plan finds
+    "q_triangles" ->
+      """WITH p AS (SELECT p_partkey AS id FROM part),
+        |e AS (
+        |  SELECT a, b FROM (
+        |    SELECT p1.id AS a, p2.id AS b,
+        |      md5('tg|' || CAST(p1.id AS VARCHAR) || '|' || CAST(p2.id AS VARCHAR)) AS h
+        |    FROM p p1 JOIN p p2 ON p2.id BETWEEN p1.id + 1 AND p1.id + 8) t
+        |  WHERE 16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+        |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) < 96
+        |),
+        |t AS (
+        |  SELECT x.a AS u, x.b AS v, y.b AS w
+        |  FROM e x JOIN e y ON x.a = y.a AND x.b < y.b
+        |  JOIN e z ON z.a = x.b AND z.b = y.b
+        |)
+        |SELECT id, COUNT(*) AS n_tri FROM (
+        |  SELECT u AS id FROM t
+        |  UNION ALL SELECT v FROM t
+        |  UNION ALL SELECT w FROM t
+        |) c GROUP BY 1""".stripMargin,
 
     // the salted formulation is row-identical to the plain join — the
     // oracle is the plain join, which is the equivalence the salt claims

@@ -103,4 +103,71 @@ object Graph {
     }
     rank.select(col("id"), col("rank"))
   }
+
+  /** Per-vertex TRIANGLE counts over an undirected edge list — the
+    * local-clustering building block (community density, spam/link-farm
+    * signals; the classic "count without exploding" graph problem).
+    *
+    * The naive wedge join is the hazard: joining the adjacency list
+    * with itself on the center vertex materializes Σ deg(v)² wedges,
+    * and one celebrity vertex with 10M neighbors is 10¹⁴ wedges. The
+    * standard fix (Cohen's MapReduce triangle counting / the
+    * Suri–Vassilvitskii degree orientation) is implemented here: orient
+    * every edge from its (degree, id)-SMALLER endpoint to the larger;
+    * every vertex's OUT-degree is then O(√m) regardless of its raw
+    * degree, wedges are bounded by Σ outdeg(v)² = O(m^1.5) — the
+    * theoretical optimum — and each triangle forms exactly one wedge at
+    * its (degree, id)-minimum apex, so no dedup pass exists.
+    *
+    * Every triangle credits all three corners (one explode), so
+    * `n_tri(v)` = the number of triangles through v; vertices on no
+    * triangle emit nothing (inner-join semantics — LEFT-join a vertex
+    * table for zeros). Orientation affects COST only, never the
+    * triangle set, so the SQL oracle can (and does) use plain id
+    * ordering — same triangles, different join sizes.
+    *
+    * Shape: canonicalize+distinct (one shuffle), two vertex-keyed joins
+    * to attach endpoint degrees, the wedge self-join on the apex, the
+    * closure probe on the (lo, hi) wedge pair, one per-corner count.
+    * All joins are hash equi-joins on vertex/pair keys; the oriented
+    * edge list is checkpointed once (it is read three times — as apex
+    * adjacency twice and as the closure probe side). */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft-tri-${sc.applicationId}")
+    val e0 = edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b")) // self-loops close no triangle
+      .distinct()
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): src = the smaller endpoint under that
+    // total order; carry the dst's key so wedge pairs can be ordered
+    // the same way without a third join
+    val withDeg = e0
+      .join(deg.withColumnRenamed("id", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("id", "b").withColumnRenamed("d", "db"), "b")
+    val ka = struct(col("da").as("d"), col("a").as("i"))
+    val kb = struct(col("db").as("d"), col("b").as("i"))
+    val o = withDeg.select(
+        when(ka < kb, col("a")).otherwise(col("b")).as("src"),
+        when(ka < kb, kb).otherwise(ka).as("dk"))
+      .select(col("src"), col("dk.i").as("dst"), col("dk").as("dstKey"))
+      .checkpoint()
+    // wedges at the apex: unordered out-neighbor pairs, canonically
+    // (lo, hi) by the SAME (degree, id) order the orientation used —
+    // the closing edge, if present, is oriented exactly lo -> hi
+    val x = o.select(col("src"), col("dst").as("v"), col("dstKey").as("vk"))
+    val y = o.select(col("src"), col("dst").as("w"), col("dstKey").as("wk"))
+    val wedges = x.join(y, "src")
+      .filter(col("vk") < col("wk"))
+      .select(col("src").as("u"), col("v").as("lo"), col("w").as("hi"))
+    val closing = o.select(col("src").as("lo"), col("dst").as("hi"))
+    wedges.join(closing, Seq("lo", "hi"))
+      .select(explode(array(col("u"), col("lo"), col("hi"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
 }

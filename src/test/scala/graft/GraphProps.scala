@@ -60,6 +60,29 @@ object GraphProps extends Properties("PageRank") {
         Prop(got.values.sum <= got.size * Scale) :| "rank mass grew"
     }
 
+  /** Brute-force per-vertex triangle counts (driver-side O(n·m)). */
+  private def refTriangles(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct.toSet
+    val verts = e.flatMap { case (a, b) => Seq(a, b) }.toList.sorted
+    val tris = for {
+      (a, b) <- e.toList
+      c <- verts if c > b && e.contains((a, c)) && e.contains((b, c))
+    } yield (a, b, c)
+    tris.flatMap { case (a, b, c) => Seq(a, b, c) }
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+  }
+
+  property("triangleCounts == brute force (self-loops, dup edges, any orientation)") =
+    Prop.forAll(genSymGraph) { edges =>
+      import TestSpark.spark
+      import spark.implicits._
+      val got = Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = refTriangles(edges)
+      Prop(got == want) :| s"got=$got want=$want"
+    }
+
   property("a dangling vertex (no out-edges) is rejected loudly") = {
     import TestSpark.spark
     import spark.implicits._

@@ -142,6 +142,11 @@ class PlanSpec extends AnyFunSuite {
       // per-iteration arithmetic itself is pinned bit-exactly by
       // GraphProps + the unrolled-iteration oracle
       "q_pagerank" -> 0,
+      // triangles: the oriented edge list checkpoints, so the residual
+      // plan is wedge self-join + closure probe + per-corner count —
+      // all hash joins on vertex/pair keys (wedge volume bounded
+      // O(m^1.5) by the degree orientation)
+      "q_triangles" -> 4,
       // bloom: the probe query is shuffle-free — the bit table
       // materializes (one KB-scale distinct, outside this plan) and
       // broadcasts into the k probe joins (asserted in LlmOpsSpec)
