@@ -89,6 +89,17 @@ object QueriesLlm {
       docs(s, dir).select(explode(split(col("text"), " ")).as("item")),
       k = 64, denom = 50L)
 
+  /** PER-LANGUAGE exact heavy hitters (each language's tokens above 2%
+    * of that language's stream) — the stratified sketch pass: one
+    * independent Misra-Gries summary per language, groups×k counters on
+    * the wire, per-group exact verify. */
+  val freqHeavyHittersGrouped: Q = (s, dir) =>
+    operators.Freq.heavyHittersByGroup(s,
+        docs(s, dir).select(col("lang").as("grp"),
+          explode(split(col("text"), " ")).as("item")),
+        k = 64, denom = 50L)
+      .select(col("grp").as("lang"), col("item"), col("cnt"))
+
   /** Count-Min point-frequency estimates for the words of the first
     * five documents against the whole corpus word stream — 4×1024
     * deterministic md5-hashed cells, so the sketch itself (not merely
@@ -390,6 +401,7 @@ object QueriesLlm {
     "q_dedup_embcos"        -> dedupEmbCos,
     "q_dedup_spans"         -> dedupSpans,
     "q_freq_heavyhitters"   -> freqHeavyHitters,
+    "q_freq_hh_grouped"     -> freqHeavyHittersGrouped,
     "q_freq_cms"            -> freqCms,
     "q_bloom_probe"         -> bloomProbe,
     "q_corpus_diff"         -> corpusDiff,
@@ -623,6 +635,19 @@ sym AS (
         |       LATERAL unnest(a) AS u(w))
         |SELECT item, count(*) AS cnt FROM w GROUP BY 1
         |HAVING count(*) * 50 > (SELECT count(*) FROM w)""".stripMargin,
+
+    // per-language twin of the global heavy-hitters oracle: the HAVING
+    // threshold compares against each language's own stream size
+    "q_freq_hh_grouped" ->
+      """WITH w AS (
+        |  SELECT lang, u.w AS item
+        |  FROM (SELECT lang, string_split(text, ' ') AS a FROM documents) d,
+        |       LATERAL unnest(a) AS u(w)
+        |), n AS (SELECT lang, count(*) AS n FROM w GROUP BY 1)
+        |SELECT w.lang, item, count(*) AS cnt
+        |FROM w JOIN n USING (lang)
+        |GROUP BY w.lang, item, n.n
+        |HAVING count(*) * 50 > n.n""".stripMargin,
 
     // the Bloom twin recomputes the identical 3×16384 md5 bit table
     // (salt 'bf<j>|', shared hexToH arithmetic); LEFT JOIN keeps

@@ -119,6 +119,34 @@ object Freq {
       .select(col("item"), col("cnt"))
   }
 
+  /** PER-GROUP exact heavy hitters — "each language's dominant tokens",
+    * the stratified form of [[heavyHitters]]: one independent k-counter
+    * Misra-Gries summary per group (the udaf partial-aggregates
+    * map-side per (group, partition) and merges — mergeability is per
+    * group for free), so the corpus-wide shuffle carries groups×k
+    * counters, never any group's item domain. The per-group population
+    * count rides the same scan, the groups×k candidate rows broadcast
+    * into the exact verify pass, and the guarantee is [[heavyHitters]]'
+    * applied group-wise (k+1 >= denom enforced once — it is
+    * group-size-independent). Two scans total, like the global form. */
+  def heavyHittersByGroup(spark: SparkSession, items: DataFrame,
+      k: Int, denom: Long): DataFrame = {
+    require(k + 1 >= denom,
+      s"heavyHittersByGroup: k=$k counters cannot guarantee capture at threshold " +
+        s"1/$denom (need k+1 >= denom)")
+    val mg = udaf(new MisraGries(k), org.apache.spark.sql.Encoders.STRING)
+    val pop = items.select(col("grp"), col("item").cast("string"))
+      .filter(col("item").isNotNull)
+    val candidates = pop.groupBy(col("grp"))
+      .agg(mg(col("item")).as("cands"), count(lit(1)).as("n"))
+      .select(col("grp"), explode(col("cands")).as("item"), col("n"))
+    pop.join(broadcast(candidates), Seq("grp", "item"))
+      .groupBy(col("grp"), col("item"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(denom) > col("n"))
+      .select(col("grp"), col("item"), col("cnt"))
+  }
+
   // ---- Count-Min sketch ----------------------------------------------------
   //
   // The complement of Misra-Gries: MG answers "which items are heavy"

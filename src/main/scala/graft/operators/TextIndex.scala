@@ -57,12 +57,15 @@ object TextIndex {
     *
     * Scale shape: the probe terms are a pushed `isin` on the postings
     * scan (bucket-pruned on a term-bucketed index, never a full scan);
-    * the per-term dfs aggregate over the FILTERED postings only and
-    * broadcast back (a terms-sized table); the only corpus-sized
-    * shuffle groups candidate doc ids; top-k is a distributed
-    * TakeOrdered, never a global sort. `nDocs` is the corpus document
-    * count — a stored catalog stat in deployment, so it is a parameter,
-    * not a second corpus scan. */
+    * the per-term df comes from a count-window over the SAME filtered
+    * probe subtree — one plan branch, so the probe postings are read
+    * once (a dfs-aggregate + join-back would re-plan the probe side
+    * per reference), and the window's term partitions are each term's
+    * posting list, the unit a term-bucketed index already co-locates;
+    * the only other shuffle groups candidate doc ids; top-k is a
+    * distributed TakeOrdered, never a global sort. `nDocs` is the
+    * corpus document count — a stored catalog stat in deployment, so it
+    * is a parameter, not a second corpus scan. */
   def searchRanked(postings: DataFrame, terms: Seq[String], nDocs: Long,
       k: Int): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.nonEmpty),
@@ -71,9 +74,9 @@ object TextIndex {
     require(nDocs <= Long.MaxValue / 1000000L,
       s"searchRanked: nDocs=$nDocs overflows the 10^6-scaled weight")
     val distinctTerms = terms.distinct
-    val pr = postings.filter(col("term").isin(distinctTerms: _*))
-    val dfs = pr.groupBy(col("term")).agg(count(lit(1)).as("_df"))
-    pr.join(broadcast(dfs), "term")
+    postings.filter(col("term").isin(distinctTerms: _*))
+      .withColumn("_df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
       .withColumn("_w", expr(s"(${nDocs} * 1000000) DIV _df"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("tf") * col("_w")).as("score"))

@@ -561,6 +561,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("grouped heavy hitters: per-group exact answers against brute force") {
+    import spark.implicits._
+    // group a: 100 items, "hot" at 60%; group b: 50 items, "beta" at
+    // 60% — each group's threshold is its OWN stream's quarter
+    val rows = (Seq.fill(60)(("a", "hot")) ++ (1 to 40).map(i => ("a", s"x$i")) ++
+        Seq.fill(30)(("b", "beta")) ++ (1 to 20).map(i => ("b", s"y$i")))
+      .toDF("grp", "item")
+    val res = Freq.heavyHittersByGroup(spark, rows, k = 64, denom = 4L)
+    // plan asserts BEFORE execution (a finalized adaptive plan prints
+    // initial+final copies and double-counts nodes): one sketch pass,
+    // the groups×k candidates broadcast once, no second total scan
+    val plan = physicalPlan(res)
+    assert("BroadcastExchange".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2, plan)
+    val got = res.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("a", "hot", 60L), ("b", "beta", 30L)), s"got $got")
+  }
+
   test("ranked search: rare terms outweigh common ones; probe stays a pushed isin") {
     import spark.implicits._
     import graft.operators.TextIndex
@@ -581,12 +600,11 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
     // plan: probe terms are a pushed isin on the postings side (on a
     // parquet-backed index this reaches the scan as In(term,..)); the
-    // tiny dfs table broadcasts; top-k is TakeOrdered, never a global
-    // sort task
+    // df weighting is a window over the SAME probe subtree — no join
+    // anywhere; top-k is TakeOrdered, never a global sort task
     val plan = physicalPlan(res)
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Join"), s"ranked search must be join-free:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
     // the parquet-scan pushdown itself, through a persisted index
     val idxDir = "/tmp/graft_ranked_idx/" + spark.sparkContext.applicationId
     postings.write.mode("overwrite").parquet(idxDir)

@@ -117,8 +117,9 @@ class PlanSpec extends AnyFunSuite {
       // only corpus shuffle] + the per-(group, sub) counts agg + the
       // KB-scale offsets window; the offsets broadcast back
       "q_sample_quota" -> 3, "q_trim_outliers" -> 3,
-      // ranked search: postings agg + the filtered-postings dfs agg +
-      // the candidate-doc agg; dfs broadcast, top-k is TakeOrdered
+      // ranked search: postings agg + the per-term df window over the
+      // same filtered subtree + the candidate-doc agg; join-free,
+      // top-k is TakeOrdered
       "q_text_search_ranked" -> 3,
       // as-of = union + ONE window shuffle on the key (no join at all);
       // range agg decomposition = per-second agg + per-block agg + the
@@ -136,6 +137,8 @@ class PlanSpec extends AnyFunSuite {
       // broadcasts back (2 BroadcastExchanges, 0 extra shuffles)
       "q_asof_join_chunked" -> 4,
       "q_freq_heavyhitters" -> 1,
+      // grouped MG: candidates agg on grp + the per-(grp, item) verify
+      "q_freq_hh_grouped" -> 2,
       // pagerank: every iteration localCheckpoints (bounded-round
       // iteration — lineage must not grow), so the final frame reads a
       // materialized vertex table with zero residual exchanges; the
