@@ -135,6 +135,55 @@ object Programs {
     curationCore(graft.sources.Tables(spark, sfDir).documents, maxRep)
       .write.mode("overwrite").partitionBy("pred_lang").parquet(out)
 
+  /** The INGEST program's shared transform — the round-8 operator tier
+    * composed into the admission pipeline a standing 100 TB corpus runs
+    * on every arriving batch, ordered as a COST LADDER so each gate
+    * sees only the previous gate's survivors:
+    *
+    *   1. Bloom novelty gate ([[graft.operators.Freq.bloomProbe]]):
+    *      exact-digest members of the corpus drop at scan speed against
+    *      the broadcast bit table. One-sided the safe way round — no
+    *      false negatives means nothing already stored is ever
+    *      re-admitted, and a false positive only costs gate 2 a lookup.
+    *   2. near-dup probe ([[graft.operators.Dedup.probeBandIndex]]):
+    *      exact-novel docs probe the corpus's minhash band index at
+    *      delta cost; colliding docs (near-dups of standing content)
+    *      drop.
+    *   3. per-source quota ([[graft.operators.Sampling.quotaCap]]):
+    *      the md5-ordered cap bounds any one source's share of the
+    *      accepted batch — admission control against a crawl dump.
+    *
+    * In deployment the bit table and band index are PERSISTED artifacts
+    * maintained with the corpus (bloomBuild once + incremental OR-in;
+    * minhashBandIndex via Sinks.saveBucketed); this core takes them as
+    * inputs so the program and its tests run the same graph the
+    * deployment runs. */
+  def ingestCore(bits: DataFrame, bandIndex: DataFrame, batch: DataFrame,
+      quotaPerSource: Long): DataFrame = {
+    val fresh = graft.operators.Freq.bloomProbe(
+        bits, batch.withColumn("item", md5(col("text"))), k = 3, width = 1 << 20)
+      .filter(!col("maybe_member"))
+      .drop("item", "n_hits", "maybe_member")
+    val nearDups = graft.operators.Dedup.probeBandIndex(
+        fresh, bandIndex, k = 3, perms = 8, bands = 4)
+      .select(col("doc_id"))
+    val novel = fresh.join(nearDups, Seq("doc_id"), "left_anti")
+    graft.operators.Sampling.quotaCap(novel, "source", "doc_id",
+      quotaPerSource, seed = "ingest0")
+  }
+
+  /** Batch ingest program: build the corpus artifacts, admit the batch
+    * through [[ingestCore]], store accepted docs partitioned by source
+    * (per-source audits read back with partition pruning). */
+  def ingestProgram(spark: SparkSession, corpus: DataFrame, batch: DataFrame,
+      out: String, quotaPerSource: Long): Unit =
+    ingestCore(
+      graft.operators.Freq.bloomBuild(
+        corpus.select(md5(col("text")).as("item")), k = 3, width = 1 << 20),
+      graft.operators.Dedup.minhashBandIndex(corpus, k = 3, perms = 8, bands = 4),
+      batch, quotaPerSource)
+      .write.mode("overwrite").partitionBy("source").parquet(out)
+
   /** Streaming curation program: the watermark-bounded pipeline twin
     * (StreamingJobs.curationPipeline) as a deployable unit over a
     * document stream — per-(window, language) token budgets into a

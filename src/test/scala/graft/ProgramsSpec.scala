@@ -96,6 +96,48 @@ class ProgramsSpec extends AnyFunSuite {
       graft.sources.Tables(spark, sfDir).documents.count())
   }
 
+  test("ingestProgram admits only novel, near-novel, quota-fitting docs") {
+    import org.apache.spark.sql.functions._
+    val dir = fresh("ingest")
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    // the arriving batch: genuinely new docs PLUS re-deliveries of
+    // corpus content under fresh ids (the case gate 1 exists for)
+    val redelivered = corpus.limit(5)
+      .withColumn("doc_id", col("doc_id") + 7000000L)
+    val batch = docs.filter(col("doc_id") % 10 === 0).unionByName(redelivered)
+    Programs.ingestProgram(spark, corpus, batch, s"$dir/out", quotaPerSource = 3L)
+    val accepted = spark.read.parquet(s"$dir/out")
+    assert(accepted.count() > 0)
+    // gate 1: no accepted text exists verbatim in the corpus — in
+    // particular every re-delivered doc was refused
+    assert(accepted.join(corpus.select(col("text")), Seq("text"), "left_semi")
+      .count() == 0, "an exact corpus duplicate was admitted")
+    // gate 2: accepted docs have no band collision with the corpus
+    val stillColliding = graft.operators.Dedup.probeBandIndex(
+      accepted, graft.operators.Dedup.minhashBandIndex(corpus, 3, 8, 4), 3, 8, 4)
+    assert(stillColliding.count() == 0, "a near-dup of the corpus was admitted")
+    // gate 3: the per-source cap holds, and the store partitions by
+    // source (per-source audits prune)
+    val perSource = accepted.groupBy(col("source")).count()
+      .collect().map(_.getLong(1))
+    assert(perSource.nonEmpty && perSource.forall(_ <= 3L))
+    assert(formattedPlan(accepted.filter(col("source") === "src1"))
+      .contains("PartitionFilters: [isnotnull(source"),
+      "ingest store must prune by source partition")
+    // the program adds plumbing only: store == direct core transform
+    val direct = Programs.ingestCore(
+      graft.operators.Freq.bloomBuild(
+        corpus.select(md5(col("text")).as("item")), 3, 1 << 20),
+      graft.operators.Dedup.minhashBandIndex(corpus, 3, 8, 4),
+      batch, 3L)
+    val a = accepted.select(col("doc_id"), col("qrank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = direct.select(col("doc_id"), col("qrank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("curationProgramStream emits closed per-language windows into the store") {
     val dir = fresh("curation_stream")
     new java.io.File(s"$dir/in").mkdirs()
