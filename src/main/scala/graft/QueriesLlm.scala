@@ -28,6 +28,15 @@ object QueriesLlm {
   val dedupNgramJaccard: Q = (s, dir) =>
     Dedup.jaccardPairs(docs(s, dir), k = 3, maxDf = 50, minCommon = 2, minJaccard = 0.3)
 
+  /** EXACT τ=0.8 Jaccard join via prefix filtering — lossless (no df
+    * truncation, no bucket cap): the verification pass for the regime
+    * where the LSH pipelines' approximation is not acceptable. A tiny
+    * blockSize forces the hot-bucket block decomposition through the
+    * oracle check, not just the property test. */
+  val dedupPrefixJaccard: Q = (s, dir) =>
+    Dedup.prefixJaccardPairs(docs(s, dir), k = 3, minJaccardQ = 800000L,
+      blockSize = 4)
+
   val dedupMinhash: Q = (s, dir) =>
     Dedup.minhashCandidates(docs(s, dir), k = 3, perms = 8, bands = 4)
 
@@ -393,6 +402,7 @@ object QueriesLlm {
   val queries: Map[String, Q] = Map(
     "q_dedup_exact"         -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "q_simjoin_prefix"      -> dedupPrefixJaccard,
     "q_dedup_minhash"       -> dedupMinhash,
     "q_dedup_clusters"      -> dedupClusters,
     "q_dedup_survivors"     -> dedupSurvivors,
@@ -841,6 +851,26 @@ FROM common
 JOIN sizes na ON doc_a = na.doc_id
 JOIN sizes nb ON doc_b = nb.doc_id
 WHERE CAST(n_common AS DOUBLE) / (na.nsh + nb.nsh - n_common) >= 0.3"""),
+
+    // exact prefix-filtering join: the oracle is the plain quadratic
+    // inverted-index count over the FULL shingle universe (no df cap)
+    // with the identical integer τ filter — prefix filtering must be
+    // invisible in the result
+    "q_simjoin_prefix" -> (
+      "WITH " + shinglesCte + """,
+sizes AS (
+  SELECT doc_id, count(*) AS nsh FROM sh0 GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh0 a JOIN sh0 b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+  CAST(n_common AS DOUBLE) / (na.nsh + nb.nsh - n_common) AS jaccard
+FROM common
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE n_common * 1000000 >= 800000 * (na.nsh + nb.nsh - n_common)"""),
 
     "q_dedup_minhash" -> (
       "WITH " + minhashPairsChain + "\nSELECT doc_a, doc_b, n_bands FROM mh_pairs"),

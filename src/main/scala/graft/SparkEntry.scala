@@ -9,11 +9,13 @@ object SparkEntry {
     QueriesRef.commitActivityComponent(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesRef.queries ++ QueriesFn.queries ++ QueriesCore.queries ++ QueriesLlm.queries
+    QueriesRef.queries ++ QueriesFn.queries ++ QueriesCore.queries ++
+      QueriesLlm.queries ++ QueriesEvents.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    QueriesRef.oracle ++ QueriesFn.oracle ++ QueriesCore.oracle ++ QueriesLlm.oracle
+    QueriesRef.oracle ++ QueriesFn.oracle ++ QueriesCore.oracle ++
+      QueriesLlm.oracle ++ QueriesEvents.oracle
   /** Headline queries benched per round (SURVEY.md §6); every key must
     * exist in [[queries]] — no silent filtering. */
   def headline: Seq[String] = {

@@ -189,6 +189,112 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** [[explodePairs]] with HOT-BUCKET REBALANCING: buckets of ≤
+    * `blockSize` members take the in-task path unchanged, larger buckets
+    * decompose into block PAIRS — consecutive `blockSize` slices of the
+    * sorted member array, one row per (bi ≤ bj) block combination,
+    * row-local slicing — which one hash exchange then SPREADS across the
+    * cluster, so a 100k-member bucket's C(100k,2) ≈ 5×10⁹ pairs run as
+    * ~C(100, 2) independent tasks instead of one straggler. The exchange
+    * moves each member id ~nBlocks times (fixed-width ids, never
+    * text/payload beyond what the caller put in the array).
+    *
+    * EVERY bucket takes the same path — a ≤-blockSize bucket is exactly
+    * one (0, 0) block-pair row, so the small-bucket stream pays one
+    * hash exchange of its already-aggregated rows and nothing else; a
+    * filter-and-union split would instead recompute the (expensive)
+    * bucket-derivation subtree once per branch.
+    *
+    * Pair semantics are IDENTICAL to [[explodePairs]] (property-tested
+    * multiset equality): within a block, the two-level suffix explode;
+    * across blocks, the full cross — ordered a < b for free because
+    * blocks are consecutive slices of the ascending array. */
+  private[operators] def explodePairsBalanced(buckets: DataFrame, idsCol: String,
+      blockSize: Int, carry: Seq[String] = Nil): DataFrame = {
+    require(blockSize >= 2, s"blockSize ($blockSize) must be >= 2")
+    val nb = ceil(size(col(idsCol)).cast("double") / blockSize).cast("int")
+    val blocks = buckets
+      .select(col(idsCol) +: nb.as("nb_") +: carry.map(col): _*)
+      .select(col(idsCol) +: col("nb_") +:
+        explode(sequence(lit(0), col("nb_") - 1)).as("bi") +: carry.map(col): _*)
+      .select(col(idsCol) +: col("bi") +:
+        explode(sequence(col("bi"), col("nb_") - 1)).as("bj") +: carry.map(col): _*)
+      .select(slice(col(idsCol), col("bi") * blockSize + 1, lit(blockSize)).as("ids_i") +:
+        slice(col(idsCol), col("bj") * blockSize + 1, lit(blockSize)).as("ids_j") +:
+        (col("bi") === col("bj")).as("same_") +: col("bj").as("bj_") +: carry.map(col): _*)
+      // THE rebalancing exchange: block-pair rows hash-spread over the
+      // cluster (any distribution is correct — each row is self-contained)
+      .repartition(col("ids_i"), col("bj_"))
+    blocks
+      .select(posexplode(col("ids_i")).as(Seq("i", "a")) +: col("ids_i").as("ii_") +:
+        col("ids_j").as("jj_") +: col("same_") +: carry.map(col): _*)
+      .select(col("a") +:
+        explode(when(col("same_"), slice(col("ii_"), col("i") + lit(2), size(col("ii_"))))
+          .otherwise(col("jj_"))).as("b") +: carry.map(col): _*)
+  }
+
+  /** EXACT τ-Jaccard similarity join via PREFIX FILTERING (the
+    * All-Pairs/PPJoin candidate rule) — the lossless complement of
+    * [[jaccardPairs]]: that operator bounds hot buckets by REMOVING hot
+    * shingles from the similarity universe (a semantic change), this one
+    * keeps the full universe and bounds candidates with a theorem.
+    * Tokens get a global rarity order (document frequency, md5 digest as
+    * the total-order tie-break — 16-byte identity, the exact-dedup
+    * standard); each doc's PREFIX is its `n − ⌈τ·n⌉ + 1` rarest tokens;
+    * any pair with Jaccard ≥ τ shares ≥ ⌈τ·max(na,nb)⌉ tokens, so its
+    * globally-rarest common token provably sits in BOTH prefixes — the
+    * prefix inverted index misses nothing. Candidates are then length-
+    * pruned (min·10⁶ ≥ τQ·max, integer — Jaccard ≤ min/max), deduped,
+    * and verified by an exact common-token count. The τ threshold is a
+    * scale-6 LONG (`minJaccardQ`) and every filter runs in integer
+    * arithmetic, so the survivor set is bit-portable across engines; the
+    * reported `jaccard` is one double division per surviving pair.
+    *
+    * Scale shape: prefixes key on RARE tokens by construction (a hot
+    * token enters a prefix only when almost everything else in the doc
+    * is hotter), and any residual hot bucket — a cluster of
+    * near-identical docs — rebalances through [[explodePairsBalanced]]
+    * instead of being dropped: exactness is the contract, so there is no
+    * maxBucket cap here. Three corpus-token shuffles (df, per-doc rank,
+    * verify count) + the candidate-sized joins — the honest price of
+    * exact semantics over the LSH pipelines' two fixed-width shuffles,
+    * still never n². */
+  def prefixJaccardPairs(docs: DataFrame, k: Int, minJaccardQ: Long,
+      blockSize: Int = 1024): DataFrame = {
+    require(minJaccardQ > 0 && minJaccardQ <= 1000000L,
+      s"minJaccardQ ($minJaccardQ) must be a scale-6 Jaccard in (0, 1000000]")
+    val toks = shingled(docs, k).select(col("doc_id"), md5(col("s")).as("h"))
+    val dfs = toks.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = toks.join(dfs, "h")
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("h"))))
+      .withColumn("nsh", count(lit(1)).over(byDoc))
+    // p = n − ⌈τ·n⌉ + 1, all integer: ⌈τQ·n / 10⁶⌉ via (x + 10⁶ − 1) div 10⁶
+    val p = col("nsh") -
+      floor((lit(minJaccardQ) * col("nsh") + lit(999999L)) / lit(1000000L)) + 1
+    val buckets = ranked.filter(col("rk") <= p)
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("nsh")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val cands = explodePairsBalanced(buckets, "ds", blockSize)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .filter(least(col("na"), col("nb")) * lit(1000000L) >=
+        lit(minJaccardQ) * greatest(col("na"), col("nb")))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"))
+    cands
+      .join(toks.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") * lit(1000000L) >=
+        lit(minJaccardQ) * (col("na") + col("nb") - col("n_common")))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+  }
+
   /** Benchmark decontamination: flag TRAINING docs sharing at least
     * `minCommon` distinct word-k-grams with ANY doc of the (small) eval
     * set — the overlap check every training-data pipeline runs before a

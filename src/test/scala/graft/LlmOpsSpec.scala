@@ -16,6 +16,7 @@ class LlmOpsSpec extends AnyFunSuite {
   test("dedup joins are equi-joins — no cartesian / nested-loop join in any plan") {
     for (df <- Seq(
         Dedup.jaccardPairs(docs, 3, 50, 2, 0.3),
+        Dedup.prefixJaccardPairs(docs, 3, 800000L),
         Dedup.minhashCandidates(docs, 3, 8, 4),
         Dedup.simhashPairs(docs, 8))) {
       val plan = physicalPlan(df)
