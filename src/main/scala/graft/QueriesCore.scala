@@ -386,7 +386,31 @@ object QueriesCore {
       Tables(s, dir).customer.select(col("c_custkey"), col("c_name")),
       idCol = "c_custkey", strCol = "c_name")
 
+  /** Incremental aggregate maintenance over orders: the per-customer
+    * pricing state (count/sum/min/max of scale-2 unscaled totalprice)
+    * materializes over the pre-2000 base — localCheckpoint stands in
+    * for the PERSISTED state table a production refresh reads — and the
+    * post-2000 delta's state merges in via [[operators.Snapshot
+    * .refreshAggState]]. The result must be bit-identical to a full
+    * recompute over all orders (the oracle IS the full recompute): the
+    * refresh reads |delta| + |state|, never the base facts — the
+    * nightly-refresh cost model a 100 TB corpus profile needs. */
+  val qAggIncremental: Q = (s, dir) => {
+    val u = round(col("o_totalprice") * 100).cast("long").as("u")
+    val orders = Tables(s, dir).orders
+      .select(col("o_custkey"), col("o_orderdate"), u)
+    val cut = "2000-01-01"
+    val base = operators.Snapshot.aggState(
+      orders.filter(col("o_orderdate") < lit(cut).cast("timestamp")),
+      Seq("o_custkey"), "u").localCheckpoint()
+    val delta = operators.Snapshot.aggState(
+      orders.filter(col("o_orderdate") >= lit(cut).cast("timestamp")),
+      Seq("o_custkey"), "u")
+    operators.Snapshot.refreshAggState(base, delta, Seq("o_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_incremental" -> qAggIncremental,
     "q_pagerank"       -> qPagerank,
     "q_triangles"      -> qTriangles,
     "q_salted_join"    -> qSaltedJoin,
@@ -457,6 +481,18 @@ object QueriesCore {
   }
 
   val oracle: Map[String, String] = Map(
+    // incremental refresh must be INVISIBLE in the result: the oracle is
+    // the full recompute over base ∪ delta = all orders
+    "q_agg_incremental" ->
+      """SELECT o_custkey, COUNT(*) AS n_rows,
+        |       CAST(SUM(u) AS BIGINT) AS sum_v,
+        |       MIN(u) AS min_v, MAX(u) AS max_v
+        |FROM (SELECT o_custkey,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS u
+        |      FROM orders) t
+        |GROUP BY 1
+        |""".stripMargin,
+
     "q_pagerank" -> pagerankChain(3),
 
     // same synthetic md5-coin graph (edges already id-ordered a < b);

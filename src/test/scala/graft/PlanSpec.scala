@@ -161,7 +161,30 @@ class PlanSpec extends AnyFunSuite {
       "q_gapfill" -> 2, "q_scd2" -> 2,
       // deletion-signature dedup + signature buckets (window shares the
       // bucket group-by's exchange) + surviving-pair distinct
-      "q_fuzzy_join" -> 3)
+      "q_fuzzy_join" -> 3,
+      // funnel: one type-sliced scan + user-keyed min agg per stage
+      // (3 stages → 5: stage-0 agg, then per later stage the sliced
+      // scan's join shuffle + its agg); reach tables BROADCAST into the
+      // joins, the per-stage counts are SinglePartition rows
+      "q_funnel" -> 5,
+      // cohort: the (user, bucket) grid distinct [the only corpus-sized
+      // shuffle] + the user-keyed cohort min + the calendar-bounded
+      // (cohort, period) agg; cohorts broadcast into the grid join
+      "q_cohort_retention" -> 3,
+      // transitions: the bounded (user, chunk) window [the only
+      // corpus-sized shuffle — the join-back reuses its partitioning] +
+      // the per-user chunk-table window + the carry join's re-key +
+      // the (prev, type) agg
+      "q_event_transitions" -> 4,
+      // incremental refresh: the delta-side state agg + the merge agg —
+      // the base side is a localCheckpointed state TABLE (its lineage,
+      // and its corpus scan, are gone from this plan by design)
+      "q_agg_incremental" -> 2,
+      // prefix join: token df agg + the df join-back re-key + per-doc
+      // rank window + prefix bucket agg + the block-pair rebalancing
+      // repartition; candidate dedup and the verify joins
+      // broadcast/reuse at runtime (candidates are theorem-bounded)
+      "q_simjoin_prefix" -> 5)
     val over = budget.flatMap { case (name, max) =>
       val plan = physicalPlan(SparkEntry.queries(name)(spark, sfDir))
       val n = "Exchange hashpartitioning".r.findAllIn(plan).length +

@@ -88,4 +88,31 @@ object TemporalOpsProps extends Properties("TemporalOpsSemantics") {
       }.toSet
       Prop(got == want) :| s"got=$got want=$want"
     }
+
+  // (key, value) rows + an arbitrary split position: merging the two
+  // halves' aggregate states must equal the single-pass state — the
+  // monoid property incremental maintenance rests on, including the
+  // empty-side and disjoint-key-set geometries
+  private val genSplit: Gen[(List[(Long, Long)], Int)] = for {
+    n  <- Gen.choose(1, 40)
+    xs <- Gen.listOfN(n, for {
+      k <- Gen.choose(0L, 5L)
+      v <- Gen.choose(-1000L, 1000L)
+    } yield (k, v))
+    cut <- Gen.choose(0, n)
+  } yield (xs, cut)
+
+  property("refreshAggState(state(a), state(b)) == aggState(a ++ b)") =
+    Prop.forAll(genSplit) { case (xs, cut) =>
+      import TestSpark.spark.implicits._
+      def st(rows: List[(Long, Long)]) =
+        Snapshot.aggState(rows.toDF("k", "v"), Seq("k"), "v")
+      def collect(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      val (a, b) = xs.splitAt(cut)
+      val got = collect(Snapshot.refreshAggState(st(a), st(b), Seq("k")))
+      val want = collect(st(xs))
+      Prop(got == want) :| s"cut=$cut got=$got want=$want"
+    }
 }
