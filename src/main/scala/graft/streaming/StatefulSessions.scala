@@ -66,6 +66,55 @@ object StatefulSessions {
       }
   }
 
+  case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+
+  case class FunnelState(stage: Int, lastEs: Long)
+
+  case class FunnelReach(user_id: Long, stage_idx: Int, stage: String,
+      reach_es: Long)
+
+  /** Streaming ordered-funnel progression — the online face of
+    * [[graft.operators.Behavior.funnelReach]]: emit a row each time a
+    * user ADVANCES a stage (stage k's event at a strictly later second
+    * than stage k−1's reach — the same second-granularity strictness as
+    * the batch operator). State is one (stage, lastEs) pair per user —
+    * 12 bytes, the floor for an online funnel — and deliberately has NO
+    * timeout: evicting it would silently restart a user's funnel, the
+    * one wrong answer this operator must never give.
+    *
+    * Greedy-in-time-order IS the batch semantics: the batch operator's
+    * earliest-after-previous match is exactly what a single pass in
+    * event-time order produces, so on an in-order stream (micro-batches
+    * sorted internally by (ts, user's arrival)) the emitted reach set
+    * equals the batch funnel's — asserted in StreamingSpec. A LATE
+    * event (earlier ts than an already-taken reach) cannot rewind state;
+    * that asymmetry is inherent to online processing and documented
+    * here rather than papered over. */
+  def funnelStages(events: Dataset[TypedEvent], stages: Seq[String])
+      : Dataset[FunnelReach] = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      "funnelStages: stages must be non-empty and distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1, Long.MinValue))
+          val out = List.newBuilder[FunnelReach]
+          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val es = e.ts.getTime / 1000
+            if (st.stage + 1 < stages.length &&
+                e.event_type == stages(st.stage + 1) &&
+                (st.stage < 0 || es > st.lastEs)) {
+              st = FunnelState(st.stage + 1, es)
+              out += FunnelReach(uid, st.stage, stages(st.stage), es)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Sessionize a typed event stream: gap-close (no event for
     * `gapSeconds`) or count-close (`maxEvents` reached).
     *

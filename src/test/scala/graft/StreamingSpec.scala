@@ -303,6 +303,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: online greedy equals batch semantics on an in-order stream") {
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.TypedEvent
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TypedEvent]
+    val stages = Seq("view", "click", "purchase")
+    val out = StatefulSessions.funnelStages(in.toDS(), stages)
+    val q = out.writeStream.format("memory").queryName("sfunnel_out")
+      .outputMode("append").start()
+    try {
+      // user 1 completes across three separate micro-batches (state
+      // carries); user 2's click BEFORE any view is ignored; user 3's
+      // same-second view+click hits the strictness rule (stage k must be
+      // strictly later than stage k-1's reach, second granularity)
+      feed(q)(in.addData(
+        TypedEvent(1L, ts(1), "view"), TypedEvent(2L, ts(1), "click"),
+        TypedEvent(3L, ts(2), "view"), TypedEvent(3L, ts(2), "click")))
+      feed(q)(in.addData(
+        TypedEvent(1L, ts(5), "click"), TypedEvent(2L, ts(6), "view")))
+      feed(q)(in.addData(
+        TypedEvent(1L, ts(9), "purchase"), TypedEvent(3L, ts(9), "click")))
+      val got = spark.table("sfunnel_out")
+        .select("user_id", "stage_idx", "reach_es").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      def es(min: Long) = 86400L + min * 60L
+      assert(got == Set(
+        (1L, 0, es(1)), (1L, 1, es(5)), (1L, 2, es(9)),
+        (2L, 0, es(6)),
+        (3L, 0, es(2)), (3L, 1, es(9))), s"got $got")
+      // the same rows through the BATCH funnel: per-stage user counts
+      // must match the stream's emitted reach rows (online greedy in
+      // time order IS the batch earliest-after-previous match)
+      val batchDf = spark.table("sfunnel_out").sparkSession.createDataFrame(Seq(
+        (1L, ts(1), "view"), (2L, ts(1), "click"), (3L, ts(2), "view"),
+        (3L, ts(2), "click"), (1L, ts(5), "click"), (2L, ts(6), "view"),
+        (1L, ts(9), "purchase"), (3L, ts(9), "click")))
+        .toDF("user_id", "ts", "event_type")
+      val batchCounts = graft.operators.Behavior
+        .funnelReach(batchDf, "user_id", "ts", "event_type", stages)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val streamCounts = got.groupBy(_._2).map { case (k, v) => k.toLong -> v.size.toLong }
+      assert(batchCounts == streamCounts, s"batch=$batchCounts stream=$streamCounts")
+      // state: one (stage, lastEs) row per user, not per event
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty && st.head.numRowsTotal == 3, q.lastProgress.prettyJson)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer closes by gap and by count") {
     import graft.streaming.StatefulSessions
     import graft.streaming.StatefulSessions.Event
