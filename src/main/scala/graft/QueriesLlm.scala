@@ -218,6 +218,15 @@ object QueriesLlm {
         annCorpus(s, dir).drop("cell"), k = 10)
       .select(col("query_id"), col("corpus_id"), col("rnk"), col("score_q"))
 
+  /** k-NN majority-label classification over the embedding corpus (k=10,
+    * exact quantized cosine, vote ties → smallest label). */
+  val simKnn: Q = (s, dir) =>
+    operators.Ann.knnLabel(annQueries(s, dir),
+      Tables(s, dir).embeddings.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"),
+          col("label")),
+      k = 10)
+
   /** IVF-style ANN: nearest-centroid probe (nprobe=1), exact within cell. */
   val simIvf: Q = (s, dir) =>
     operators.Ann.ivfTopK(annQueries(s, dir), annCorpus(s, dir), k = 10, nprobe = 1)
@@ -301,6 +310,13 @@ object QueriesLlm {
     * the IDF shape in exact BIGINT arithmetic, so the ranking (tie
     * boundary included) hash-matches. N (the corpus doc count) is a
     * catalog stat in deployment; here it is read once at plan time. */
+  /** Corpus-relative vocabulary commonness (mean token-df in ppm);
+    * nDocs is the catalog stat, read once at plan time. */
+  val textCommonness: Q = (s, dir) => {
+    val d = docs(s, dir)
+    operators.TextAnalysis.commonnessScore(d, nDocs = d.count())
+  }
+
   val textSearchRanked: Q = (s, dir) => {
     val d = docs(s, dir)
     operators.TextIndex.searchRanked(
@@ -427,6 +443,8 @@ object QueriesLlm {
     "q_text_repetition"     -> textRepetition,
     "q_decontaminate"       -> decontaminate,
     "q_sim_topk"            -> simTopk,
+    "q_sim_knn"             -> simKnn,
+    "q_text_commonness"     -> textCommonness,
     "q_sim_ivf"             -> simIvf,
     "q_sim_ivf_probe2"      -> simIvfProbe2,
     "q_sim_kmeans"          -> simKmeans,
@@ -1169,6 +1187,49 @@ FROM c GROUP BY 1, 2"""),
 
     "q_sim_ivf" -> ivfOracle(nprobe = 1),
     "q_sim_ivf_probe2" -> ivfOracle(nprobe = 2),
+
+    // identical top-k rank semantics as q_sim_topk, then the majority
+    // vote with ties to the smallest label — integer end to end
+    "q_sim_knn" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 5
+        |), c AS (
+        |  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS ce, label
+        |  FROM embeddings WHERE vec_id >= 5
+        |), s AS (
+        |  SELECT query_id, corpus_id, label,
+        |    CAST(floor(list_dot_product(qe, ce)
+        |          / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))
+        |          * 1000000) AS BIGINT) AS score_q
+        |  FROM q, c
+        |), topk AS (
+        |  SELECT query_id, label FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                 ORDER BY score_q DESC, corpus_id ASC) AS rnk
+        |    FROM s) t
+        |  WHERE rnk <= 10
+        |), v AS (
+        |  SELECT query_id, label, COUNT(*) AS votes FROM topk GROUP BY 1, 2
+        |)
+        |SELECT query_id, label AS pred_label, votes FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                               ORDER BY votes DESC, label ASC) AS vr
+        |  FROM v) t
+        |WHERE vr = 1""".stripMargin,
+
+    // same truncating-integer arithmetic as the operator; nd is the
+    // corpus count the Spark side reads as a catalog stat
+    "q_text_commonness" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), dfs AS (
+        |  SELECT w, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS nd FROM documents)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM((df * 1000000) // nd) // COUNT(*) AS BIGINT) AS mean_df_ppm
+        |FROM w JOIN dfs USING (w) CROSS JOIN n
+        |GROUP BY 1""".stripMargin,
 
     // magic/sha256 are computed over the hex encoding by construction
     // (installed DuckDB can neither slice nor sha256 a BLOB); Spark

@@ -35,6 +35,33 @@ object Ann {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** k-NN majority-label classification: for each query, the exact
+    * top-k by quantized cosine (identical rank semantics to
+    * [[bruteForceTopK]]: score desc, corpus_id asc), then a majority
+    * vote over the neighbors' labels — vote ties broken by the SMALLEST
+    * label, so the prediction is engine-portable integer arithmetic end
+    * to end. Returns (query_id, pred_label, votes).
+    *
+    * Scale shape: the corpus streams once against the broadcast query
+    * set (labels ride the scan — no label join-back); everything after
+    * the per-query top-k window is queries×k-sized, so the vote
+    * aggregations cost nothing at any corpus scale. The argmax is a
+    * max-struct (votes, −label) — one aggregate, no second window. */
+  def knnLabel(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.join(broadcast(queries))
+      .select(col("query_id"), col("corpus_id"), col("label"),
+        cosQ(col("qe"), col("ce")).as("score_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("corpus_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("m"))
+      .select(col("query_id"), (-col("m.nl")).cast("int").as("pred_label"),
+        col("m.votes").as("votes"))
+  }
+
   /** Per-cell mean centroids ("trained" coarse quantizer — the given
     * cell assignment plays the role of a k-means codebook). Sums run in
     * exact DECIMAL per dimension so centroid doubles are independent of

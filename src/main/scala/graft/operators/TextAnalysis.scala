@@ -117,6 +117,33 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Corpus-relative vocabulary COMMONNESS score — the quality signal
+    * [[quality]]'s intra-document stats cannot see: a document of rare
+    * (low-df) vocabulary scores low, boilerplate of ubiquitous tokens
+    * scores high. Per token occurrence the score is `df·10⁶ div nDocs`
+    * (document frequency in ppm, truncating integer division); the
+    * document's score is the truncating mean over its occurrences —
+    * exact BIGINT arithmetic end to end, so the row set is bit-portable.
+    * Returns every doc: (doc_id, n_tokens, mean_df_ppm).
+    *
+    * `nDocs` is a catalog statistic parameter (the [[TextIndex
+    * .searchRanked]] convention) — passing it avoids a second corpus
+    * scan inside the operator. Scale shape: one token-keyed df
+    * aggregation, the df join-back on the same key, one doc-keyed mean —
+    * three token-stream shuffles, no joins wider than the token
+    * dictionary, nothing quadratic. */
+  def commonnessScore(docs: DataFrame, nDocs: Long): DataFrame = {
+    require(nDocs > 0, s"commonnessScore: nDocs=$nDocs")
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val dfs = toks.distinct().groupBy(col("w")).agg(count(lit(1)).as("df"))
+    toks.join(dfs, "w")
+      .withColumn("ppm", expr(s"(df * 1000000L) div ${nDocs}L"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ppm")).as("sum_ppm"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sum_ppm div n_tokens").as("mean_df_ppm"))
+  }
+
   /** Normalized-content fingerprint (lower + squashed whitespace → md5)
     * plus cluster stats via a window over the fingerprint — one shuffle
     * keyed on the 16-byte digest. */

@@ -176,6 +176,14 @@ class PlanSpec extends AnyFunSuite {
       // the per-user chunk-table window + the carry join's re-key +
       // the (prev, type) agg
       "q_event_transitions" -> 4,
+      // knn classify: the per-query top-k window is the ONLY exchange —
+      // queries broadcast into the corpus scan, and both vote aggs are
+      // satisfied by the window's query_id hash partitioning (group
+      // keys ⊇ partition keys), so the votes never re-shuffle
+      "q_sim_knn" -> 1,
+      // commonness: token-keyed df agg + the df join-back + the per-doc
+      // mean agg (the distinct shares the df agg's exchange)
+      "q_text_commonness" -> 3,
       // incremental refresh: the delta-side state agg + the merge agg —
       // the base side is a localCheckpointed state TABLE (its lineage,
       // and its corpus scan, are gone from this plan by design)
