@@ -36,9 +36,31 @@ object QueriesEvents {
     Behavior.transitionCounts(Tables(s, dir).events, "user_id", "ts",
       "event_id", "event_type", day)
 
+  /** Daily activity matrix: one row per day, one count column per event
+    * type — the pivot/wide reshaping, hand-lowered to per-type
+    * conditional counts inside ONE map-side-combined aggregation: a
+    * single calendar-keyed shuffle at any event volume, and absent
+    * cells are 0 by construction (dense, engine-portable grid).
+    * Deliberately NOT `Dataset.pivot`: with an explicit value list it
+    * is semantically this exact query, but Spark plans it as TWO
+    * aggregates ((key, value) partial then PivotFirst — two exchanges,
+    * verified); the conditional-count lowering is what pivot means at
+    * scale, so the library states it directly. */
+  val pivotDaily: Q = (s, dir) => {
+    val e = col("ts").cast("long")
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    Tables(s, dir).events
+      .select((e - (e % day)).as("w_start"), col("event_type"))
+      .groupBy(col("w_start"))
+      .agg(count(when(col("event_type") === types.head, 1)).as(s"n_${types.head}"),
+        types.tail.map(t =>
+          count(when(col("event_type") === t, 1)).as(s"n_$t")): _*)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_funnel"           -> funnel,
     "q_cohort_retention" -> cohortRetention,
+    "q_pivot"            -> pivotDaily,
     "q_event_transitions" -> transitions)
 
   val oracle: Map[String, String] = Map(
@@ -77,6 +99,17 @@ object QueriesEvents {
         |       COUNT(*) AS n_users
         |FROM grid g JOIN c ON g.user_id = c.user_id
         |GROUP BY 1, 2
+        |""".stripMargin,
+    "q_pivot" ->
+      s"""SELECT e - (e % $day) AS w_start,
+        |  COUNT(*) FILTER (event_type = 'view')     AS n_view,
+        |  COUNT(*) FILTER (event_type = 'click')    AS n_click,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+        |  COUNT(*) FILTER (event_type = 'error')    AS n_error
+        |FROM (SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS e,
+        |        event_type FROM events) t
+        |GROUP BY 1
         |""".stripMargin,
     "q_event_transitions" ->
       """SELECT prev_type, event_type, COUNT(*) AS n

@@ -26,7 +26,9 @@ object SparkEntry {
       // round-7 tier: trained quantizer, CMS, snapshot diff, layout key
       "q_sim_kmeans", "q_freq_cms", "q_corpus_diff", "q_zorder",
       // round-8 tier: link analysis, membership sketch, quota, salted join
-      "q_pagerank", "q_bloom_probe", "q_sample_quota", "q_salted_join")
+      "q_pagerank", "q_bloom_probe", "q_sample_quota", "q_salted_join",
+      // round-8b tier: event analytics, exact sim join, incremental agg
+      "q_funnel", "q_event_transitions", "q_simjoin_prefix", "q_agg_incremental")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs

@@ -266,7 +266,11 @@ object Dedup {
     val toks = shingled(docs, k).select(col("doc_id"), md5(col("s")).as("h"))
     val dfs = toks.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("doc_id"))
-    val ranked = toks.join(dfs, "h")
+    // the df join-back is pinned sort-merge for the same reason as the
+    // verify joins below: the vocabulary table is corpus-scale by
+    // nature, and a plan-time size guess that broadcasts it is a
+    // multi-GiB exchange build (observed), not a plan choice
+    val ranked = toks.join(dfs.hint("merge"), "h")
       .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("h"))))
       .withColumn("nsh", count(lit(1)).over(byDoc))
     // p = n − ⌈τ·n⌉ + 1, all integer: ⌈τQ·n / 10⁶⌉ via (x + 10⁶ − 1) div 10⁶
@@ -283,9 +287,21 @@ object Dedup {
         lit(minJaccardQ) * greatest(col("na"), col("nb")))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(first(col("na")).as("na"), first(col("nb")).as("nb"))
+    // the verify joins are pinned SORT-MERGE: the candidate table is a
+    // post-aggregate relation whose size the planner must GUESS, and on
+    // a mass-duplicate corpus (every doc in a large near-identical
+    // clique) the true candidate count is quadratic in the clique size.
+    // Measured at 500k docs in 100-cliques (25M candidates): the
+    // planner's broadcast guess died building the exchange on the
+    // driver, and a shuffled-hash build died too (SHJ's build side
+    // cannot spill). SMJ is the one join here that degrades to disk
+    // instead of dying when BOTH sides are corpus-sized — exactness is
+    // the operator's contract, so its worst case must spill, not OOM.
     cands
+      .hint("merge")
       .join(toks.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("h")).hint("merge"),
+        Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") * lit(1000000L) >=

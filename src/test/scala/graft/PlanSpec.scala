@@ -176,6 +176,9 @@ class PlanSpec extends AnyFunSuite {
       // the per-user chunk-table window + the carry join's re-key +
       // the (prev, type) agg
       "q_event_transitions" -> 4,
+      // pivot with an explicit value list: per-type conditional counts
+      // in one map-side-combined agg — a single calendar-keyed shuffle
+      "q_pivot" -> 1,
       // knn classify: the per-query top-k window is the ONLY exchange —
       // queries broadcast into the corpus scan, and both vote aggs are
       // satisfied by the window's query_id hash partitioning (group
@@ -190,9 +193,14 @@ class PlanSpec extends AnyFunSuite {
       "q_agg_incremental" -> 2,
       // prefix join: token df agg + the df join-back re-key + per-doc
       // rank window + prefix bucket agg + the block-pair rebalancing
-      // repartition; candidate dedup and the verify joins
-      // broadcast/reuse at runtime (candidates are theorem-bounded)
-      "q_simjoin_prefix" -> 5)
+      // repartition + candidate dedup + the two SHUFFLE_HASH-pinned
+      // verify joins (candidate table, token table twice, and the
+      // intermediate re-key). The verify joins are deliberately NOT
+      // broadcasts: a post-aggregate candidate table's size is a
+      // planner guess, and on a mass-duplicate corpus the true count is
+      // quadratic in clique size — a wrong broadcast there is a driver
+      // OOM (measured), where these shuffles are merely work
+      "q_simjoin_prefix" -> 10)
     val over = budget.flatMap { case (name, max) =>
       val plan = physicalPlan(SparkEntry.queries(name)(spark, sfDir))
       val n = "Exchange hashpartitioning".r.findAllIn(plan).length +

@@ -14,7 +14,9 @@ HEADLINE = ["q1_agg", "q_join_star", "q_component_activity", "q_dedup_minhash",
             "q_sim_topk", "q_text_quality", "q_session_windows",
             "q_asof_join", "q_range_join", "q_dedup_spans", "q_freq_heavyhitters",
             "q_sim_kmeans", "q_freq_cms", "q_corpus_diff", "q_zorder",
-            "q_pagerank", "q_bloom_probe", "q_sample_quota", "q_salted_join"]
+            "q_pagerank", "q_bloom_probe", "q_sample_quota", "q_salted_join",
+            "q_funnel", "q_event_transitions", "q_simjoin_prefix",
+            "q_agg_incremental"]
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
