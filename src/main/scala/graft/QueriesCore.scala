@@ -287,6 +287,25 @@ object QueriesCore {
         element_at(col("value_pcts"), 3).as("p99"),
         col("value_min"), col("value_max"))
 
+  /** The EXACT half of the profiling pass, split out so it carries a
+    * full hash oracle: count / min / max (and the non-null support
+    * count) are engine-portable scalars, so everything that CAN be
+    * adjudicated bit-for-bit IS — only the sketch columns
+    * ([[qProfileSketch]]: HLL distinct, KLL quantiles) stay on the
+    * rows-only contract, because their state is not bit-portable across
+    * engines. Same one-scan, one map-side-combined shuffle shape. */
+  val qProfileExact: Q = (s, dir) =>
+    Tables(s, dir).events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("value")).as("n_values"),
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"),
+        // exact sum at fixed scale-6: DOUBLE summation is order-
+        // sensitive, so the portable formulation sums scaled LONGs
+        sum(floor(col("value") * 1000000).cast("long")).as("sum_u6"))
+
   /** Z-order (Morton) layout key over (user bucket, time bucket) — the
     * clustering key a 100 TB events table is laid out on so a 2-D box
     * query (user range × time range) prunes files on BOTH dimensions
@@ -400,8 +419,14 @@ object QueriesCore {
     val orders = Tables(s, dir).orders
       .select(col("o_custkey"), col("o_orderdate"), u)
     val cut = "2000-01-01"
+    // NULL dates route into the BASE side explicitly: a bare </>= split
+    // drops NULL rows from both halves (both predicates are NULL), and
+    // the refresh would silently diverge from a full recompute. TPC-H's
+    // o_orderdate is non-null, so this costs nothing here — but the
+    // split pattern must be total over the partition column regardless.
     val base = operators.Snapshot.aggState(
-      orders.filter(col("o_orderdate") < lit(cut).cast("timestamp")),
+      orders.filter(col("o_orderdate") < lit(cut).cast("timestamp") ||
+        col("o_orderdate").isNull),
       Seq("o_custkey"), "u").localCheckpoint()
     val delta = operators.Snapshot.aggState(
       orders.filter(col("o_orderdate") >= lit(cut).cast("timestamp")),
@@ -421,6 +446,7 @@ object QueriesCore {
     "q_asof_join"      -> qAsofJoin,
     "q_asof_join_chunked" -> qAsofJoinChunked,
     "q_profile_sketch" -> qProfileSketch,
+    "q_profile_exact"  -> qProfileExact,
     "q_range_join"     -> qRangeJoin,
     "q1_agg"           -> q1Agg,
     "q_join_star"      -> qJoinStar,
@@ -481,6 +507,14 @@ object QueriesCore {
   }
 
   val oracle: Map[String, String] = Map(
+    // the exact half of the profile pass; value is DOUBLE, so min/max
+    // compare bit-exactly and the sum is adjudicated at scale-6 LONG
+    "q_profile_exact" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       COUNT(value) AS n_values,
+        |       MIN(value) AS value_min, MAX(value) AS value_max,
+        |       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_u6
+        |FROM events GROUP BY 1""".stripMargin,
     // incremental refresh must be INVISIBLE in the result: the oracle is
     // the full recompute over base ∪ delta = all orders
     "q_agg_incremental" ->

@@ -415,6 +415,18 @@ object QueriesLlm {
       .select(col("doc_id"), col("byte_len"), col("sha256"), col("magic"),
         col("container"), col("modality"))
 
+  /** Container parameters parsed out of the binary column by the real
+    * marker/chunk/box walks (Multimodal.containerParams). The oracle
+    * computes the EXPECTED values from the synthesis formulas — a
+    * hash-match proves the byte parser recovered exactly what the
+    * structurally-valid headers embed, across the variable-length
+    * filler segments that rule out fixed-offset shortcuts. */
+  val multimodalDims: Q = (s, dir) =>
+    Multimodal.containerParams(Multimodal.withMetaFromDocs(docs(s, dir)))
+      .select(col("doc_id"), col("container"), col("width"), col("height"),
+        col("sample_rate"), col("channels"), col("timescale"),
+        col("duration_ts"))
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact"         -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -455,7 +467,8 @@ object QueriesLlm {
     "q_sample_temperature"  -> sampleTemperature,
     "q_shuffle_order"       -> sampleShuffle,
     "q_pack_sequences"      -> packSequences,
-    "q_multimodal_meta"     -> multimodalMeta)
+    "q_multimodal_meta"     -> multimodalMeta,
+    "q_multimodal_dims"     -> multimodalDims)
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -1233,18 +1246,16 @@ FROM c GROUP BY 1, 2"""),
 
     // magic/sha256 are computed over the hex encoding by construction
     // (installed DuckDB can neither slice nor sha256 a BLOB); Spark
-    // derives both from the real binary column — same values.
+    // derives both from the real binary column — same values. The
+    // header hex is the shared Multimodal.duckHeaderHexSql twin of the
+    // Spark-side construction.
     "q_multimodal_meta" ->
-      """WITH b AS (
+      (s"""WITH b AS (
         |  SELECT doc_id,
-        |    CASE CAST(doc_id % 5 AS INT)
-        |      WHEN 0 THEN 'FFD8FFE000104A464946'
-        |      WHEN 1 THEN '89504E470D0A1A0A'
-        |      WHEN 2 THEN '524946460A00000057415645'
-        |      WHEN 3 THEN '00000018667479706D703432'
-        |      ELSE '' END || hex(encode(text)) AS full_hex
+        |    (${Multimodal.duckHeaderHexSql}) || hex(encode(text)) AS full_hex
         |  FROM documents
-        |), meta AS (
+        |), meta AS (""".stripMargin +
+      """
         |  SELECT doc_id,
         |    CAST(length(full_hex) // 2 AS BIGINT) AS byte_len,
         |    sha256(full_hex) AS sha256,
@@ -1264,6 +1275,31 @@ FROM c GROUP BY 1, 2"""),
         |       WHEN container = 'wav' THEN 'audio'
         |       WHEN container = 'mp4' THEN 'video'
         |       ELSE 'text' END AS modality
-        |FROM sniffed""".stripMargin
+        |FROM sniffed""".stripMargin),
+
+    // ground-truth oracle: the EXPECTED parameters straight from the
+    // synthesis formulas (no byte parsing on the oracle side) — the
+    // Spark result must have RECOVERED these from the bytes alone
+    "q_multimodal_dims" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |    WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4' ELSE 'none' END AS container,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN CAST(64 + doc_id % 1920 AS BIGINT)
+        |    WHEN 1 THEN CAST(16 + doc_id % 4096 AS BIGINT) END AS width,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN CAST(48 + doc_id % 1080 AS BIGINT)
+        |    WHEN 1 THEN CAST(16 + doc_id % 2160 AS BIGINT) END AS height,
+        |  CASE WHEN doc_id % 5 = 2 THEN CAST(
+        |    CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 11025
+        |      WHEN 2 THEN 16000 WHEN 3 THEN 22050 WHEN 4 THEN 32000
+        |      WHEN 5 THEN 44100 WHEN 6 THEN 48000 END AS BIGINT) END AS sample_rate,
+        |  CASE WHEN doc_id % 5 = 2 THEN CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
+        |  CASE WHEN doc_id % 5 = 3
+        |    THEN CAST(600 + (doc_id % 4) * 300 AS BIGINT) END AS timescale,
+        |  CASE WHEN doc_id % 5 = 3
+        |    THEN CAST((600 + (doc_id % 4) * 300) * (1 + doc_id % 30) AS BIGINT)
+        |    END AS duration_ts
+        |FROM documents""".stripMargin
   )
 }

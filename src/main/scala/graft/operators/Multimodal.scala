@@ -17,21 +17,137 @@ object Multimodal {
 
   val featureDim = 8
 
-  /** Real container signatures (hex): JPEG/JFIF, PNG, RIFF+WAVE, MP4
-    * `ftyp`. Docs with no header are plain text. */
-  private val headerHexExpr =
-    """CASE CAST(doc_id % 5 AS INT)
-      | WHEN 0 THEN 'FFD8FFE000104A464946'
-      | WHEN 1 THEN '89504E470D0A1A0A'
-      | WHEN 2 THEN '524946460A00000057415645'
-      | WHEN 3 THEN '00000018667479706D703432'
-      | ELSE '' END""".stripMargin.linesIterator.mkString(" ")
+  // ---- synthetic container construction ------------------------------------
+  //
+  // Headers are STRUCTURALLY VALID container prefixes (every length /
+  // size field accounts for exactly the bytes present) with media
+  // parameters embedded at their spec positions, derived from doc_id:
+  //   jpeg  width = 64 + doc_id % 1920, height = 48 + doc_id % 1080
+  //   png   width = 16 + doc_id % 4096, height = 16 + doc_id % 2160
+  //   wav   channels = 1 + doc_id % 2, sample rate by doc_id % 7
+  //   mp4   mvhd timescale = 600 + (doc_id % 4)*300,
+  //         duration = timescale * (1 + doc_id % 30)
+  // Each container also carries a VARIABLE-LENGTH filler segment before
+  // the parameter segment (JPEG COM of 2 + doc_id % 7 bytes; WAV LIST
+  // chunk of 4 + (doc_id % 6)*2 bytes), so [[containerParams]] cannot
+  // cheat with fixed offsets — it must walk markers/chunks for real.
+
+  /** Big-endian hex of an integer SQL expression, `digits` hex chars. */
+  private def beHex(e: String, digits: Int): String =
+    s"lpad(hex($e), $digits, '0')"
+
+  /** Little-endian hex of an integer SQL expression over `n` bytes. */
+  private def leHex(e: String, n: Int): String =
+    (0 until n).map(i =>
+      s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')").mkString(", ")
+
+  /** The WAV sample-rate ladder, keyed by doc_id % 7. */
+  private val wavRates = Seq(8000, 11025, 16000, 22050, 32000, 44100, 48000)
+  private val wavRateCase =
+    "CASE CAST(doc_id % 7 AS INT) " +
+      wavRates.zipWithIndex.map { case (r, i) => s"WHEN $i THEN $r" }
+        .mkString(" ") + " ELSE 8000 END"
+
+  /** Full container-header hex, one CASE arm per modality (doc_id % 5):
+    * JPEG = SOI + full JFIF APP0(16) + COM(2 + doc_id%7 filler) + SOF0
+    * carrying (height, width); PNG = signature + IHDR(width, height);
+    * WAV = RIFF/WAVE + LIST filler chunk + fmt chunk carrying
+    * (channels, sample rate, derived byte rate / block align); MP4 =
+    * full 24-byte ftyp + moov containing a 108-byte v0 mvhd carrying
+    * (timescale, duration). Docs with no header are plain text. */
+  private val headerHexExpr: String = {
+    val jpeg = Seq(
+      "'FFD8FFE000104A46494600010100000100010000'",      // SOI + APP0 JFIF
+      "'FFFE'", beHex("2 + doc_id % 7", 4),              // COM, self-counting len
+      "repeat('00', CAST(doc_id % 7 AS INT))",           // COM filler
+      "'FFC0000B08'",                                    // SOF0, len 11, prec 8
+      beHex("48 + doc_id % 1080", 4),                    // height
+      beHex("64 + doc_id % 1920", 4),                    // width
+      "'01011100'")                                      // 1 component
+    val png = Seq(
+      "'89504E470D0A1A0A'",                              // signature
+      "'0000000D49484452'",                              // IHDR, len 13
+      beHex("16 + doc_id % 4096", 8),                    // width
+      beHex("16 + doc_id % 2160", 8),                    // height
+      "'0802000000'",                                    // depth 8, truecolor
+      "'00000000'")                                      // CRC (unchecked)
+    val wav = Seq(
+      "'524946460A00000057415645'",                      // RIFF + size + WAVE
+      "'4C495354'", leHex("4 + (doc_id % 6) * 2", 4),    // LIST filler chunk
+      "'494E464F'", "repeat('00', CAST((doc_id % 6) * 2 AS INT))",
+      "'666D742010000000'",                              // fmt , size 16
+      "'0100'",                                          // PCM
+      leHex("1 + doc_id % 2", 2),                        // channels
+      leHex(wavRateCase, 4),                             // sample rate
+      leHex(s"($wavRateCase) * (1 + doc_id % 2) * 2", 4), // byte rate
+      leHex("(1 + doc_id % 2) * 2", 2),                  // block align
+      "'1000'")                                          // 16-bit
+    val mp4 = Seq(
+      "'00000018667479706D703432000000006D70343269736F6D'", // ftyp, 24 B
+      "'000000746D6F6F76'",                              // moov, 8 + 108
+      "'0000006C6D766864'",                              // mvhd v0, 108 B
+      "'000000000000000000000000'",                      // flags, c/mtime
+      beHex("600 + (doc_id % 4) * 300", 8),              // timescale
+      beHex("(600 + (doc_id % 4) * 300) * (1 + doc_id % 30)", 8), // duration
+      "repeat('00', 80)")                                // rest of mvhd
+    s"""CASE CAST(doc_id % 5 AS INT)
+       | WHEN 0 THEN concat(${jpeg.mkString(", ")})
+       | WHEN 1 THEN concat(${png.mkString(", ")})
+       | WHEN 2 THEN concat(${wav.mkString(", ")})
+       | WHEN 3 THEN concat(${mp4.mkString(", ")})
+       | ELSE '' END""".stripMargin.linesIterator.mkString(" ")
+  }
+
+  /** DuckDB twin of [[headerHexExpr]] — the oracle rebuilds the exact
+    * header hex from the same doc_id formulas (DuckDB cannot slice a
+    * BLOB, so the whole meta oracle works over hex text). Kept adjacent
+    * to the Spark expression so the two constructions stay in lockstep. */
+  val duckHeaderHexSql: String = {
+    def be(e: String, digits: Int) = s"lpad(to_hex($e), $digits, '0')"
+    def le(e: String, n: Int) = (0 until n).map(i =>
+      s"lpad(to_hex((($e) // ${1L << (8 * i)}) % 256), 2, '0')").mkString(" || ")
+    val rate = "CASE CAST(doc_id % 7 AS INT) " +
+      wavRates.zipWithIndex.map { case (r, i) => s"WHEN $i THEN $r" }
+        .mkString(" ") + " ELSE 8000 END"
+    val jpeg = Seq(
+      "'FFD8FFE000104A46494600010100000100010000'",
+      "'FFFE'", be("2 + doc_id % 7", 4),
+      "repeat('00', CAST(doc_id % 7 AS INT))",
+      "'FFC0000B08'", be("48 + doc_id % 1080", 4), be("64 + doc_id % 1920", 4),
+      "'01011100'")
+    val png = Seq(
+      "'89504E470D0A1A0A'", "'0000000D49484452'",
+      be("16 + doc_id % 4096", 8), be("16 + doc_id % 2160", 8),
+      "'0802000000'", "'00000000'")
+    val wav = Seq(
+      "'524946460A00000057415645'",
+      "'4C495354'", le("4 + (doc_id % 6) * 2", 4),
+      "'494E464F'", "repeat('00', CAST((doc_id % 6) * 2 AS INT))",
+      "'666D742010000000'", "'0100'",
+      le("1 + doc_id % 2", 2), le(rate, 4),
+      le(s"($rate) * (1 + doc_id % 2) * 2", 4), le("(1 + doc_id % 2) * 2", 2),
+      "'1000'")
+    val mp4 = Seq(
+      "'00000018667479706D703432000000006D70343269736F6D'",
+      "'000000746D6F6F76'", "'0000006C6D766864'",
+      "'000000000000000000000000'",
+      be("600 + (doc_id % 4) * 300", 8),
+      be("(600 + (doc_id % 4) * 300) * (1 + doc_id % 30)", 8),
+      "repeat('00', 80)")
+    s"""CASE CAST(doc_id % 5 AS INT)
+       | WHEN 0 THEN ${jpeg.mkString(" || ")}
+       | WHEN 1 THEN ${png.mkString(" || ")}
+       | WHEN 2 THEN ${wav.mkString(" || ")}
+       | WHEN 3 THEN ${mp4.mkString(" || ")}
+       | ELSE '' END""".stripMargin.linesIterator.mkString(" ")
+  }
 
   /** Synthesize a real `binary` media column: a deterministic container
-    * header (magic bytes) prepended to the UTF-8 payload. Stands in for
-    * reading actual media blobs — downstream operators ([[withMeta]],
+    * header (structurally valid, parameters embedded — see above)
+    * prepended to the UTF-8 payload. Stands in for reading actual media
+    * blobs — downstream operators ([[withMeta]], [[containerParams]],
     * [[frameSample]], [[decodeStub]]) see only `bytes` and must recover
-    * the modality from the bytes themselves. */
+    * modality and parameters from the bytes themselves. */
   def synthMedia(docs: DataFrame): DataFrame =
     docs.withColumn("bytes",
       concat(unhex(expr(headerHexExpr)), encode(col("text"), "UTF-8")))
@@ -66,6 +182,104 @@ object Multimodal {
 
   /** [[synthMedia]] + [[withMeta]] over a text corpus. */
   def withMetaFromDocs(docs: DataFrame): DataFrame = withMeta(synthMedia(docs))
+
+  // ---- container parameter extraction (real byte parsing) ------------------
+
+  /** Big-endian unsigned read of `n` bytes at 1-based offset expr `off`
+    * (hex → decimal via conv — bytes never widen past 4 here). */
+  private def rdBe(off: String, n: Int): String =
+    s"cast(conv(hex(substring(bytes, $off, $n)), 16, 10) as bigint)"
+
+  /** Little-endian unsigned read of `n` bytes at 1-based offset `off`. */
+  private def rdLe(off: String, n: Int): String =
+    (0 until n).map(i =>
+      s"(${rdBe(s"($off) + $i", 1)} * ${1L << (8 * i)})").mkString("(", " + ", ")")
+
+  /** JPEG dimension walk: from the first marker after SOI, hop segments
+    * by their self-counting big-endian lengths until SOF0 (0xFFC0),
+    * whose payload is precision(1) height(2) width(2). Bounded at 8
+    * hops — headers are APPn / COM / DQT segments, entropy data cannot
+    * start before a SOF. State: (off, h, w); a hop past the buffer or a
+    * non-0xFF byte (corrupt stream) freezes the state with null dims. */
+  private val jpegWalk: String =
+    s"""aggregate(sequence(1, 8),
+       |  named_struct('off', 3, 'h', cast(null as bigint), 'w', cast(null as bigint)),
+       |  (st, i) -> if(st.w is not null or st.off + 9 > octet_length(bytes)
+       |                or ${rdBe("st.off", 1)} <> 255, st,
+       |    if(${rdBe("st.off + 1", 1)} = 192,
+       |      named_struct('off', st.off,
+       |        'h', ${rdBe("st.off + 5", 2)}, 'w', ${rdBe("st.off + 7", 2)}),
+       |      named_struct('off', cast(st.off + 2 + ${rdBe("st.off + 2", 2)} as int),
+       |        'h', st.h, 'w', st.w))),
+       |  st -> named_struct('h', st.h, 'w', st.w))""".stripMargin.linesIterator.mkString(" ")
+
+  /** PNG IHDR read: the spec REQUIRES IHDR as the first chunk, so after
+    * the 8-byte signature the layout is fixed — verify the chunk type at
+    * bytes 13-16 and read width/height big-endian at 17-24. */
+  private val pngRead: String =
+    s"""if(hex(substring(bytes, 13, 4)) = '49484452',
+       |  named_struct('w', ${rdBe("17", 4)}, 'h', ${rdBe("21", 4)}),
+       |  named_struct('w', cast(null as bigint), 'h', cast(null as bigint)))"""
+      .stripMargin.linesIterator.mkString(" ")
+
+  /** WAV fmt-chunk walk: RIFF chunks are id(4) size(4 LE) data(size,
+    * padded to even); hop from offset 13 (after RIFF size WAVE) until
+    * `fmt `, whose data is format(2) channels(2 LE) samplerate(4 LE).
+    * Bounded at 8 hops. */
+  private val wavWalk: String =
+    s"""aggregate(sequence(1, 8),
+       |  named_struct('off', 13, 'sr', cast(null as bigint), 'ch', cast(null as bigint)),
+       |  (st, i) -> if(st.sr is not null or st.off + 15 > octet_length(bytes), st,
+       |    if(hex(substring(bytes, st.off, 4)) = '666D7420',
+       |      named_struct('off', st.off,
+       |        'sr', ${rdLe("st.off + 12", 4)}, 'ch', ${rdLe("st.off + 10", 2)}),
+       |      named_struct('off', cast(st.off + 8 + ${rdLe("st.off + 4", 4)}
+       |          + (${rdLe("st.off + 4", 4)} % 2) as int),
+       |        'sr', st.sr, 'ch', st.ch))),
+       |  st -> named_struct('sr', st.sr, 'ch', st.ch))""".stripMargin.linesIterator.mkString(" ")
+
+  /** Typed media parameters recovered from `bytes` ONLY, per container:
+    * (width, height) for jpeg/png, (sample_rate, channels) for wav,
+    * (timescale, duration_ts) for mp4 — every value read at its spec
+    * position by a real marker/chunk/box walk (see the walk exprs
+    * above), never from a side channel. Columns are null where the
+    * modality doesn't define them. Row-local byte arithmetic: no
+    * shuffle, no UDF — higher-order `aggregate` folds with ≤ 8 steps
+    * per row (interpreted, but bounded and off the corpus hot path —
+    * metadata extraction runs once per blob at ingest). */
+  def containerParams(media: DataFrame): DataFrame = {
+    // ISO-BMFF box walk: boxes are size(4 BE) type(4); hop until the
+    // target type or past the buffer. The moov walk runs from the top
+    // level, the mvhd walk from moov's first child; each walk's result
+    // is only trusted after re-checking the type it claims to have
+    // found (a walk that ran off the end parks at an arbitrary offset).
+    def boxWalk(start: String, typeHex: String): String =
+      s"""aggregate(sequence(1, 8), cast($start as int),
+         |  (off, i) -> if(off + 8 > octet_length(bytes)
+         |                 or hex(substring(bytes, off + 4, 4)) = '$typeHex', off,
+         |    cast(off + ${rdBe("off", 4)} as int)))""".stripMargin.linesIterator.mkString(" ")
+    media
+      .withColumn("_jpeg", when(col("container") === "jpeg", expr(jpegWalk)))
+      .withColumn("_png", when(col("container") === "png", expr(pngRead)))
+      .withColumn("_wav", when(col("container") === "wav", expr(wavWalk)))
+      .withColumn("_moov", when(col("container") === "mp4",
+        expr(boxWalk("1", "6D6F6F76"))))
+      .withColumn("_moov",
+        when(expr("hex(substring(bytes, _moov + 4, 4)) = '6D6F6F76'"), col("_moov")))
+      .withColumn("_mvhd", when(col("_moov").isNotNull,
+        expr(boxWalk("_moov + 8", "6D766864"))))
+      .withColumn("_mvhd",
+        when(expr("hex(substring(bytes, _mvhd + 4, 4)) = '6D766864'"), col("_mvhd")))
+      .withColumn("width", coalesce(col("_jpeg.w"), col("_png.w")))
+      .withColumn("height", coalesce(col("_jpeg.h"), col("_png.h")))
+      .withColumn("sample_rate", col("_wav.sr"))
+      .withColumn("channels", col("_wav.ch"))
+      // mvhd v0: box header(8) + version/flags(4) + c/mtime(8), then
+      // timescale at box-relative +20 and duration at +24 (1-based)
+      .withColumn("timescale", expr(s"${rdBe("_mvhd + 20", 4)}"))
+      .withColumn("duration_ts", expr(s"${rdBe("_mvhd + 24", 4)}"))
+      .drop("_jpeg", "_png", "_wav", "_moov", "_mvhd")
+  }
 
   /** Frame sampling: fan one media row out to `n` evenly-spaced frame
     * rows (frame_idx, pts_sec, frame_bytes). The fan-out shape — explode

@@ -135,13 +135,22 @@ object Snapshot {
     * key. The measure is a LONG by contract (callers pass unscaled
     * decimals, the engine-portable discipline everywhere else in this
     * library); sums overflow-check via `try_sum` so a magnitude that
-    * exceeds the design headroom fails loudly instead of wrapping. */
+    * exceeds the design headroom fails loudly instead of wrapping. The
+    * overflow probe distinguishes "all measures NULL" (try_sum is NULL
+    * because there was no input — a legal group, sum_v comes out NULL)
+    * from "sum wrapped" (non-null inputs, NULL try_sum — fail loudly):
+    * the guard is count(valueCol) > 0, not coalesce alone. `n_rows`
+    * counts EVERY row of the group (NULL measures included — it is the
+    * group's cardinality, not the measure's support); a NULL-ignoring
+    * mean over the measure is sum_v / count(valueCol), not sum_v /
+    * n_rows, and callers deriving one should carry that count. */
   def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        coalesce(try_sum(col(valueCol)),
-          raise_error(lit("aggState: long sum overflowed — use a DECIMAL state"))
-            .cast("long")).as("sum_v"),
+        when(count(col(valueCol)) > 0,
+          coalesce(try_sum(col(valueCol)),
+            raise_error(lit("aggState: long sum overflowed — use a DECIMAL state"))
+              .cast("long"))).as("sum_v"),
         min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
 
   /** Incremental aggregate maintenance — the materialized-view refresh:
@@ -159,8 +168,11 @@ object Snapshot {
     state.union(deltaState)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("n_rows")).as("n_rows"),
-        coalesce(try_sum(col("sum_v")),
-          raise_error(lit("refreshAggState: merged sum overflowed"))
-            .cast("long")).as("sum_v"),
+        // same NULL-vs-overflow split as aggState: an all-NULL-state
+        // merge (every side's sum_v NULL) is a NULL sum, not an error
+        when(count(col("sum_v")) > 0,
+          coalesce(try_sum(col("sum_v")),
+            raise_error(lit("refreshAggState: merged sum overflowed"))
+              .cast("long"))).as("sum_v"),
         min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
 }

@@ -75,9 +75,16 @@ object StatefulSessions {
 
   /** Streaming ordered-funnel progression — the online face of
     * [[graft.operators.Behavior.funnelReach]]: emit a row each time a
-    * user ADVANCES a stage (stage k's event at a strictly later second
-    * than stage k−1's reach — the same second-granularity strictness as
-    * the batch operator). State is one (stage, lastEs) pair per user —
+    * user ADVANCES a stage (stage k's event at a strictly later SECOND
+    * than stage k−1's reach). Precision caveat: this operator compares
+    * epoch SECONDS (`ts.getTime / 1000`) while the batch operator
+    * compares the raw ts column at full precision — the two funnels are
+    * equivalent only on sources whose timestamps are second-truncated
+    * (the Tables.events contract; asserted in StreamingSpec). On a
+    * sub-second source, an event 400 ms after the previous reach
+    * advances the batch funnel but not this one — truncate upstream or
+    * keep both funnels on the same clock before comparing them.
+    * State is one (stage, lastEs) pair per user —
     * 12 bytes, the floor for an online funnel — and deliberately has NO
     * timeout: evicting it would silently restart a user's funnel, the
     * one wrong answer this operator must never give.

@@ -120,6 +120,55 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(byId(4L)._2 == "none" && byId(4L)._3 == "text")
   }
 
+  test("containerParams walks real markers/chunks/boxes to the embedded values") {
+    import spark.implicits._
+    // 0..19 covers each modality 4× with DIFFERENT variable-length
+    // filler segments (JPEG COM pad = doc_id % 7, WAV LIST pad =
+    // (doc_id % 6) * 2), so a fixed-offset "parser" cannot pass
+    val media = Multimodal.containerParams(Multimodal.withMetaFromDocs(
+      (0L to 19L).map(i => (i, "payload text")).toDF("doc_id", "text")))
+    val rows = media.select("doc_id", "container", "width", "height",
+      "sample_rate", "channels", "timescale", "duration_ts")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def nl(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val rates = Seq(8000L, 11025L, 16000L, 22050L, 32000L, 44100L, 48000L)
+    for (d <- 0L to 19L) {
+      val r = rows(d)
+      (d % 5).toInt match {
+        case 0 => // jpeg: dims from SOF0, after APP0 + variable COM
+          assert(nl(r, 2).contains(64 + d % 1920) && nl(r, 3).contains(48 + d % 1080),
+            s"jpeg $d: $r")
+          assert(nl(r, 4).isEmpty && nl(r, 6).isEmpty)
+        case 1 => // png: dims from IHDR
+          assert(nl(r, 2).contains(16 + d % 4096) && nl(r, 3).contains(16 + d % 2160),
+            s"png $d: $r")
+        case 2 => // wav: rate/channels from the fmt chunk, past LIST
+          assert(nl(r, 4).contains(rates((d % 7).toInt)) &&
+            nl(r, 5).contains(1 + d % 2), s"wav $d: $r")
+          assert(nl(r, 2).isEmpty && nl(r, 3).isEmpty)
+        case 3 => // mp4: timescale/duration from moov > mvhd
+          val ts = 600 + (d % 4) * 300
+          assert(nl(r, 6).contains(ts) && nl(r, 7).contains(ts * (1 + d % 30)),
+            s"mp4 $d: $r")
+        case _ => // text: nothing defined
+          assert((2 to 7).forall(r.isNullAt), s"text $d: $r")
+      }
+    }
+    // the walks are total on garbage bytes: truncated/corrupt blobs
+    // yield nulls, never an exception
+    val junk = Multimodal.containerParams(Seq(
+      (100L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte)),
+      (101L, "RIFF1234WAVE".getBytes("UTF-8")),
+      (102L, Array[Byte](0, 0, 0, 8, 'f', 't', 'y', 'p')))
+      .toDF("doc_id", "bytes")
+      .withColumn("container",
+        expr("element_at(array('jpeg','wav','mp4'), CAST(doc_id - 99 AS INT))")))
+    assert(junk.select("width", "height", "sample_rate", "channels",
+      "timescale", "duration_ts").collect()
+      .forall(r => (0 until 6).forall(r.isNullAt)))
+  }
+
   test("multimodal decodeStub: schema, determinism, batch shape") {
     val withBytes = Multimodal.withMetaFromDocs(docs.limit(50))
     val feats = Multimodal.decodeStub(withBytes)

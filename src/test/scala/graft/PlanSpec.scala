@@ -191,16 +191,20 @@ class PlanSpec extends AnyFunSuite {
       // the base side is a localCheckpointed state TABLE (its lineage,
       // and its corpus scan, are gone from this plan by design)
       "q_agg_incremental" -> 2,
-      // prefix join: token df agg + the df join-back re-key + per-doc
-      // rank window + prefix bucket agg + the block-pair rebalancing
-      // repartition + candidate dedup + the two SHUFFLE_HASH-pinned
-      // verify joins (candidate table, token table twice, and the
-      // intermediate re-key). The verify joins are deliberately NOT
-      // broadcasts: a post-aggregate candidate table's size is a
-      // planner guess, and on a mass-duplicate corpus the true count is
-      // quadratic in clique size — a wrong broadcast there is a driver
-      // OOM (measured), where these shuffles are merely work
-      "q_simjoin_prefix" -> 10)
+      // prefix join, audited 11 (plan read 2026-08-14): token df agg +
+      // the df join-back re-key + per-doc rank window + prefix bucket
+      // agg + the block-pair rebalancing repartition + candidate dedup
+      // (doc_a,doc_b) + the SORT-MERGE verify chain's four re-keys
+      // (cands→doc_a, toks→doc_a, mid→(doc_b,h), toks→(doc_b,h)) + the
+      // final verify agg. The verify joins are deliberately SMJ, not
+      // broadcast and not SHUFFLE_HASH: a post-aggregate candidate
+      // table's size is a planner guess, and on a mass-duplicate corpus
+      // the true count is quadratic in clique size — a wrong broadcast
+      // is a driver OOM and SHJ's non-spilling build side dies too
+      // (both measured); SMJ degrades to disk. The 11th exchange vs the
+      // old SHJ plan is the cands→doc_a re-key SMJ needs — the price of
+      // the only join strategy whose worst case spills instead of OOMs
+      "q_simjoin_prefix" -> 11)
     val over = budget.flatMap { case (name, max) =>
       val plan = physicalPlan(SparkEntry.queries(name)(spark, sfDir))
       val n = "Exchange hashpartitioning".r.findAllIn(plan).length +
