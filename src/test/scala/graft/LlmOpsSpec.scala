@@ -258,16 +258,19 @@ class LlmOpsSpec extends AnyFunSuite {
   test("multimodal binary -> decode features -> ANN dedup/search composes end-to-end") {
     import spark.implicits._
     import graft.operators.Ann
-    // 20 docs; 18 is a planted byte-identical duplicate of 13 (same text
-    // AND doc_id % 5 — same container header, so the whole binary
-    // matches); 7 and 12 carry distinctive byte histograms
+    // 20 docs; slot 18 carries doc_id 73, a planted byte-identical
+    // duplicate of 13: same text, and 73 ≡ 13 under every modulus the
+    // mp4 header arm embeds (% 5 modality, % 4 timescale, % 30
+    // duration), so the container header — and the whole binary —
+    // matches byte for byte; 7 and 12 carry distinctive byte histograms
     val texts = (0 until 20).map {
       case 7  => "zzzz zzzz zzzz zzzz zzzz zzzz zzzz"
       case 12 => "qq a qq b qq c qq d qq e qq f qq g"
       case i  => s"doc $i body " + (s"word$i " * (i + 1)).trim
     }
     val df = texts.zipWithIndex
-      .map { case (t, i) => (i.toLong, if (i == 18) texts(13) else t) }
+      .map { case (t, i) =>
+        if (i == 18) (73L, texts(13)) else (i.toLong, t) }
       .toDF("doc_id", "text")
     // binary → typed meta → stub decode: the features column is the
     // real fixed-width contract a codec-backed decoder would fill
@@ -282,7 +285,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val pairs = Dedup.embeddingCosPairs(emb, tables = 4, bitsPerTable = 2,
         minCosQ = 999999L, dim = Multimodal.featureDim)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((13L, 18L)),
+    assert(pairs.contains((13L, 73L)),
       s"planted byte-identical duplicate not surfaced by LSH+verify: $pairs")
     // features → IVF search (cells = sniffed modality): each query's
     // nearest neighbor is itself at quantized cosine 1e6
