@@ -377,6 +377,30 @@ object QueriesCore {
     operators.Graph.pageRank(sym, "src", "dst", iters = 3)
   }
 
+  /** PageRank over a USER-scale graph — the measurement the supply-graph
+    * query cannot give: its part/supplier vertex set is dim-bound (~21k
+    * at every scale factor), so its at-scale cost is pure iteration
+    * floor. Here the vertex set is the user population and the edge set
+    * grows with the event corpus: directed handoff edges user→user
+    * between consecutive events of the same type within an hour (the
+    * (type, hour) windows are bounded — no giant window partition at
+    * any scale), symmetrized so no vertex dangles. 10 damped iterations
+    * of the same integer-exact update, unrolled bit-exactly by the
+    * oracle. */
+  val qPagerankEvents: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("es"))
+      .withColumn("hb", expr("es DIV 3600"))
+    val w = Window.partitionBy(col("event_type"), col("hb"))
+      .orderBy(col("es"), col("event_id"))
+    val e0 = ev.withColumn("nxt", lead(col("user_id"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("user_id"))
+      .select(col("user_id").as("src"), col("nxt").as("dst"))
+    val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    operators.Graph.pageRank(sym, "src", "dst", iters = 10, checkpointEvery = 3)
+  }
+
   /** Per-vertex triangle counts over a deterministic synthetic graph on
     * the part ids (each id links to up to 8 successors that survive an
     * md5 coin at p=96/256 — locality-bounded degree, triangle-rich),
@@ -437,6 +461,7 @@ object QueriesCore {
   val queries: Map[String, Q] = Map(
     "q_agg_incremental" -> qAggIncremental,
     "q_pagerank"       -> qPagerank,
+    "q_pagerank_events" -> qPagerankEvents,
     "q_triangles"      -> qTriangles,
     "q_salted_join"    -> qSaltedJoin,
     "q_gapfill"        -> qGapfill,
@@ -479,10 +504,18 @@ object QueriesCore {
     * free disk and died; materialized, the same query runs in ~1 s.
     * (Spark-side equivalent: the operator's checkpoint of the edge
     * list.) */
-  private def pagerankChain(iters: Int): String = {
+  /** Unrolled integer-exact PageRank SQL: `e0Cte` supplies the directed
+    * raw-edge relation (deduplicated by the symmetrizing UNION). Every
+    * CTE is MATERIALIZED: DuckDB otherwise re-derives the edge relation
+    * once per reference — measured at sf10 that re-derivation spilled
+    * 78 GB and died. */
+  private def pagerankChain(iters: Int,
+      e0Cte: String =
+        "SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem")
+      : String = {
     val base =
-      """WITH e0 AS MATERIALIZED (
-        |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+      s"""WITH e0 AS MATERIALIZED (
+        |  $e0Cte
         |), e AS MATERIALIZED (
         |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
         |), deg AS MATERIALIZED (
@@ -528,6 +561,18 @@ object QueriesCore {
         |""".stripMargin,
 
     "q_pagerank" -> pagerankChain(3),
+
+    // user-handoff graph, 10 unrolled iterations — same bit-exact BIGINT
+    // update; second-truncated epoch matches the Tables.events contract
+    "q_pagerank_events" -> pagerankChain(10,
+      """SELECT DISTINCT user_id AS src, nxt AS dst FROM (
+        |    SELECT user_id,
+        |      lead(user_id) OVER (PARTITION BY event_type, es // 3600
+        |                          ORDER BY es, event_id) AS nxt
+        |    FROM (SELECT user_id, event_id, event_type,
+        |            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+        |          FROM events) b) x
+        |  WHERE nxt IS NOT NULL AND nxt <> user_id""".stripMargin),
 
     // same synthetic md5-coin graph (edges already id-ordered a < b);
     // the id-ordered 3-way join counts each triangle once at u < v < w

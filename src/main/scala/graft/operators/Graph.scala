@@ -59,9 +59,11 @@ object Graph {
     * @return (id, rank) — rank in `scale` units, every vertex present
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, scale: Long = 1000000000000L): DataFrame = {
+      iters: Int, scale: Long = 1000000000000L,
+      checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 1, s"pageRank: iters=$iters")
     require(scale >= 100, s"pageRank: scale=$scale must carry the DIV 100 damping")
+    require(checkpointEvery >= 1, s"pageRank: checkpointEvery=$checkpointEvery")
     val sc = edges.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty)
       sc.setCheckpointDir(
@@ -88,18 +90,25 @@ object Graph {
       s"pageRank: total mass $nV x $scale overflows 64-bit — lower scale")
     val teleport = scale * 15 / 100
     var rank = vd.withColumn("rank", lit(scale)).localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = rank.select(col("id").as("_cid"), expr("rank DIV deg").as("_c"))
       // SHUFFLE_HASH: rank and edge tables are both corpus-sized (never
       // broadcastable) and the hash join needs no sort — same choice as
       // Components' label joins
       val in = e.join(contrib.hint("shuffle_hash"), e("src") === col("_cid"))
         .groupBy(col("dst")).agg(sum(col("_c")).as("_in"))
-      rank = vd.join(in.hint("shuffle_hash"), vd("id") === in("dst"), "left")
+      val next = vd.join(in.hint("shuffle_hash"), vd("id") === in("dst"), "left")
         .select(col("id"), col("deg"),
           expr(s"$teleport + (coalesce(_in, CAST(0 AS BIGINT)) DIV 100) * 85")
             .as("rank"))
-        .localCheckpoint()
+      // checkpoint CADENCE: a localCheckpoint is an eager materialization
+      // job, so at cadence c only every c-th iteration pays one — the
+      // skipped rounds' lineage (≤ c-1 join+agg stages, vertex-sized
+      // state) re-plans as one wider job. Cadence trades a deeper plan
+      // against fewer scheduled jobs; with failure-recovery lineage
+      // bounded either way by the reliable edge checkpoint above.
+      rank = if (i % checkpointEvery == 0 || i == iters) next.localCheckpoint()
+             else next
     }
     rank.select(col("id"), col("rank"))
   }
