@@ -270,6 +270,28 @@ object QueriesLlm {
         floor(col("cscore") / 1000).cast("long").as("score_mq"))
   }
 
+  /** Product-quantized ANN: train the 8×16 subspace codebooks (2 Lloyd
+    * rounds), encode the corpus to packed 8-nibble BIGINT codes, search
+    * the 5 queries by codegen'd ADC lookup ([[operators.Ann.pqTopK]]).
+    * Codes, distances and ranking are integer-exact, so the oracle —
+    * which unrolls the identical training and scores via a (sub, cell)
+    * join instead of the packed-code lut — hash-matches bit-for-bit. */
+  val simPq: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // the KB-sized codebook is consumed twice (encode + query luts):
+    // localCheckpoint stands in for the PERSISTED codebook a serving
+    // deployment reads, so training runs once, not per consumer
+    val cb = operators.Ann.pqCodebook(corpus, iters = 2).localCheckpoint()
+    val codes = operators.Ann.pqEncode(cb, corpus)
+    operators.Ann.pqTopK(cb, codes, queries, k = 5)
+      .select(col("query_id"), col("corpus_id"), col("dist_q"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Snapshot diff between the corpus and a synthetic next version
     * (every 31st doc dropped, every 17th doc's text edited, three new
     * ids): the ingest-delta audit, joined on 16-byte digests only
@@ -460,6 +482,7 @@ object QueriesLlm {
     "q_sim_ivf"             -> simIvf,
     "q_sim_ivf_probe2"      -> simIvfProbe2,
     "q_sim_kmeans"          -> simKmeans,
+    "q_sim_pq"              -> simPq,
     "q_pipeline_prep"       -> pipelinePrep,
     "q_sample_stratified"   -> sampleStratified,
     "q_sample_quota"        -> sampleQuota,
@@ -612,6 +635,33 @@ sym AS (
        |      / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
        |      * 1000000) AS BIGINT)""".stripMargin
 
+  /** Quantized subspace L2 in SQL — twin of Ann.pqDq: per-term floor
+    * then BIGINT sum over the 8 subspace dims (order-free). */
+  private def pqDqSql(a: String, b: String): String =
+    (1 to 8).map(i =>
+      s"CAST(floor(($a[$i] - $b[$i]) * ($a[$i] - $b[$i]) * 1000000.0) AS BIGINT)")
+      .mkString(" + ")
+
+  /** One PQ ASSIGNMENT step in SQL (twin of Ann.pqAssign): subvector
+    * CTE `sv` × per-subspace codebook, argmin quantized L2, ties to
+    * the lower cell. */
+  private def pqAssignSql(cb: String): String =
+    s"""SELECT corpus_id, sub, cell, d, sv FROM (
+       |    SELECT v.corpus_id, v.sub, k.cell, ${pqDqSql("v.sv", "k.sc")} AS d, v.sv,
+       |      ROW_NUMBER() OVER (PARTITION BY v.corpus_id, v.sub
+       |                         ORDER BY ${pqDqSql("v.sv", "k.sc")} ASC, k.cell ASC) AS rk
+       |    FROM sv v JOIN $cb k ON k.sub = v.sub) x WHERE rk = 1""".stripMargin
+
+  /** One PQ UPDATE step in SQL (twin of Ann.pqMeans): per-(sub, cell)
+    * per-dimension DECIMAL(27,10) means over the subvector slices. */
+  private def pqMeansSql(assign: String): String =
+    s"""SELECT sub, cell, list(v ORDER BY i) AS sc FROM (
+       |    SELECT a.sub, a.cell, i,
+       |      CAST(CAST(SUM(CAST(a.sv[i+1] AS DECIMAL(27,10))) AS VARCHAR) AS DOUBLE)
+       |        / COUNT(*) AS v
+       |    FROM ($assign) a, unnest(generate_series(0, 7)) t(i)
+       |    GROUP BY 1, 2, 3) m GROUP BY 1, 2""".stripMargin
+
   /** One Lloyd ASSIGNMENT step in SQL (twin of Ann.assignCells): corpus
     * CTE `c` × codebook CTE `cents`, argmax quantized cosine, ties to
     * the lower cell. */
@@ -654,6 +704,49 @@ sym AS (
          |SELECT corpus_id, cell,
          |  CAST(floor(score / 1000.0) AS BIGINT) AS score_mq
          |FROM (${kmAssign("k2")}) f""".stripMargin,
+
+    // PQ: identical hash-seeded per-subspace Lloyd training, then ADC
+    // scoring via a (sub, cell) join — the packed-code lut lookup and
+    // this join are the same Σ of assigned-cell subspace distances
+    "q_sim_pq" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS ce
+         |  FROM embeddings WHERE vec_id >= 5
+         |), q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < 5
+         |), sv AS MATERIALIZED (
+         |  SELECT corpus_id, s.sub, ce[s.sub*8+1 : s.sub*8+8] AS sv
+         |  FROM c, (SELECT unnest(generate_series(0, 7)) AS sub) s
+         |), a0 AS (
+         |  SELECT corpus_id, sub,
+         |    CAST(strpos('0123456789abcdef',
+         |      substr(md5('pq|' || CAST(sub AS VARCHAR) || '|'
+         |                 || CAST(corpus_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS cell,
+         |    sv
+         |  FROM sv
+         |), k0 AS MATERIALIZED (${pqMeansSql("SELECT * FROM a0")}
+         |), a1 AS (${pqAssignSql("k0")}
+         |), k1 AS MATERIALIZED (${pqMeansSql("SELECT * FROM a1")}
+         |), a2 AS (${pqAssignSql("k1")}
+         |), k2 AS MATERIALIZED (${pqMeansSql("SELECT * FROM a2")}
+         |), af AS MATERIALIZED (${pqAssignSql("k2")}
+         |), qs AS (
+         |  SELECT query_id, s.sub, qe[s.sub*8+1 : s.sub*8+8] AS qsv
+         |  FROM q, (SELECT unnest(generate_series(0, 7)) AS sub) s
+         |), lq AS (
+         |  SELECT g.query_id, k.sub, k.cell, ${pqDqSql("g.qsv", "k.sc")} AS lq
+         |  FROM qs g JOIN k2 k ON k.sub = g.sub
+         |), d AS (
+         |  SELECT l.query_id, a.corpus_id, CAST(SUM(l.lq) AS BIGINT) AS dist_q
+         |  FROM af a JOIN lq l ON l.sub = a.sub AND l.cell = a.cell
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, corpus_id, dist_q, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY dist_q ASC, corpus_id ASC) AS rnk
+         |  FROM d) t
+         |WHERE rnk <= 5""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS survivor, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

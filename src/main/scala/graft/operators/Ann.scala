@@ -201,4 +201,140 @@ object Ann {
         dim)
     cents
   }
+
+  // ---- product quantization: 8-byte codes + codegen ADC search -------------
+  //
+  // The memory rung below IVF: IVF prunes WHICH vectors a query scans,
+  // PQ shrinks WHAT the scan reads — each corpus vector is re-encoded as
+  // m 4-bit cell ids (dim=64 → one packed BIGINT vs 256 bytes of floats,
+  // 32×), and search reads ONLY the codes: per query a lookup table of
+  // subspace distances to every cell is built once (m×16 entries), and
+  // each candidate costs m integer lookups through the codegen'd
+  // graft_pq_adc expression. At 100 TB the codes table is ~3 TB and the
+  // raw vectors never enter the search plan; compose with IVF cells for
+  // the standard IVF-PQ serving layout.
+  //
+  // Engine-portable like the rest of the tier: subspace distances are
+  // per-term-floored integer sums (Σ_i ⌊(a_i−b_i)²·1e6⌋ — order-free),
+  // codebook training is deterministic hash-seeded Lloyd's with the same
+  // DECIMAL(27,10) means as [[centroids]], and ties break by cell id,
+  // so a SQL twin unrolling the same iterations hash-matches the codes,
+  // the distances, and the final ranking bit-for-bit.
+
+  /** 16 cells per subspace — one md5 hex digit seeds the initial
+    * assignment, and codes pack to 4 bits per subspace. */
+  val PqKsub = 16
+
+  /** Quantized subspace L2 — per-term floor then BIGINT sum, so
+    * accumulation order cannot matter; unrolled over the literal
+    * subspace width so the whole term stays codegen'd arithmetic. */
+  private def pqDq(a: Column, b: Column, sd: Int): Column =
+    (1 to sd).map { i =>
+      val d = element_at(a, i) - element_at(b, i)
+      floor(d * d * lit(1000000.0)).cast("long")
+    }.reduce(_ + _)
+
+  /** (corpus_id, sub, sv): the corpus split into m row-local subvector
+    * slices (double elements — float embeddings widen exactly). */
+  private def pqSubvecs(corpus: DataFrame, m: Int, sd: Int): DataFrame =
+    corpus
+      .select(col("corpus_id"), col("ce").cast("array<double>").as("ce"))
+      .select(col("corpus_id"), posexplode(
+        expr(s"transform(sequence(0, ${m - 1}), s -> slice(ce, s*$sd+1, $sd))"))
+        .as(Seq("sub", "sv")))
+
+  /** Nearest cell per (vector, subspace) against a broadcast codebook —
+    * a map-side-combined min(struct(d, cell)) per group, never a
+    * window: the ×16 candidate rows collapse back to one row per
+    * (vector, subspace) before the exchange. */
+  private def pqAssign(cb: DataFrame, subvecs: DataFrame, sd: Int): DataFrame =
+    subvecs.join(broadcast(cb), "sub")
+      .groupBy(col("corpus_id"), col("sub"))
+      .agg(min(struct(pqDq(col("sv"), col("sc"), sd).as("d"), col("cell"))).as("m"),
+        first(col("sv")).as("sv"))
+      .select(col("corpus_id"), col("sub"), col("m.cell").as("cell"),
+        col("m.d").as("d"), col("sv"))
+
+  /** Per-(sub, cell) DECIMAL(27,10) means — [[centroids]] keyed by
+    * subspace; a cell that loses every member drops out (codes never
+    * reference it, search fills its lut slot with a sentinel). */
+  private def pqMeans(assigned: DataFrame, sd: Int): DataFrame = {
+    val means = (0 until sd).map(i =>
+      (sum(element_at(col("sv"), i + 1).cast("decimal(27,10)")).cast("double") /
+        count(lit(1))).as(s"c$i"))
+    assigned.groupBy(col("sub"), col("cell"))
+      .agg(means.head, means.tail: _*)
+      .select(col("sub"), col("cell"),
+        array((0 until sd).map(i => col(s"c$i")): _*).as("sc"))
+  }
+
+  /** Train the m per-subspace codebooks: deterministic md5-seeded
+    * initial cells, `iters` Lloyd rounds. Per round the KB-sized
+    * codebook broadcasts and the corpus pays one fixed-width
+    * (corpus × m)-row exchange — at 100 TB, train on a sampled slice
+    * (same guidance as [[kmeansCodebook]]) and encode the full corpus
+    * once. Returns (sub, cell, sc). */
+  def pqCodebook(corpus: DataFrame, iters: Int, dim: Int = 64, m: Int = 8,
+      seed: String = "pq"): DataFrame = {
+    require(dim % m == 0 && m >= 1, s"pqCodebook: dim=$dim not divisible into m=$m")
+    require(4 * m <= 60, s"pqCodebook: m=$m codes overflow a packed BIGINT")
+    val sd = dim / m
+    val sv = pqSubvecs(corpus, m, sd)
+    val init = sv.withColumn("cell",
+      conv(substring(md5(concat(lit(seed + "|"), col("sub").cast("string"),
+        lit("|"), col("corpus_id").cast("string"))), 1, 1), 16, 10).cast("int"))
+    var cb = pqMeans(init, sd)
+    for (_ <- 1 to iters) cb = pqMeans(pqAssign(cb, sv, sd), sd)
+    cb
+  }
+
+  /** Encode the corpus against a trained codebook: ONE exchange —
+    * the m per-subspace argmins run as m conditional min-structs in a
+    * single map-side-combined groupBy(corpus_id), and the packed BIGINT
+    * code (subspace s in bits [4s, 4s+4)) comes out of the same
+    * aggregate. Returns (corpus_id, code). */
+  def pqEncode(cb: DataFrame, corpus: DataFrame, dim: Int = 64, m: Int = 8): DataFrame = {
+    val sd = dim / m
+    val scored = pqSubvecs(corpus, m, sd).join(broadcast(cb), "sub")
+      .select(col("corpus_id"), col("sub"), col("cell"),
+        pqDq(col("sv"), col("sc"), sd).as("d"))
+    val mins = (0 until m).map(s =>
+      min(when(col("sub") === s, struct(col("d"), col("cell")))).as(s"m$s"))
+    scored.groupBy(col("corpus_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("corpus_id"),
+        (0 until m).map(s =>
+          expr(s"shiftleft(CAST(m$s.cell AS BIGINT), ${4 * s})"))
+          .reduce(_ + _).as("code"))
+  }
+
+  /** ADC top-k over packed codes: per query one dense [sub·16 + cell]
+    * lookup table (dead cells hold a sentinel no code references), the
+    * codes table streams against the broadcast tables through the
+    * codegen'd `graft_pq_adc` lookup sum, and the only exchange is the
+    * per-query rank window — the [[bruteForceTopK]] shape with the
+    * corpus scan 32× narrower. Returns (query_id, corpus_id, dist_q,
+    * rnk); dist_q ascending (a DISTANCE, unlike the cosine scores). */
+  def pqTopK(cb: DataFrame, codes: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64, m: Int = 8): DataFrame = {
+    val sd = dim / m
+    val grid = queries
+      .select(col("query_id"), col("qe").cast("array<double>").as("qe"))
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("cell", explode(sequence(lit(0), lit(PqKsub - 1))))
+      .withColumn("qsv", slice(col("qe"), col("sub") * sd + 1, lit(sd)))
+    val lut = grid.join(broadcast(cb), Seq("sub", "cell"), "left")
+      .withColumn("lq", when(col("sc").isNull, lit(Long.MaxValue / 4))
+        .otherwise(pqDq(col("qsv"), col("sc"), sd)))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("cell"), col("lq")))),
+        x => x.getField("lq")).as("lut"))
+    val scored = codes.join(broadcast(lut))
+      .select(col("query_id"), col("corpus_id"),
+        call_function("graft_pq_adc", col("code"), col("lut")).as("dist_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_q").asc, col("corpus_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
 }

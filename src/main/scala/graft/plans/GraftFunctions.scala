@@ -78,6 +78,9 @@ object GraftFunctions {
     fn("graft_cosine", "cosine similarity of two float/double arrays", 2) {
       case Seq(a, b) => CosineSimilarity(a, b)
     },
+    fn("graft_pq_adc", "ADC distance: packed PQ code against a [sub*16+cell] lookup table", 2) {
+      case Seq(code, lut) => PqAdcDistance(code, lut)
+    },
     // The reference ships FOUR ArrayListAggFunction variants (.java, 2, 3,
     // 4) solely to thread generic element types through Flink's type
     // inference tiers; Catalyst aggregates are natively generic, so ONE

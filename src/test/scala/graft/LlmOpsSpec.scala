@@ -820,4 +820,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("PQ: duplicates share codes, self is the ADC minimum, sentinel never leaks") {
+    import spark.implicits._
+    import graft.operators.Ann
+    // deterministic 40-vector corpus (dim 64); vector 37 duplicates 13
+    def vec(i: Int): Seq[Double] =
+      (0 until 64).map(d => ((i * 31 + d * 7) % 97) / 97.0)
+    val rows = (10 until 50).map(i => (i.toLong, if (i == 37) vec(13) else vec(i)))
+    val corpus = rows.toDF("corpus_id", "ce")
+    val cb = Ann.pqCodebook(corpus, iters = 2)
+    val codesDf = Ann.pqEncode(cb, corpus).localCheckpoint()
+    val codes = codesDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes(37L) == codes(13L), "byte-identical vectors must encode identically")
+    assert(codes.values.toSet.size > 1, "degenerate codebook: every code equal")
+    // 40 vectors can't populate all 8×16 cells — dead cells exist, so
+    // this also exercises the dense-lut sentinel path end to end
+    val queries = Seq((11L, vec(11)), (25L, vec(25))).toDF("query_id", "qe")
+    val top = Ann.pqTopK(cb, codesDf, queries, k = 3).collect()
+    for (q <- Seq(11L, 25L)) {
+      val mine = top.filter(_.getAs[Long]("query_id") == q)
+      assert(mine.length == 3, s"query $q returned ${mine.length} rows")
+      // ADC self-distance is Σ_s min-over-cells — the smallest any code
+      // can score — so self must sit at the minimum distance
+      val self = mine.find(_.getAs[Long]("corpus_id") == q)
+      assert(self.nonEmpty, s"query $q did not retrieve itself: ${mine.toSeq}")
+      val best = mine.map(_.getAs[Long]("dist_q")).min
+      assert(self.get.getAs[Long]("dist_q") == best,
+        s"self not at the ADC minimum for query $q: ${mine.toSeq}")
+      assert(mine.forall(_.getAs[Long]("dist_q") < Long.MaxValue / 8),
+        s"dead-cell sentinel leaked into results: ${mine.toSeq}")
+    }
+  }
 }

@@ -204,7 +204,12 @@ class PlanSpec extends AnyFunSuite {
       // (both measured); SMJ degrades to disk. The 11th exchange vs the
       // old SHJ plan is the cands→doc_a re-key SMJ needs — the price of
       // the only join strategy whose worst case spills instead of OOMs
-      "q_simjoin_prefix" -> 11)
+      "q_simjoin_prefix" -> 11,
+      // PQ: the checkpointed codebook hides training's 5 eager exchanges
+      // (init means + 2×(assign + means)); the LAZY plan is encode's
+      // single corpus exchange + the two query-sized ones (lut agg,
+      // rank window) — the codes scan itself never shuffles
+      "q_sim_pq" -> 3)
     val over = budget.flatMap { case (name, max) =>
       val plan = physicalPlan(SparkEntry.queries(name)(spark, sfDir))
       val n = "Exchange hashpartitioning".r.findAllIn(plan).length +
@@ -350,6 +355,37 @@ class PlanSpec extends AnyFunSuite {
     // one shuffle for the (window, key) agg; AQE may add a read node but
     // no second Exchange
     assert(nExchange == 1, s"expected exactly 1 shuffle:\n$plan")
+  }
+
+  test("PQ ADC search: codegen'd lookup, two query-side exchanges, corpus only streams") {
+    import org.apache.spark.sql.execution.debug
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables(spark, sfDir).embeddings
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // pin the index inputs (localCheckpoint) so this audits the SEARCH
+    // plan alone — the serving path against a persisted index
+    val cb = graft.operators.Ann.pqCodebook(corpus, iters = 0).localCheckpoint()
+    val codes = graft.operators.Ann.pqEncode(cb, corpus).localCheckpoint()
+    val q = graft.operators.Ann.pqTopK(cb, codes, queries, k = 5)
+    val plan = physicalPlan(q)
+    // two exchanges, BOTH queries-sized: the lut aggregate and the
+    // per-query rank window; the codes scan itself never shuffles
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 2, s"PQ search should shuffle only query-side state (lut agg + rank window):\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"lut/codebook must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    // the ADC expression's doGenCode must land in generated code (the
+    // query must be BUILT with AQE off — an AdaptiveSparkPlanExec wrapper
+    // defers codegen and the inspection would see zero subtrees)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q2 = graft.operators.Ann.pqTopK(cb, codes, queries, k = 5)
+      val gen = debug.codegenString(q2.queryExecution.executedPlan)
+      assert(gen.contains("% 16 != 0"), "PqAdcDistance codegen missing from generated source")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("hot paths compile into whole-stage codegen, including graft_cosine") {
