@@ -23,6 +23,17 @@ object ScaleUp {
     val src  = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out  = args.lift(1).getOrElse("/root/repo/bench-data/sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    // Text replication mode. "suffix" (default) appends one per-replica
+    // token — replicas stay NEAR-DUPLICATES of each other (Jaccard ≈
+    // 0.9+), so LSH bucket sizes grow linearly but any EXACT τ≈0.8
+    // similarity join truthfully owes C(reps, 2) pairs per original doc:
+    // the true answer is quadratic in reps, which no engine outruns.
+    // "interleave" marks every 8th word instead (~3/8 of shingles change
+    // → cross-replica Jaccard ≈ 0.5), so within-replica near-dup
+    // structure is preserved while cross-replica pairs fall below the
+    // τ=0.8 threshold — the corpus an exact similarity join can be
+    // benched on at scale.
+    val textMode = args.lift(3).getOrElse("suffix")
     val spark = GraftSession.get("graft-scaleup")
 
     def raw(n: String) = spark.read.parquet(s"$src/$n.parquet")
@@ -59,9 +70,19 @@ object ScaleUp {
       "event_id" -> "event_id + rep * 1000000000",
       "user_id"  -> "user_id + rep * 1000000",
       "ts"       -> tsExpr), "events")
+    val textExpr = textMode match {
+      case "suffix" =>
+        "CASE WHEN rep = 0 THEN text ELSE concat(text, ' r', CAST(rep AS STRING)) END"
+      case "interleave" =>
+        """CASE WHEN rep = 0 THEN text ELSE array_join(
+          |  transform(split(text, ' '),
+          |    (w, i) -> CASE WHEN i % 8 = 7 THEN concat(w, 'r', CAST(rep AS STRING)) ELSE w END),
+          |  ' ') END""".stripMargin.linesIterator.mkString(" ")
+      case other => sys.error(s"unknown text mode: $other")
+    }
     write(scaled(raw("documents"),
       "doc_id" -> "doc_id + rep * 1000000",
-      "text"   -> "CASE WHEN rep = 0 THEN text ELSE concat(text, ' r', CAST(rep AS STRING)) END"),
+      "text"   -> textExpr),
       "documents")
     write(scaled(raw("embeddings"),
       "vec_id" -> "vec_id + rep * 1000000"), "embeddings")
