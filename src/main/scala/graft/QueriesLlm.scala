@@ -292,6 +292,39 @@ object QueriesLlm {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** IVF-PQ composed serving search: the coarse k-means cells prune
+    * WHICH codes each query scans (nprobe=2 of 4 trained cells), the PQ
+    * codes shrink WHAT the surviving scan reads (packed 8-nibble BIGINT
+    * per vector) — the standard two-level ANN serving layout, built
+    * from the library's own trained quantizers ([[operators.Ann
+    * .kmeansCodebook]] coarse, [[operators.Ann.pqCodebook]] fine) and
+    * searched by the codegen'd ADC expression. Everything ranked is
+    * integer (quantized cosine probe, per-term-floored ADC sums), so
+    * the oracle — which unrolls BOTH trainings in SQL and scores via a
+    * (sub, cell) join restricted to the probed cells — hash-matches
+    * bit-for-bit. */
+  val simIvfPq: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // both codebooks are consumed twice (index build + query path):
+    // localCheckpoint stands in for the PERSISTED codebooks a serving
+    // deployment reads — training runs once, not per consumer
+    val coarse = operators.Ann.kmeansCodebook(corpus, k = 4, iters = 2)
+      .localCheckpoint()
+    val pqcb = operators.Ann.pqCodebook(corpus, iters = 2).localCheckpoint()
+    // the composed index: (corpus_id, cell, code) — in deployment
+    // written partitionBy("cell") like Ann.buildIndex
+    val codes = operators.Ann.pqEncode(pqcb, corpus)
+      .join(operators.Ann.assignCells(coarse, corpus)
+        .select(col("corpus_id"), col("cell")), "corpus_id")
+    operators.Ann.ivfPqTopK(coarse, pqcb, codes, queries, k = 5, nprobe = 2)
+      .select(col("query_id"), col("cell"), col("corpus_id"), col("dist_q"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Snapshot diff between the corpus and a synthetic next version
     * (every 31st doc dropped, every 17th doc's text edited, three new
     * ids): the ingest-delta audit, joined on 16-byte digests only
@@ -483,6 +516,7 @@ object QueriesLlm {
     "q_sim_ivf_probe2"      -> simIvfProbe2,
     "q_sim_kmeans"          -> simKmeans,
     "q_sim_pq"              -> simPq,
+    "q_sim_ivfpq"           -> simIvfPq,
     "q_pipeline_prep"       -> pipelinePrep,
     "q_sample_stratified"   -> sampleStratified,
     "q_sample_quota"        -> sampleQuota,
@@ -743,6 +777,72 @@ sym AS (
          |  GROUP BY 1, 2
          |)
          |SELECT query_id, corpus_id, dist_q, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY dist_q ASC, corpus_id ASC) AS rnk
+         |  FROM d) t
+         |WHERE rnk <= 5""".stripMargin,
+
+    // IVF-PQ composition: the kmeans chain (c/seeds/k0..k2 — identical
+    // to q_sim_kmeans's) trains the coarse cells, the PQ chain (sv/pa0
+    // ..pk2 — q_sim_pq's up to CTE renaming) trains the fine codebooks;
+    // probe keeps each query's 2 best coarse cells and the ADC join is
+    // restricted to codes whose coarse cell that query probed
+    "q_sim_ivfpq" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS ce
+         |  FROM embeddings WHERE vec_id >= 5
+         |), q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < 5
+         |), seeds AS (
+         |  SELECT corpus_id, ce, md5('km|' || CAST(corpus_id AS VARCHAR)) AS h
+         |  FROM c ORDER BY h, corpus_id LIMIT 4
+         |), k0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, corpus_id) - 1 AS INT) AS cell, ce
+         |  FROM seeds
+         |), a1 AS (${kmAssign("k0")}
+         |), k1 AS (${kmMeans("a1")}
+         |), a2 AS (${kmAssign("k1")}
+         |), k2 AS MATERIALIZED (${kmMeans("a2")}
+         |), cellof AS MATERIALIZED (${kmAssign("k2")}
+         |), sv AS MATERIALIZED (
+         |  SELECT corpus_id, s.sub, ce[s.sub*8+1 : s.sub*8+8] AS sv
+         |  FROM c, (SELECT unnest(generate_series(0, 7)) AS sub) s
+         |), pa0 AS (
+         |  SELECT corpus_id, sub,
+         |    CAST(strpos('0123456789abcdef',
+         |      substr(md5('pq|' || CAST(sub AS VARCHAR) || '|'
+         |                 || CAST(corpus_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS cell,
+         |    sv
+         |  FROM sv
+         |), pk0 AS MATERIALIZED (${pqMeansSql("SELECT * FROM pa0")}
+         |), pa1 AS (${pqAssignSql("pk0")}
+         |), pk1 AS MATERIALIZED (${pqMeansSql("SELECT * FROM pa1")}
+         |), pa2 AS (${pqAssignSql("pk1")}
+         |), pk2 AS MATERIALIZED (${pqMeansSql("SELECT * FROM pa2")}
+         |), paf AS MATERIALIZED (${pqAssignSql("pk2")}
+         |), probe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.query_id, k.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |                         ORDER BY ${cosSql("q.qe", "k.ce")} DESC, k.cell ASC) AS crnk
+         |    FROM q, k2 k) x WHERE crnk <= 2
+         |), qs AS (
+         |  SELECT query_id, s.sub, qe[s.sub*8+1 : s.sub*8+8] AS qsv
+         |  FROM q, (SELECT unnest(generate_series(0, 7)) AS sub) s
+         |), lq AS (
+         |  SELECT g.query_id, k.sub, k.cell, ${pqDqSql("g.qsv", "k.sc")} AS lq
+         |  FROM qs g JOIN pk2 k ON k.sub = g.sub
+         |), d AS (
+         |  SELECT l.query_id, cf.cell, a.corpus_id,
+         |    CAST(SUM(l.lq) AS BIGINT) AS dist_q
+         |  FROM paf a
+         |  JOIN lq l ON l.sub = a.sub AND l.cell = a.cell
+         |  JOIN cellof cf ON cf.corpus_id = a.corpus_id
+         |  JOIN probe p ON p.query_id = l.query_id AND p.cell = cf.cell
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT query_id, cell, corpus_id, dist_q, rnk FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |                               ORDER BY dist_q ASC, corpus_id ASC) AS rnk
          |  FROM d) t

@@ -308,6 +308,25 @@ object Ann {
           .reduce(_ + _).as("code"))
   }
 
+  /** Per-query dense `[sub·16 + cell]` ADC lookup table against a
+    * trained codebook: dead cells (a cell that lost every member during
+    * training — no code references it) hold a sentinel. Returns
+    * (query_id, lut). */
+  private def pqLut(cb: DataFrame, queries: DataFrame, sd: Int, m: Int): DataFrame = {
+    val grid = queries
+      .select(col("query_id"), col("qe").cast("array<double>").as("qe"))
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("cell", explode(sequence(lit(0), lit(PqKsub - 1))))
+      .withColumn("qsv", slice(col("qe"), col("sub") * sd + 1, lit(sd)))
+    grid.join(broadcast(cb), Seq("sub", "cell"), "left")
+      .withColumn("lq", when(col("sc").isNull, lit(Long.MaxValue / 4))
+        .otherwise(pqDq(col("qsv"), col("sc"), sd)))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("cell"), col("lq")))),
+        x => x.getField("lq")).as("lut"))
+  }
+
   /** ADC top-k over packed codes: per query one dense [sub·16 + cell]
     * lookup table (dead cells hold a sentinel no code references), the
     * codes table streams against the broadcast tables through the
@@ -317,21 +336,43 @@ object Ann {
     * rnk); dist_q ascending (a DISTANCE, unlike the cosine scores). */
   def pqTopK(cb: DataFrame, codes: DataFrame, queries: DataFrame, k: Int,
       dim: Int = 64, m: Int = 8): DataFrame = {
-    val sd = dim / m
-    val grid = queries
-      .select(col("query_id"), col("qe").cast("array<double>").as("qe"))
-      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
-      .withColumn("cell", explode(sequence(lit(0), lit(PqKsub - 1))))
-      .withColumn("qsv", slice(col("qe"), col("sub") * sd + 1, lit(sd)))
-    val lut = grid.join(broadcast(cb), Seq("sub", "cell"), "left")
-      .withColumn("lq", when(col("sc").isNull, lit(Long.MaxValue / 4))
-        .otherwise(pqDq(col("qsv"), col("sc"), sd)))
-      .groupBy(col("query_id"))
-      .agg(transform(
-        sort_array(collect_list(struct(col("sub"), col("cell"), col("lq")))),
-        x => x.getField("lq")).as("lut"))
-    val scored = codes.join(broadcast(lut))
+    val scored = codes.join(broadcast(pqLut(cb, queries, dim / m, m)))
       .select(col("query_id"), col("corpus_id"),
+        call_function("graft_pq_adc", col("code"), col("lut")).as("dist_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_q").asc, col("corpus_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** IVF-PQ serving search — the composition the two rungs below it
+    * exist for: the coarse IVF codebook prunes WHICH vectors a query
+    * scans (probe the `nprobe` best cells only), the PQ codes shrink
+    * WHAT the surviving scan reads (8-byte packed codes instead of
+    * dim-wide vectors). `codes` is the composed index: (corpus_id,
+    * cell, code) — [[pqEncode]] output joined with the coarse
+    * [[assignCells]] assignment at index-build time, in deployment
+    * persisted `partitionBy("cell")` exactly like [[buildIndex]] so the
+    * probe's broadcast join prunes cell directories at the source.
+    *
+    * The query path joins the per-query probed-cell set WITH its ADC
+    * lut (one tiny broadcast: nprobe rows per query, lut riding along),
+    * so a code row is scored — by the codegen'd `graft_pq_adc` sum —
+    * only when its cell is probed by that query; the per-query rank
+    * window is the only exchange, asserted in PlanSpec. Returns
+    * (query_id, cell, corpus_id, dist_q, rnk), dist_q ascending. */
+  def ivfPqTopK(coarse: DataFrame, pqCb: DataFrame, codes: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int,
+      dim: Int = 64, m: Int = 8): DataFrame = {
+    val probed = queries.join(broadcast(coarse.select(col("cell"), col("ce"))))
+      .select(col("query_id"), col("qe"), col("cell"),
+        cosQ(col("qe"), col("ce")).as("cscore"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("cell").asc)))
+      .filter(col("crnk") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val probeLut = probed.join(broadcast(pqLut(pqCb, queries, dim / m, m)), "query_id")
+    val scored = codes.join(broadcast(probeLut), Seq("cell"))
+      .select(col("query_id"), col("cell"), col("corpus_id"),
         call_function("graft_pq_adc", col("code"), col("lut")).as("dist_q"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist_q").asc, col("corpus_id").asc)

@@ -852,4 +852,31 @@ class LlmOpsSpec extends AnyFunSuite {
         s"dead-cell sentinel leaked into results: ${mine.toSeq}")
     }
   }
+
+  test("IVF-PQ: probing every cell equals plain PQ search; probed-cell containment") {
+    import spark.implicits._
+    import graft.operators.Ann
+    def vec(i: Int): Seq[Double] =
+      (0 until 64).map(d => ((i * 31 + d * 7) % 97) / 97.0)
+    val corpus = (10 until 50).map(i => (i.toLong, vec(i))).toDF("corpus_id", "ce")
+    val queries = Seq((11L, vec(11)), (25L, vec(25))).toDF("query_id", "qe")
+    val coarse = Ann.kmeansCodebook(corpus, k = 4, iters = 1).localCheckpoint()
+    val pqcb = Ann.pqCodebook(corpus, iters = 1).localCheckpoint()
+    val cells = Ann.assignCells(coarse, corpus).select($"corpus_id", $"cell")
+    val codes = Ann.pqEncode(pqcb, corpus).join(cells, "corpus_id").localCheckpoint()
+    // nprobe = k(all cells): pruning removes nothing, so the composed
+    // search must return EXACTLY the plain ADC ranking
+    val full = Ann.ivfPqTopK(coarse, pqcb, codes, queries, k = 5, nprobe = 4)
+      .select($"query_id", $"corpus_id", $"dist_q", $"rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val plain = Ann.pqTopK(pqcb, codes.drop("cell"), queries, k = 5)
+      .select($"query_id", $"corpus_id", $"dist_q", $"rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(full == plain, s"nprobe=all diverged from plain PQ:\n$full\nvs\n$plain")
+    // nprobe = 1: every result must come from the query's single probed cell
+    val one = Ann.ivfPqTopK(coarse, pqcb, codes, queries, k = 5, nprobe = 1)
+      .select($"query_id", $"cell").distinct().collect()
+    assert(one.groupBy(_.getLong(0)).forall(_._2.length == 1),
+      s"nprobe=1 returned results from more than one cell: ${one.toSeq}")
+  }
 }

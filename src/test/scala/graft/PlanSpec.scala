@@ -209,7 +209,15 @@ class PlanSpec extends AnyFunSuite {
       // (init means + 2×(assign + means)); the LAZY plan is encode's
       // single corpus exchange + the two query-sized ones (lut agg,
       // rank window) — the codes scan itself never shuffles
-      "q_sim_pq" -> 3)
+      "q_sim_pq" -> 3,
+      // IVF-PQ, audited 5 (plan read 2026-08-14): index build = encode's
+      // groupBy(corpus_id) + assignCells' corpus_id rank window — their
+      // join reuses that shared partitioning, no third corpus exchange —
+      // plus the three query-sized serving exchanges (probe window, lut
+      // agg, result rank window); both trainings hide behind the
+      // checkpointed codebooks. The serving path ALONE is audited at 3
+      // in its own PlanSpec test (persisted-index deployment)
+      "q_sim_ivfpq" -> 5)
     val over = budget.flatMap { case (name, max) =>
       val plan = physicalPlan(SparkEntry.queries(name)(spark, sfDir))
       val n = "Exchange hashpartitioning".r.findAllIn(plan).length +
@@ -383,6 +391,42 @@ class PlanSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val q2 = graft.operators.Ann.pqTopK(cb, codes, queries, k = 5)
+      val gen = debug.codegenString(q2.queryExecution.executedPlan)
+      assert(gen.contains("% 16 != 0"), "PqAdcDistance codegen missing from generated source")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("IVF-PQ serving: query-sized exchanges only, broadcast probe+lut, codegen ADC") {
+    import org.apache.spark.sql.execution.debug
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables(spark, sfDir).embeddings
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // pin the index inputs (localCheckpoint) so this audits the SEARCH
+    // plan alone — the serving path against a persisted IVF-PQ index
+    val coarse = graft.operators.Ann.kmeansCodebook(corpus, k = 4, iters = 0)
+      .localCheckpoint()
+    val pqcb = graft.operators.Ann.pqCodebook(corpus, iters = 0).localCheckpoint()
+    val codes = graft.operators.Ann.pqEncode(pqcb, corpus)
+      .join(graft.operators.Ann.assignCells(coarse, corpus)
+        .select(col("corpus_id"), col("cell")), "corpus_id")
+      .localCheckpoint()
+    val q = graft.operators.Ann.ivfPqTopK(coarse, pqcb, codes, queries,
+      k = 5, nprobe = 2)
+    val plan = physicalPlan(q)
+    // three exchanges, ALL queries-sized: the probe's rank window, the
+    // lut aggregate, the per-query result rank window; the codes scan
+    // itself never shuffles — probe set and lut reach it broadcast
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 3, s"IVF-PQ serving should shuffle only query-side state:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"probe/lut must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q2 = graft.operators.Ann.ivfPqTopK(coarse, pqcb, codes, queries,
+        k = 5, nprobe = 2)
       val gen = debug.codegenString(q2.queryExecution.executedPlan)
       assert(gen.contains("% 16 != 0"), "PqAdcDistance codegen missing from generated source")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
