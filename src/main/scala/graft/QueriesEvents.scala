@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Behavior
+import graft.operators.{Behavior, Freq}
 import graft.sources.Tables
 
 /** §2 event-sequence analytics tier — funnel conversion, cohort
@@ -57,13 +57,66 @@ object QueriesEvents {
           count(when(col("event_type") === t, 1)).as(s"n_$t")): _*)
   }
 
+  /** Distinct users per event type via a 512-register HyperLogLog —
+    * the sketch twin of the exact distinct-users analytics: two
+    * KB-bounded shuffles (partial-max registers, then the per-type
+    * fold) instead of an exact-distinct exchange of the user domain.
+    * Output is the bit-portable sketch state (n_zero, s_scaled exact
+    * integers) plus the raw estimate (one shared-constant IEEE
+    * division); the ln-based range correction is [[Freq.hllCorrected]],
+    * accuracy-tested in ScalaTest rather than hash-matched (libm). */
+  val hllUsers: Q = (s, dir) =>
+    Freq.hllDistinctByGroup(
+      Tables(s, dir).events
+        .select(col("event_type").as("grp"), col("user_id").as("item")),
+      p = 9)
+      .withColumnRenamed("grp", "event_type")
+
   val queries: Map[String, Q] = Map(
+    "q_hll_users"        -> hllUsers,
     "q_funnel"           -> funnel,
     "q_cohort_retention" -> cohortRetention,
     "q_pivot"            -> pivotDaily,
     "q_event_transitions" -> transitions)
 
+  /** DuckDB twin of the 60-bit md5-nibble hash (column `hx` holds the
+    * md5 hex) — the same arithmetic as QueriesLlm's shingle hashes. */
+  private val hexToH: String = (1 to 15)
+    .map(i => s"CAST(strpos('0123456789abcdef', substr(hx, $i, 1))-1 AS BIGINT)*${1L << (4 * (15 - i))}")
+    .mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    // register-exact HLL twin: identical salt, bucket/rho split (bin()
+    // and Spark's conv(·,10,2) both render the minimal binary string),
+    // identical integer denominator, and the SAME interpolated double
+    // numerator — one IEEE division on each side, so even `est`
+    // hash-matches
+    "q_hll_users" ->
+      s"""WITH h AS (
+         |  SELECT event_type, ($hexToH) AS h60 FROM (
+         |    SELECT event_type,
+         |           md5('hl|' || CAST(user_id AS VARCHAR)) AS hx
+         |    FROM events WHERE user_id IS NOT NULL)
+         |), f AS (
+         |  SELECT event_type, h60 % 512 AS bucket,
+         |         52 - (CASE WHEN (h60 >> 9) = 0 THEN 0
+         |               ELSE length(bin(h60 >> 9)) END) AS rho
+         |  FROM h
+         |), regs AS (
+         |  SELECT event_type, bucket, MAX(rho) AS r
+         |  FROM f GROUP BY 1, 2
+         |)
+         |SELECT event_type,
+         |       512 - COUNT(*) AS n_zero,
+         |       CAST(SUM(CAST(1 AS BIGINT) << (52 - r))
+         |            + (512 - COUNT(*)) * (CAST(1 AS BIGINT) << 52) AS BIGINT)
+         |         AS s_scaled,
+         |       ${Freq.hllNumerator(9)} /
+         |         CAST(SUM(CAST(1 AS BIGINT) << (52 - r))
+         |              + (512 - COUNT(*)) * (CAST(1 AS BIGINT) << 52) AS BIGINT)
+         |         AS est
+         |FROM regs GROUP BY 1
+         |""".stripMargin,
     // es = second-truncated epoch: Tables.events truncates ts to seconds
     // (the engine-portable contract), so every comparison here must too
     "q_funnel" ->

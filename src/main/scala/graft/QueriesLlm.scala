@@ -482,7 +482,22 @@ object QueriesLlm {
         col("sample_rate"), col("channels"), col("timescale"),
         col("duration_ts"))
 
+  /** REAL audio decode: channel-0 PCM samples read straight from the
+    * WAV rows' bytes (16-bit LE needs no codec) and reduced to integer
+    * signal features. The oracle independently re-decodes the payload
+    * from the synthesis construction — a hash-match proves the RIFF
+    * walk found the right data offset and the sample arithmetic is
+    * bit-exact. Rows shorter than one frame carry no signal and are
+    * filtered on both sides. */
+  val audioPcm: Q = (s, dir) =>
+    Multimodal.audioPcmStats(
+      Multimodal.withMetaFromDocs(docs(s, dir)).filter(col("container") === "wav"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("n_frames"), col("peak_abs"),
+        col("sum_sq"), col("n_zero_cross"))
+
   val queries: Map[String, Q] = Map(
+    "q_audio_pcm"           -> audioPcm,
     "q_dedup_exact"         -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_simjoin_prefix"      -> dedupPrefixJaccard,
@@ -1436,6 +1451,47 @@ FROM c GROUP BY 1, 2"""),
         |  CAST(SUM((df * 1000000) // nd) // COUNT(*) AS BIGINT) AS mean_df_ppm
         |FROM w JOIN dfs USING (w) CROSS JOIN n
         |GROUP BY 1""".stripMargin,
+
+    // independent ground-truth decode: the WAV payload IS the UTF-8
+    // text by construction, so the oracle parses channel-0 16-bit LE
+    // samples out of hex(encode(text)) directly — no RIFF walking —
+    // and must land on the identical integer features the Spark side
+    // recovered by walking the real bytes
+    "q_audio_pcm" -> {
+      // hex byte at 1-based position `pos` of uppercase hex column hx
+      def hb(pos: String) =
+        s"((strpos('0123456789ABCDEF', substr(hx, $pos, 1)) - 1) * 16 + " +
+          s"(strpos('0123456789ABCDEF', substr(hx, ($pos) + 1, 1)) - 1))"
+      s"""WITH w AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |         (1 + doc_id % 2) * 2 AS block,
+         |         octet_length(encode(text)) AS plen
+         |  FROM documents WHERE doc_id % 5 = 2
+         |), fr AS (
+         |  SELECT doc_id, plen // block AS n_frames, block, hx
+         |  FROM w WHERE plen // block > 0
+         |), s AS (
+         |  SELECT doc_id, n_frames, g.i,
+         |         ${hb("g.i * block * 2 + 1")} +
+         |         256 * ${hb("g.i * block * 2 + 3")} AS u
+         |  FROM fr, LATERAL (SELECT unnest(generate_series(0,
+         |         CAST(n_frames AS INT) - 1)) AS i) g
+         |), v AS (
+         |  SELECT doc_id, n_frames, i,
+         |         CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS v
+         |  FROM s
+         |), x AS (
+         |  SELECT doc_id, n_frames, v,
+         |         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+         |  FROM v
+         |)
+         |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+         |       CAST(MAX(abs(v)) AS BIGINT) AS peak_abs,
+         |       CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+         |       CAST(COUNT(*) FILTER (pv IS NOT NULL AND
+         |         ((pv < 0) <> (v < 0))) AS BIGINT) AS n_zero_cross
+         |FROM x GROUP BY 1, 2""".stripMargin
+    },
 
     // magic/sha256 are computed over the hex encoding by construction
     // (installed DuckDB can neither slice nor sha256 a BLOB); Spark

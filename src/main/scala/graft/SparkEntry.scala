@@ -28,7 +28,10 @@ object SparkEntry {
       // round-8 tier: link analysis, membership sketch, quota, salted join
       "q_pagerank", "q_bloom_probe", "q_sample_quota", "q_salted_join",
       // round-8b tier: event analytics, exact sim join, incremental agg
-      "q_funnel", "q_event_transitions", "q_simjoin_prefix", "q_agg_incremental")
+      "q_funnel", "q_event_transitions", "q_simjoin_prefix", "q_agg_incremental",
+      // round-9 tier: HLL sketch, real PCM decode, user-scale pagerank,
+      // composed IVF-PQ serving
+      "q_hll_users", "q_audio_pcm", "q_pagerank_events", "q_sim_ivfpq")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs

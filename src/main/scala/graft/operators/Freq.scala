@@ -255,6 +255,112 @@ object Freq {
       .distinct()
   }
 
+  // ---- HyperLogLog ---------------------------------------------------------
+  //
+  // The fourth sketch of the family, answering the remaining question:
+  // Misra-Gries = "which items are heavy", Count-Min = "how often does
+  // THIS item occur", Bloom = "have I seen this item", HyperLogLog =
+  // "HOW MANY DISTINCT items" — the cardinality a pipeline wants per
+  // group (distinct users per component, distinct shingles per source)
+  // without paying the exact-distinct shuffle, which at a web-scale
+  // domain carries the whole item universe to the reducers.
+  //
+  // Same construction discipline as the CMS/Bloom: the register table is
+  // a plain DataFrame aggregation — register r_j is just MAX(rho) grouped
+  // by bucket j, so Spark's map-side partial aggregation IS the sketch's
+  // mergeability (every map partition reduces to <= m register rows
+  // before the one KB-scale shuffle; m registers replace a domain-sized
+  // exact-distinct exchange). The md5-derived (bucket, rho) split makes
+  // every register deterministic, so the whole structure hash-matches a
+  // DuckDB twin; the estimate itself is kept bit-portable by computing
+  // the harmonic denominator as an EXACT INTEGER (sum of 2^(R - r_j),
+  // R = 61 - p >= r_j, max m·2^R = 2^61 for any p — BIGINT-safe) and
+  // dividing the driver-side constant alpha_m·m²·2^R by it: one IEEE
+  // division, no float accumulation order to drift across engines.
+
+  /** 60-bit item hash: first 15 md5 hex nibbles of the salted item —
+    * the same arithmetic family as [[cmsBuckets]]/[[bloomBits]], salted
+    * "hl|" to decorrelate from both. */
+  private def hllHash(item: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("hl|"), item)), 1, 15), 16, 10).cast("long")
+
+  /** (bucket, rho) of `item` under 2^p registers: bucket = low p bits,
+    * rho = 1 + leading-zero count of the remaining w = (60 − p)-bit word
+    * (range 1..61−p; w = 0 reads 61−p). The leading-zero count is exact
+    * integer/string arithmetic — (60−p) − length(minimal base-2 string)
+    * — whose DuckDB mirror is length(bin(w)): both engines render the
+    * minimal binary string ("0" for zero), so the two can never drift.
+    * Public because the streaming twin
+    * ([[graft.streaming.StreamingJobs.hllRegistersStream]]) shares this
+    * arithmetic — the two register builds can never hash apart. */
+  def hllFields(item: org.apache.spark.sql.Column, p: Int) = {
+    val h = hllHash(item)
+    val w = shiftright(h, p)
+    val bitlen = when(w === 0L, lit(0))
+      .otherwise(length(conv(w, 10, 2))).cast("int")
+    (pmod(h, lit(1L << p)), (lit(60 - p + 1) - bitlen).cast("int"))
+  }
+
+  /** Per-group distinct-cardinality estimates for `items` (columns
+    * `grp`, `item`; null items dropped — no identity, nothing to count):
+    * one independent 2^p-register HLL per group, emitted as
+    * (grp, n_zero, s_scaled, est) where n_zero is the empty-register
+    * count V, s_scaled the exact-integer harmonic denominator
+    * Σ_j 2^(R − r_j) (empty registers contribute 2^R), and est the raw
+    * HLL estimate alpha_m·m²/Z = alpha_m·m²·2^R / s_scaled.
+    *
+    * Plan shape: two KB-bounded shuffles — partial-MAX registers on
+    * (grp, bucket) (<= groups×m rows after map-side combine, never the
+    * item domain), then the groups-sized register fold. The small/large-
+    * range corrections are [[hllCorrected]], applied OUTSIDE the
+    * hash-matched columns: ln is libm-dependent and would break the
+    * bit-portable oracle contract this family maintains. */
+  def hllDistinctByGroup(items: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllDistinctByGroup: p=$p out of range 4..16 " +
+      "(m = 2^p registers per group — keep the register table KB-scale; the " +
+      "integer denominator is m·2^(61−p) = 2^61 at worst for any p)")
+    val m = 1 << p
+    val rMax = 60 - p + 1
+    val c = hllNumerator(p)
+    val (bucket, rho) = hllFields(col("item"), p)
+    items.select(col("grp"), col("item").cast("string"))
+      .filter(col("item").isNotNull)
+      .select(col("grp"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("nb"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rMax - r)")).as("sp"))
+      .select(col("grp"), (lit(m.toLong) - col("nb")).as("n_zero"),
+        (col("sp") + (lit(m.toLong) - col("nb")) * lit(1L << rMax))
+          .as("s_scaled"))
+      .withColumn("est", lit(c) / col("s_scaled"))
+  }
+
+  /** The estimate's numerator constant alpha_m·m²·2^(61−p), computed
+    * driver-side (alpha_m·m² pays one rounding, the 2-power scale is
+    * exact) — public so the oracle SQL interpolates the SAME double
+    * literal and both engines perform the identical single division. */
+  def hllNumerator(p: Int): Double = {
+    val m = 1 << p
+    (0.7213 / (1.0 + 1.079 / m)) * m * m * math.pow(2.0, 60 - p + 1)
+  }
+
+  /** Standard HLL range corrections over [[hllDistinctByGroup]] output,
+    * as a driver-visible column transform: linear counting
+    * m·ln(m/V) when est <= 2.5m and V > 0 (the raw estimator biases high
+    * at small cardinalities), raw estimate otherwise (the 60-bit hash
+    * space needs no large-range correction at any realistic corpus).
+    * Deliberately separate from the sketch query: ln's last-ulp behavior
+    * is libm-specific, so this column is accuracy-tested in ScalaTest
+    * rather than hash-matched across engines. */
+  def hllCorrected(p: Int)(est: org.apache.spark.sql.Column,
+      nZero: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = (1 << p).toDouble
+    when(est <= lit(2.5 * m) && nZero > 0L,
+      lit(m) * log(lit(m) / nZero.cast("double"))).otherwise(est)
+  }
+
   /** Probe `probes` (any columns + a string `item`) against a
     * [[bloomBuild]] bit table: appends `n_hits` (how many of the k bits
     * are set) and `maybe_member` (all k set — the Bloom verdict).

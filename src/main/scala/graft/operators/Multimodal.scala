@@ -52,7 +52,9 @@ object Multimodal {
     * JPEG = SOI + full JFIF APP0(16) + COM(2 + doc_id%7 filler) + SOF0
     * carrying (height, width); PNG = signature + IHDR(width, height);
     * WAV = RIFF/WAVE + LIST filler chunk + fmt chunk carrying
-    * (channels, sample rate, derived byte rate / block align); MP4 =
+    * (channels, sample rate, derived byte rate / block align) + a data
+    * chunk header sized to the payload, so the UTF-8 payload IS the PCM
+    * frame stream and [[audioPcmStats]] decodes real samples; MP4 =
     * full 24-byte ftyp + moov containing a 108-byte v0 mvhd carrying
     * (timescale, duration). Docs with no header are plain text. */
   private val headerHexExpr: String = {
@@ -81,7 +83,8 @@ object Multimodal {
       leHex(wavRateCase, 4),                             // sample rate
       leHex(s"($wavRateCase) * (1 + doc_id % 2) * 2", 4), // byte rate
       leHex("(1 + doc_id % 2) * 2", 2),                  // block align
-      "'1000'")                                          // 16-bit
+      "'1000'",                                          // 16-bit
+      "'64617461'", leHex("octet_length(text)", 4))      // data chunk = payload
     val mp4 = Seq(
       "'00000018667479706D703432000000006D70343269736F6D'", // ftyp, 24 B
       "'000000746D6F6F76'",                              // moov, 8 + 108
@@ -126,7 +129,8 @@ object Multimodal {
       "'666D742010000000'", "'0100'",
       le("1 + doc_id % 2", 2), le(rate, 4),
       le(s"($rate) * (1 + doc_id % 2) * 2", 4), le("(1 + doc_id % 2) * 2", 2),
-      "'1000'")
+      "'1000'",
+      "'64617461'", le("octet_length(encode(text))", 4))
     val mp4 = Seq(
       "'00000018667479706D703432000000006D70343269736F6D'",
       "'000000746D6F6F76'", "'0000006C6D766864'",
@@ -233,8 +237,8 @@ object Multimodal {
        |    if(hex(substring(bytes, st.off, 4)) = '666D7420',
        |      named_struct('off', st.off,
        |        'sr', ${rdLe("st.off + 12", 4)}, 'ch', ${rdLe("st.off + 10", 2)}),
-       |      named_struct('off', cast(st.off + 8 + ${rdLe("st.off + 4", 4)}
-       |          + (${rdLe("st.off + 4", 4)} % 2) as int),
+       |      named_struct('off', cast(least(st.off + 8 + ${rdLe("st.off + 4", 4)}
+       |          + (${rdLe("st.off + 4", 4)} % 2), 2147483000) as int),
        |        'sr', st.sr, 'ch', st.ch))),
        |  st -> named_struct('sr', st.sr, 'ch', st.ch))""".stripMargin.linesIterator.mkString(" ")
 
@@ -257,7 +261,8 @@ object Multimodal {
       s"""aggregate(sequence(1, 8), cast($start as int),
          |  (off, i) -> if(off + 8 > octet_length(bytes)
          |                 or hex(substring(bytes, off + 4, 4)) = '$typeHex', off,
-         |    cast(off + ${rdBe("off", 4)} as int)))""".stripMargin.linesIterator.mkString(" ")
+         |    cast(least(off + ${rdBe("off", 4)}, 2147483000) as int)))"""
+        .stripMargin.linesIterator.mkString(" ")
     media
       .withColumn("_jpeg", when(col("container") === "jpeg", expr(jpegWalk)))
       .withColumn("_png", when(col("container") === "png", expr(pngRead)))
@@ -279,6 +284,80 @@ object Multimodal {
       .withColumn("timescale", expr(s"${rdBe("_mvhd + 20", 4)}"))
       .withColumn("duration_ts", expr(s"${rdBe("_mvhd + 24", 4)}"))
       .drop("_jpeg", "_png", "_wav", "_moov", "_mvhd")
+  }
+
+  // ---- real PCM audio decode ----------------------------------------------
+  //
+  // 16-bit PCM WAV is the one modality that needs NO codec — a sample
+  // is two little-endian bytes — so here the decode tier graduates from
+  // stub to REAL: locate the fmt and data chunks by walking the RIFF
+  // structure, read the interleaved frames, and compute signal features
+  // from the actual sample values. All integer arithmetic (sum of
+  // squares stays in BIGINT: |s| <= 2^15, so even 2^31 samples cannot
+  // overflow 2^30·2^31 < 2^63), so the features hash-match an oracle.
+
+  /** Offset (1-based, at the chunk id) of RIFF chunk `idHex`, walking
+    * chunks (id 4, size 4 LE, data padded to even) from offset 13 —
+    * past RIFF size WAVE — bounded at 8 hops; null when absent. */
+  private def riffChunk(idHex: String): String =
+    s"""aggregate(sequence(1, 8),
+       |  named_struct('off', 13, 'fnd', cast(null as int)),
+       |  (st, i) -> if(st.fnd is not null or st.off + 8 > octet_length(bytes), st,
+       |    if(hex(substring(bytes, st.off, 4)) = '$idHex',
+       |      named_struct('off', st.off, 'fnd', cast(st.off as int)),
+       |      named_struct('off', cast(least(st.off + 8 + ${rdLe("st.off + 4", 4)}
+       |          + (${rdLe("st.off + 4", 4)} % 2), 2147483000) as int),
+       |        'fnd', st.fnd))),
+       |  st -> st.fnd)""".stripMargin.linesIterator.mkString(" ")
+
+  /** REAL audio decode over 16-bit PCM WAV rows: walks the RIFF chunks
+    * for `fmt ` (channels, bits — non-16-bit rows decode to null rather
+    * than garbage) and `data` (frame payload), reads channel 0 of every
+    * interleaved frame as a signed little-endian 16-bit sample, and
+    * emits the classic signal features — `n_frames`, `peak_abs`,
+    * `sum_sq` (exact integer energy) and `n_zero_cross` (strict
+    * sign flips, a pitch/noisiness proxy). Row-local byte arithmetic
+    * (one bounded chunk walk + one `transform` over the row's own frame
+    * list): no shuffle, no UDF, scan-speed over a media lake; rms/dBFS
+    * are one driver-side division away from (sum_sq, n_frames) and
+    * deliberately left out of the integer contract. */
+  def audioPcmStats(media: DataFrame): DataFrame = {
+    val fmtData = "(_fmt + 8)"
+    val dataOff = "(_dat + 8)"
+    // signed LE 16-bit sample of frame i, channel 0 (1-based offsets)
+    def sample(i: String) = {
+      val u = rdLe(s"$dataOff + ($i) * _block", 2)
+      s"(case when $u < 32768 then $u else $u - 65536 end)"
+    }
+    media
+      .withColumn("_fmt", expr(riffChunk("666D7420")))
+      .withColumn("_dat", expr(riffChunk("64617461")))
+      .withColumn("_block", expr(s"${rdLe(s"$fmtData + 12", 2)}").cast("int"))
+      // decode only what the fmt chunk actually declares: PCM, 16-bit
+      .filter(col("_fmt").isNotNull && col("_dat").isNotNull &&
+        expr(s"${rdLe(fmtData, 2)} = 1 and ${rdLe(s"$fmtData + 14", 2)} = 16"))
+      // frames present in the buffer: the data chunk's own size, bounded
+      // by the bytes actually there (a truncated blob must not walk off)
+      .withColumn("n_frames",
+        expr(s"least(${rdLe("_dat + 4", 4)}, " +
+          s"octet_length(bytes) - $dataOff + 1) div _block").cast("long"))
+      // sequence() DESCENDS when end < start, so empty ranges need an
+      // explicit guard (0 frames must decode to [], not [0, -1])
+      .withColumn("_pcm",
+        expr(s"""if(n_frames <= 0, array(),
+          |  transform(sequence(0, cast(n_frames as int) - 1), i -> ${sample("i")}))"""
+          .stripMargin.linesIterator.mkString(" ")))
+      .withColumn("peak_abs",
+        expr("array_max(transform(_pcm, v -> abs(v)))").cast("long"))
+      .withColumn("sum_sq",
+        expr("aggregate(_pcm, cast(0 as bigint), (acc, v) -> acc + v * v)"))
+      .withColumn("n_zero_cross",
+        expr("""if(n_frames <= 1, cast(0 as bigint),
+          |  aggregate(sequence(1, cast(n_frames as int) - 1), cast(0 as bigint),
+          |    (acc, i) -> acc + if((element_at(_pcm, i) < 0) <>
+          |                         (element_at(_pcm, i + 1) < 0), 1, 0)))"""
+          .stripMargin.linesIterator.mkString(" ")))
+      .drop("_fmt", "_dat", "_block", "_pcm")
   }
 
   /** Frame sampling: fan one media row out to `n` evenly-spaced frame

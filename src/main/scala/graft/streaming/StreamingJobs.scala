@@ -150,6 +150,32 @@ object StreamingJobs {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("w_start"), col("j"), col("bucket"), col("cnt"))
 
+  /** Streaming HyperLogLog registers per event-time window — the
+    * streaming twin of [[graft.operators.Freq.hllDistinctByGroup]]'s
+    * register build (the shared `Freq.hllFields` bucket/rho arithmetic
+    * means the two can never hash apart).
+    *
+    * State per open window is bounded by m = 2^p registers REGARDLESS
+    * of item cardinality — the property that makes per-window distinct
+    * counting tractable on an unbounded stream (a streaming
+    * `approx_count_distinct`-by-key would still key state by window
+    * only, but this register table is also MERGEABLE across windows:
+    * HLL merge is register-wise MAX, so a consumer folds any horizon of
+    * emitted (w_start, bucket, r) rows with max() and finishes with the
+    * same integer denominator + constant division the batch fold
+    * performs — asserted ≡ the batch registers in StreamingSpec). */
+  def hllRegistersStream(items: DataFrame, windowDur: String,
+      watermarkDelay: String, p: Int): DataFrame = {
+    val (bucket, rho) = graft.operators.Freq.hllFields(col("item").cast("string"), p)
+    items
+      .filter(col("item").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(window(col("ts"), windowDur), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+      .select(col("window.start").as("w_start"), col("bucket"), col("r"))
+  }
+
   /** Streaming incremental ingest dedup — the streaming twin of
     * `Dedup.probeBandIndex`: every arriving doc probes the STANDING
     * corpus's persisted band index in-flight and emits its collisions

@@ -614,6 +614,61 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("audio PCM decode: bit-exact samples, channel-0 stride, non-16-bit rejected") {
+    import spark.implicits._
+    def le(v: Int, n: Int): Seq[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    def wav(channels: Int, bits: Int, samples: Seq[Int]): Array[Byte] = {
+      val block = channels * bits / 8
+      val data = samples.flatMap(le(_, bits / 8))
+      ("RIFF".getBytes ++ le(36 + data.size, 4) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++ le(channels, 2) ++
+        le(8000, 4) ++ le(8000 * block, 4) ++ le(block, 2) ++ le(bits, 2) ++
+        "data".getBytes ++ le(data.size, 4) ++ data).toArray
+    }
+    val mono = wav(1, 16, Seq(1000, -1000, 0, -32768, 32767))
+    // stereo: channel 0 = (5, -5), channel 1 = (9999, 9999) interleaved
+    val stereo = wav(2, 16, Seq(5, 9999, -5, 9999))
+    val eightBit = wav(1, 8, Seq(1, 2, 3))
+    val media = Seq((1L, mono), (2L, stereo), (3L, eightBit))
+      .toDF("doc_id", "bytes")
+    val got = Multimodal.audioPcmStats(media).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_frames"),
+        r.getAs[Long]("peak_abs"), r.getAs[Long]("sum_sq"),
+        r.getAs[Long]("n_zero_cross")))).toMap
+    // mono: signs + - + - + (0 counts non-negative) = 4 strict flips
+    assert(got(1L) == ((5L, 32768L,
+      1000L * 1000 + 1000L * 1000 + 32768L * 32768 + 32767L * 32767, 4L)))
+    // stereo reads ONLY channel 0: 2 frames, never the 9999s
+    assert(got(2L) == ((2L, 5L, 50L, 1L)))
+    // 8-bit PCM is outside the decode contract — filtered, not garbled
+    assert(!got.contains(3L))
+  }
+
+  test("HLL: per-group estimates within the m=512 error envelope; registers stay KB-scale") {
+    import spark.implicits._
+    // group a: 10,000 distinct ids; group b: 200 distinct ids (the
+    // linear-counting regime); group c: 3 distinct ids. Deterministic
+    // given the md5 hash — not a flaky bound.
+    val rows = ((1 to 10000).map(i => ("a", s"u$i")) ++
+      (1 to 200).map(i => ("b", s"v$i")) ++ Seq(("c", "w1"), ("c", "w2"),
+        ("c", "w3"), ("c", "w1"))).toDF("grp", "item")
+    val res = Freq.hllDistinctByGroup(rows, p = 9)
+      .withColumn("n", Freq.hllCorrected(9)(col("est"), col("n_zero")))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("n")).toMap
+    // raw-HLL regime: stderr is 1.04/sqrt(512) ≈ 4.6%; allow 3 sigma
+    assert(math.abs(res("a") - 10000) / 10000.0 < 0.14, s"a: ${res("a")}")
+    // linear-counting regime (est <= 2.5m, zeros present): much tighter
+    assert(math.abs(res("b") - 200) / 200.0 < 0.10, s"b: ${res("b")}")
+    assert(math.abs(res("c") - 3) / 3.0 < 0.40, s"c: ${res("c")}")
+    // duplicate items must not move a register (c has 3 distinct, 4 rows)
+    // — and the whole plan carries only register-sized shuffles: the
+    // exchanges after map-side partial max are (grp, bucket)-keyed
+    val plan = physicalPlan(Freq.hllDistinctByGroup(rows, p = 9))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"), plan)
+  }
+
   test("grouped heavy hitters: per-group exact answers against brute force") {
     import spark.implicits._
     // group a: 100 items, "hot" at 60%; group b: 50 items, "beta" at

@@ -143,6 +143,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL registers: bounded per-window state, max-merge matches batch") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val p = 6 // 64 registers — small enough to exercise the bound
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "item")
+    val q = StreamingJobs.hllRegistersStream(df, "1 hour", "10 minutes", p)
+      .writeStream.format("memory").queryName("hll_out").outputMode("append").start()
+    try {
+      val w0 = (0 until 300).map(i => (ts(i.toLong), s"u${i % 200}"))
+      val w1 = (0 until 100).map(i => (ts(3600L + i), s"v$i"))
+      feed(q)(in.addData(w0 ++ w1))
+      feed(q)(in.addData((ts(9000), "later")))
+      val regs = spark.table("hll_out")
+      // bounded state: each closed window emitted at most m register rows
+      val perWindow = regs.groupBy(col("w_start")).count().collect().map(_.getLong(1))
+      assert(perWindow.nonEmpty && perWindow.forall(_ <= (1L << p)))
+      // HLL merge = register-wise max: registers folded across the two
+      // closed windows must equal the batch register build on the same
+      // rows (batch registers = the pre-fold groupBy of the grouped op)
+      val merged = regs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+      val (bucket, rho) = graft.operators.Freq.hllFields(col("item"), p)
+      val batch = (w0 ++ w1).map(_._2).toDF("item")
+        .select(bucket.as("bucket"), rho.as("rho"))
+        .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+      assert(merged.except(batch).isEmpty && batch.except(merged).isEmpty,
+        "streamed register maxes diverge from the batch registers")
+    } finally q.stop()
+  }
+
   test("streaming bloom novelty filter: stateless, members never emitted") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions._

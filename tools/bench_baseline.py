@@ -16,7 +16,8 @@ HEADLINE = ["q1_agg", "q_join_star", "q_component_activity", "q_dedup_minhash",
             "q_sim_kmeans", "q_freq_cms", "q_corpus_diff", "q_zorder",
             "q_pagerank", "q_bloom_probe", "q_sample_quota", "q_salted_join",
             "q_funnel", "q_event_transitions", "q_simjoin_prefix",
-            "q_agg_incremental"]
+            "q_agg_incremental",
+            "q_hll_users", "q_audio_pcm", "q_pagerank_events", "q_sim_ivfpq"]
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
