@@ -490,8 +490,7 @@ object QueriesLlm {
     * bit-exact. Rows shorter than one frame carry no signal and are
     * filtered on both sides. */
   val audioPcm: Q = (s, dir) =>
-    Multimodal.audioPcmStats(
-      Multimodal.withMetaFromDocs(docs(s, dir)).filter(col("container") === "wav"))
+    Multimodal.audioPcmStats(Multimodal.synthMedia(docs(s, dir)))
       .filter(col("n_frames") > 0)
       .select(col("doc_id"), col("n_frames"), col("peak_abs"),
         col("sum_sq"), col("n_zero_cross"))

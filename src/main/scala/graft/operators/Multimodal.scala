@@ -296,69 +296,38 @@ object Multimodal {
   // squares stays in BIGINT: |s| <= 2^15, so even 2^31 samples cannot
   // overflow 2^30·2^31 < 2^63), so the features hash-match an oracle.
 
-  /** Offset (1-based, at the chunk id) of RIFF chunk `idHex`, walking
-    * chunks (id 4, size 4 LE, data padded to even) from offset 13 —
-    * past RIFF size WAVE — bounded at 8 hops; null when absent. */
-  private def riffChunk(idHex: String): String =
-    s"""aggregate(sequence(1, 8),
-       |  named_struct('off', 13, 'fnd', cast(null as int)),
-       |  (st, i) -> if(st.fnd is not null or st.off + 8 > octet_length(bytes), st,
-       |    if(hex(substring(bytes, st.off, 4)) = '$idHex',
-       |      named_struct('off', st.off, 'fnd', cast(st.off as int)),
-       |      named_struct('off', cast(least(st.off + 8 + ${rdLe("st.off + 4", 4)}
-       |          + (${rdLe("st.off + 4", 4)} % 2), 2147483000) as int),
-       |        'fnd', st.fnd))),
-       |  st -> st.fnd)""".stripMargin.linesIterator.mkString(" ")
-
-  /** REAL audio decode over 16-bit PCM WAV rows: walks the RIFF chunks
-    * for `fmt ` (channels, bits — non-16-bit rows decode to null rather
-    * than garbage) and `data` (frame payload), reads channel 0 of every
-    * interleaved frame as a signed little-endian 16-bit sample, and
-    * emits the classic signal features — `n_frames`, `peak_abs`,
-    * `sum_sq` (exact integer energy) and `n_zero_cross` (strict
-    * sign flips, a pitch/noisiness proxy). Row-local byte arithmetic
-    * (one bounded chunk walk + one `transform` over the row's own frame
-    * list): no shuffle, no UDF, scan-speed over a media lake; rms/dBFS
-    * are one driver-side division away from (sum_sq, n_frames) and
-    * deliberately left out of the integer contract. */
-  def audioPcmStats(media: DataFrame): DataFrame = {
-    val fmtData = "(_fmt + 8)"
-    val dataOff = "(_dat + 8)"
-    // signed LE 16-bit sample of frame i, channel 0 (1-based offsets)
-    def sample(i: String) = {
-      val u = rdLe(s"$dataOff + ($i) * _block", 2)
-      s"(case when $u < 32768 then $u else $u - 65536 end)"
-    }
+  /** REAL audio decode over 16-bit PCM WAV rows: validates the RIFF/
+    * WAVE container, walks the chunk list to `fmt ` and `data`
+    * (non-PCM / non-16-bit rows decode to null rather than garbage),
+    * reads channel 0 of every interleaved frame as a signed
+    * little-endian 16-bit sample, and emits the classic signal
+    * features — `n_frames`, `peak_abs`, `sum_sq` (exact integer
+    * energy) and `n_zero_cross` (strict sign flips, a pitch/noisiness
+    * proxy). Rows that are not decodable 16-bit PCM WAVs are filtered
+    * (no separate container predicate needed — the decoder IS the
+    * sniff); 0-frame WAVs decode to all-zero stats.
+    *
+    * The whole decode — validate, walk, fold — is ONE codegen'd
+    * Catalyst expression (`graft_wav_pcm`, plans/PcmStatsExpr.scala):
+    * row-local, no shuffle, no UDF, scan-speed over a media lake. An
+    * earlier SQL formulation (higher-order `aggregate` chunk walk +
+    * per-sample hex/conv lambda arithmetic) measured ~30× slower at
+    * sf0.1 — and worse, filter pushdown substituted the derived
+    * n_frames/offset columns into predicates, re-running the walk once
+    * per referencing predicate; the fused expression makes each
+    * (re-)evaluation a primitive byte loop, so plan-shape inlining
+    * stops mattering. rms/dBFS are one driver-side division away from
+    * (sum_sq, n_frames) and deliberately left out of the integer
+    * contract. */
+  def audioPcmStats(media: DataFrame): DataFrame =
     media
-      .withColumn("_fmt", expr(riffChunk("666D7420")))
-      .withColumn("_dat", expr(riffChunk("64617461")))
-      .withColumn("_block", expr(s"${rdLe(s"$fmtData + 12", 2)}").cast("int"))
-      // decode only what the fmt chunk actually declares: PCM, 16-bit
-      .filter(col("_fmt").isNotNull && col("_dat").isNotNull &&
-        expr(s"${rdLe(fmtData, 2)} = 1 and ${rdLe(s"$fmtData + 14", 2)} = 16"))
-      // frames present in the buffer: the data chunk's own size, bounded
-      // by the bytes actually there (a truncated blob must not walk off)
-      .withColumn("n_frames",
-        expr(s"least(${rdLe("_dat + 4", 4)}, " +
-          s"octet_length(bytes) - $dataOff + 1) div _block").cast("long"))
-      // sequence() DESCENDS when end < start, so empty ranges need an
-      // explicit guard (0 frames must decode to [], not [0, -1])
-      .withColumn("_pcm",
-        expr(s"""if(n_frames <= 0, array(),
-          |  transform(sequence(0, cast(n_frames as int) - 1), i -> ${sample("i")}))"""
-          .stripMargin.linesIterator.mkString(" ")))
-      .withColumn("peak_abs",
-        expr("array_max(transform(_pcm, v -> abs(v)))").cast("long"))
-      .withColumn("sum_sq",
-        expr("aggregate(_pcm, cast(0 as bigint), (acc, v) -> acc + v * v)"))
-      .withColumn("n_zero_cross",
-        expr("""if(n_frames <= 1, cast(0 as bigint),
-          |  aggregate(sequence(1, cast(n_frames as int) - 1), cast(0 as bigint),
-          |    (acc, i) -> acc + if((element_at(_pcm, i) < 0) <>
-          |                         (element_at(_pcm, i + 1) < 0), 1, 0)))"""
-          .stripMargin.linesIterator.mkString(" ")))
-      .drop("_fmt", "_dat", "_block", "_pcm")
-  }
+      .withColumn("_st", call_function("graft_wav_pcm", col("bytes")))
+      .filter(col("_st").isNotNull)
+      .withColumn("n_frames", element_at(col("_st"), 1))
+      .withColumn("peak_abs", element_at(col("_st"), 2))
+      .withColumn("sum_sq", element_at(col("_st"), 3))
+      .withColumn("n_zero_cross", element_at(col("_st"), 4))
+      .drop("_st")
 
   /** Frame sampling: fan one media row out to `n` evenly-spaced frame
     * rows (frame_idx, pts_sec, frame_bytes). The fan-out shape — explode
