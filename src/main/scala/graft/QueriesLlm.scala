@@ -506,7 +506,30 @@ object QueriesLlm {
       .select(col("doc_id"), col("n_frames"), col("peak_abs"),
         col("sum_sq"), col("n_zero_cross"))
 
+  /** Overlapping 64-word chunks with 16-word overlap — the
+    * retrieval/training chunking pass over the corpus. */
+  val chunkDocs: Q = (s, dir) =>
+    TextAnalysis.chunkDocs(docs(s, dir), window = 64, overlap = 16)
+
+  /** 8 BPE merges trained on the corpus vocabulary — the tokenizer-
+    * training pass (operators.Tokenize); the merge table IS the model. */
+  val bpeMerges: Q = (s, dir) =>
+    operators.Tokenize.bpeMerges(docs(s, dir), nMerges = 8)
+
+  /** Tokenize the corpus with the 8 merges trained on it: per-doc BPE
+    * token counts. The trained model (8 rows) loads driver-side like a
+    * serving job reads the persisted merge table. */
+  val bpeTokenize: Q = (s, dir) => {
+    val model = operators.Tokenize.bpeMerges(docs(s, dir), nMerges = 8)
+      .orderBy(col("merge_idx"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    operators.Tokenize.bpeTokenCounts(docs(s, dir), model)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bpe_merges"          -> bpeMerges,
+    "q_bpe_tokenize"        -> bpeTokenize,
+    "q_chunk_docs"          -> chunkDocs,
     "q_audio_pcm"           -> audioPcm,
     "q_dedup_exact"         -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -565,6 +588,47 @@ object QueriesLlm {
 
   private def sqlList(xs: Seq[String]): String =
     xs.map("'" + _ + "'").mkString("[", ",", "]")
+
+  /** chr(1) — the reserved symbol delimiter of the BPE oracle's string
+    * representation (Tokenize.Delim on the Spark side). */
+  private val bpeD = "chr(1)"
+
+  /** The unrolled 8-iteration BPE TRAINING chain (w0/vc/v0, then per
+    * round: l/p/b/v CTEs) — shared by the merge-table oracle and the
+    * tokenize oracle so the two can never train apart. Ends at the last
+    * CTE (no trailing comma). */
+  private val bpeTrainCtes: String = {
+    def iter(k: Int): String =
+      s"""l$k AS (
+         |  SELECT wc, string_split(substr(s, 2, length(s) - 2),
+         |                          $bpeD || $bpeD) AS syms
+         |  FROM v$k
+         |), p$k AS (
+         |  SELECT syms[i] AS a, syms[i+1] AS b, SUM(wc) AS n
+         |  FROM l$k, LATERAL unnest(generate_series(1, len(syms) - 1)) t(i)
+         |  WHERE len(syms) >= 2 GROUP BY 1, 2
+         |), b$k AS (
+         |  SELECT a, b, CAST(n AS BIGINT) AS n FROM p$k
+         |  ORDER BY n DESC, a ASC, b ASC LIMIT 1
+         |), v${k + 1} AS (
+         |  SELECT wc, replace(s, $bpeD || a || $bpeD || $bpeD || b || $bpeD,
+         |                     $bpeD || a || b || $bpeD) AS s
+         |  FROM v$k, b$k
+         |)""".stripMargin
+    s"""WITH w0 AS (
+       |  SELECT u.w AS word
+       |  FROM (SELECT string_split(text, ' ') AS a FROM documents) dd,
+       |       LATERAL unnest(a) u(w)
+       |  WHERE length(u.w) > 0 AND strpos(u.w, $bpeD) = 0
+       |), vc AS (
+       |  SELECT word, COUNT(*) AS wc FROM w0 GROUP BY 1
+       |), v0 AS (
+       |  SELECT wc, array_to_string(list_transform(
+       |    generate_series(1, length(word)), i -> $bpeD || word[i] || $bpeD), '') AS s
+       |  FROM vc
+       |),
+       |${(0 until 8).map(iter).mkString(",\n")}""".stripMargin
+  }
 
   /** Naive inverted-index oracle for the exact τ-Jaccard join — the
     * clearest spec of the survivor set; shared verbatim by the
@@ -1470,6 +1534,69 @@ FROM c GROUP BY 1, 2"""),
         |  CAST(SUM((df * 1000000) // nd) // COUNT(*) AS BIGINT) AS mean_df_ppm
         |FROM w JOIN dfs USING (w) CROSS JOIN n
         |GROUP BY 1""".stripMargin,
+
+    // unrolled BPE twin: symbol streams as chr(1)-wrapped strings so
+    // the merge application is a plain left-to-right non-overlapping
+    // replace (verified = the Spark fold's semantics); identical
+    // (count desc, a, b) winner order per round; an exhausted vocab
+    // empties the cross join on both sides identically
+    "q_bpe_merges" ->
+      (bpeTrainCtes + "\n" +
+        (0 until 8).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS merge_idx, a, b, n FROM b$k")
+          .mkString("\nUNION ALL ")),
+
+    // training chain + encode chain: every distinct word folds through
+    // the 8 trained replaces (a LEFT JOIN guards an exhausted round —
+    // the word passes through unchanged, as in the Spark fold), then
+    // the corpus occurrences join the per-word token counts
+    "q_bpe_tokenize" ->
+      (bpeTrainCtes + "," +
+        s""" a0 AS (
+         |  SELECT word, array_to_string(list_transform(
+         |    generate_series(1, length(word)),
+         |    i -> $bpeD || word[i] || $bpeD), '') AS s
+         |  FROM (SELECT DISTINCT word FROM w0)
+         |),
+         |${(0 until 8).map(k =>
+            s"""a${k + 1} AS (
+               |  SELECT word, CASE WHEN b$k.a IS NULL THEN s ELSE
+               |    replace(s, $bpeD || b$k.a || $bpeD || $bpeD || b$k.b || $bpeD,
+               |            $bpeD || b$k.a || b$k.b || $bpeD) END AS s
+               |  FROM a$k LEFT JOIN b$k ON true
+               |)""".stripMargin).mkString(",\n")},
+         |wt AS (
+         |  SELECT word, len(string_split(substr(s, 2, length(s) - 2),
+         |                                $bpeD || $bpeD)) AS wt
+         |  FROM a8
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(wt) AS BIGINT) AS n_tokens
+         |FROM (
+         |  SELECT dd0.doc_id, u.w AS word
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents) dd0,
+         |       LATERAL unnest(a) u(w)
+         |  WHERE length(u.w) > 0 AND strpos(u.w, $bpeD) = 0
+         |) dw JOIN wt USING (word)
+         |GROUP BY 1
+         |""".stripMargin),
+
+    // same integer chunk-count arithmetic ((n - o + s - 1) // s, min 1),
+    // 1-based inclusive list_slice == Spark's (start, length) slice
+    "q_chunk_docs" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |       CAST(i * 48 AS BIGINT) AS start_word,
+        |       CAST(least(64, n - i * 48) AS BIGINT) AS n_words,
+        |       array_to_string(list_slice(w, i * 48 + 1, i * 48 + 64), ' ')
+        |         AS chunk_text
+        |FROM w, LATERAL unnest(generate_series(0,
+        |       greatest((n - 16 + 48 - 1) // 48, 1) - 1)) t(i)
+        |""".stripMargin,
 
     // independent ground-truth decode: the WAV payload IS the UTF-8
     // text by construction, so the oracle parses channel-0 16-bit LE

@@ -136,19 +136,42 @@ object Ann {
 
   /** Nearest-centroid assignment: every corpus vector gets the cell of
     * its max-quantized-cosine centroid (ties break toward the lower cell
-    * id, so the argmax is total and engine-portable). The codebook
-    * broadcasts; the corpus only streams — one scan, and the row_number
-    * window partitions by corpus_id over exactly |codebook| candidate
-    * rows, never more. */
+    * id, so the argmax is total and engine-portable).
+    *
+    * ZERO corpus exchange: the codebook collapses to ONE broadcast
+    * array row (cell-ascending), and the argmax is a row-local fold
+    * over it — each candidate scored by the codegen'd graft_cosine
+    * eval, replaced only on a STRICTLY greater score, so cell-ascending
+    * iteration keeps the lowest cell on ties. The earlier formulation
+    * ranked a corpus×k fan-out through a corpus_id window — a shuffle
+    * of k copies of every vector per training iteration; the fold
+    * assigns at scan speed, which is what lets [[kmeansCodebook]]'s
+    * per-iteration network cost be the KB-sized centroid aggregate
+    * alone. A vector whose every cosine is NULL (zero-norm) keeps the
+    * first (lowest) cell with a NULL cscore — the exact tie/null order
+    * the window produced, property-pinned by the unchanged oracles. */
   def assignCells(cents: DataFrame, corpus: DataFrame): DataFrame = {
-    val scored = corpus.join(broadcast(
-        cents.select(col("cell"), col("ce").as("_cent"))))
-      .select(col("corpus_id"), col("ce"), col("cell"),
-        cosQ(col("ce"), col("_cent")).as("cscore"))
-    val w = Window.partitionBy(col("corpus_id"))
-      .orderBy(col("cscore").desc, col("cell").asc)
-    scored.withColumn("_crnk", row_number().over(w))
-      .filter(col("_crnk") === 1).drop("_crnk")
+    val packed = cents.agg(
+      sort_array(collect_list(struct(col("cell").cast("int").as("cell"),
+        col("ce")))).as("_cents"))
+    corpus.join(broadcast(packed))
+      .withColumn("_best",
+        aggregate(col("_cents"),
+          struct(lit(null).cast("long").as("cscore"), lit(null).cast("int").as("cell")),
+          (acc, x) => {
+            val s = cosQ(col("ce"), x.getField("ce"))
+            val take = struct(s.as("cscore"), x.getField("cell").cast("int").as("cell"))
+            // take the first candidate unconditionally, then replace only
+            // on a defined, strictly greater score — null scores can
+            // never displace, and a leading null is displaced by any
+            // defined score (the window's NULLS LAST order)
+            when(acc.getField("cell").isNull, take)
+              .when(s.isNotNull &&
+                (acc.getField("cscore").isNull || s > acc.getField("cscore")), take)
+              .otherwise(acc)
+          }))
+      .select(col("corpus_id"), col("ce"),
+        col("_best.cell").as("cell"), col("_best.cscore").as("cscore"))
   }
 
   /** Distributed spherical k-means — the TRAINED coarse quantizer the

@@ -144,6 +144,39 @@ object TextAnalysis {
         expr("sum_ppm div n_tokens").as("mean_df_ppm"))
   }
 
+  /** Overlapping word-window chunking — the retrieval/training prep
+    * step that turns documents into model-sized pieces: chunk i covers
+    * words [i·stride, i·stride + window) with stride = window − overlap,
+    * so consecutive chunks share `overlap` words and every word is
+    * covered. Emits (doc_id, chunk_idx, start_word, n_words,
+    * chunk_text); a doc shorter than one window yields exactly one
+    * chunk. Chunk count is exact integer arithmetic
+    * (max(⌈(n − overlap)/stride⌉, 1) via (x + stride − 1) div stride),
+    * so the decomposition is engine-portable.
+    *
+    * Scale shape: pure row-local fan-out (one `transform` + posexplode
+    * of the row's own window list) — no shuffle, no UDF; the output
+    * streams at scan speed into downstream embed/index stages. Chunk
+    * ids are (doc_id, chunk_idx) — deterministic, so re-chunking an
+    * updated corpus is idempotent per document. */
+  def chunkDocs(docs: DataFrame, window: Int, overlap: Int): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"chunkDocs: window=$window overlap=$overlap (need 0 <= overlap < window)")
+    val stride = window - overlap
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+      .select(col("doc_id"), col("w"), col("n"),
+        posexplode(expr(
+          s"transform(sequence(0, greatest((n - $overlap + $stride - 1) div $stride, 1) - 1), i -> i * $stride)"))
+          .as(Seq("chunk_idx", "start_word")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_word").cast("long").as("start_word"),
+        least(lit(window), col("n") - col("start_word")).cast("long").as("n_words"),
+        array_join(slice(col("w"), col("start_word") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
+
   /** Normalized-content fingerprint (lower + squashed whitespace → md5)
     * plus cluster stats via a window over the fingerprint — one shuffle
     * keyed on the 16-byte digest. */

@@ -614,6 +614,47 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("BPE merges: hand-checked merge order, frequency weighting, early exhaustion") {
+    import spark.implicits._
+    import graft.operators.Tokenize
+    // vocab: aaab ×3, ab ×2. Round 0: (a,a) = 2·3 = 6 beats (a,b) = 5.
+    // Round 1: aaab = [aa,a,b] → (a,b) = 3+2 = 5 beats (aa,a) = 3.
+    // Round 2: [aa,ab] → (aa,ab) = 3. Round 3: nothing left — the
+    // fourth merge must be ABSENT, not padded.
+    val corpus = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val merges = Tokenize.bpeMerges(corpus, nMerges = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(merges.toSeq == Seq(
+      (0L, "a", "a", 6L), (1L, "a", "b", 5L), (2L, "aa", "ab", 3L)))
+  }
+
+  test("chunkDocs: full coverage, exact overlap, one chunk for short docs, no shuffle") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docsIn = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words, window 4
+      (2L, "a b"),                                    // shorter than one window
+      (3L, "x")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocs(docsIn, window = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // stride 2: starts 0,2,4,6 -> ceil((10-2)/2)=4 chunks; every word
+    // covered, consecutive chunks share exactly `overlap` words
+    assert(d1.map(_._3).toSeq == Seq(0L, 2L, 4L, 6L))
+    assert(d1.last._5 == "w7 w8 w9 w10")
+    for (pair <- d1.map(_._5.split(" ").toSeq).sliding(2); Seq(a, b) = pair.toSeq)
+      assert(a.takeRight(2) == b.take(2), s"overlap broken: $a | $b")
+    assert(d1.flatMap(c => c._3 until (c._3 + c._4)).toSet == (0L until 10L).toSet)
+    // short docs yield exactly one whole-doc chunk
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 2L, "a b")))
+    assert(chunks.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 0L, 1L, "x")))
+    // row-local fan-out: no exchange anywhere in the plan
+    val plan = physicalPlan(TextAnalysis.chunkDocs(docs, 64, 16))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("audio PCM decode: bit-exact samples, channel-0 stride, non-16-bit rejected") {
     import spark.implicits._
     def le(v: Int, n: Int): Seq[Byte] =

@@ -17,7 +17,8 @@ HEADLINE = ["q1_agg", "q_join_star", "q_component_activity", "q_dedup_minhash",
             "q_pagerank", "q_bloom_probe", "q_sample_quota", "q_salted_join",
             "q_funnel", "q_event_transitions", "q_simjoin_prefix",
             "q_agg_incremental",
-            "q_hll_users", "q_audio_pcm", "q_pagerank_events", "q_sim_ivfpq"]
+            "q_hll_users", "q_audio_pcm", "q_pagerank_events", "q_sim_ivfpq",
+            "q_chunk_docs", "q_bpe_merges", "q_bpe_tokenize"]
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
