@@ -8,6 +8,39 @@ import graft.sources._
 class SourcesSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("GitRepo walker: loose + packed + delta objects match the git binary exactly") {
+    import scala.sys.process._
+    // ground truth from git itself, over THIS repository — exercises
+    // loose objects, the pack, and delta chains in one walk
+    val gitOk = scala.util.Try(Process(Seq("git", "--version")).!!).isSuccess
+    assume(gitOk, "git binary not available")
+    val fmt = "%H|%T|%P|%an|%ae|%at|%cn|%ce|%ct"
+    val expected = Process(Seq("git", "-C", "/root/repo", "log", "--all",
+      s"--format=$fmt")).!!.trim.linesIterator.map { l =>
+      val f = l.split("\\|", -1); f(0) -> f
+    }.toMap
+    val got = GitRepo.walk("/root/repo/.git")
+    assert(got.map(_.sha).toSet == expected.keySet,
+      s"commit sets differ: walked ${got.length}, git ${expected.size}")
+    got.foreach { c =>
+      val f = expected(c.sha)
+      assert(c.tree == f(1), s"tree ${c.sha}")
+      assert(c.parents.mkString(" ") == f(2), s"parents ${c.sha}")
+      assert(c.author_name == f(3) && c.author_email == f(4) &&
+        c.author_ts == f(5).toLong, s"author ${c.sha}")
+      assert(c.committer_name == f(6) && c.committer_email == f(7) &&
+        c.committer_ts == f(8).toLong, s"committer ${c.sha}")
+    }
+    // subjects come through the message body intact
+    val head = Process(Seq("git", "-C", "/root/repo", "log", "-1", "--format=%H %s")).!!.trim
+    val (hsha, hsubj) = head.splitAt(40)
+    assert(got.find(_.sha == hsha).exists(_.message.linesIterator.next() == hsubj.trim))
+    // and the source lands in Spark as a queryable DataFrame
+    val df = GitRepo.commits(spark, "/root/repo/.git")
+    assert(df.count() == expected.size)
+    assert(df.columns.contains("author_ts") && df.columns.contains("parents"))
+  }
+
   test("typed catalog: Dataset[Commit]/[Email]/[PullRequest] accessors decode") {
     val t = Tables(spark, sfDir)
     val c = t.commitsTyped.head()
