@@ -596,33 +596,40 @@ object QueriesLlm {
   /** The unrolled 8-iteration BPE TRAINING chain (w0/vc/v0, then per
     * round: l/p/b/v CTEs) — shared by the merge-table oracle and the
     * tokenize oracle so the two can never train apart. Ends at the last
-    * CTE (no trailing comma). */
+    * CTE (no trailing comma).
+    *
+    * Every CTE is MATERIALIZED — the q_pagerank lesson repeated:
+    * DuckDB inlines plain CTEs per reference, and the chained v/l
+    * references re-derive the corpus-wide word explode once per
+    * iteration — measured at sf10 the naive form ran 21 minutes,
+    * spilled the host's remaining ~70 GB of disk and DIED; the
+    * materialized form answers in ~4 s. */
   private val bpeTrainCtes: String = {
     def iter(k: Int): String =
-      s"""l$k AS (
+      s"""l$k AS MATERIALIZED (
          |  SELECT wc, string_split(substr(s, 2, length(s) - 2),
          |                          $bpeD || $bpeD) AS syms
          |  FROM v$k
-         |), p$k AS (
+         |), p$k AS MATERIALIZED (
          |  SELECT syms[i] AS a, syms[i+1] AS b, SUM(wc) AS n
          |  FROM l$k, LATERAL unnest(generate_series(1, len(syms) - 1)) t(i)
          |  WHERE len(syms) >= 2 GROUP BY 1, 2
-         |), b$k AS (
+         |), b$k AS MATERIALIZED (
          |  SELECT a, b, CAST(n AS BIGINT) AS n FROM p$k
          |  ORDER BY n DESC, a ASC, b ASC LIMIT 1
-         |), v${k + 1} AS (
+         |), v${k + 1} AS MATERIALIZED (
          |  SELECT wc, replace(s, $bpeD || a || $bpeD || $bpeD || b || $bpeD,
          |                     $bpeD || a || b || $bpeD) AS s
          |  FROM v$k, b$k
          |)""".stripMargin
-    s"""WITH w0 AS (
+    s"""WITH w0 AS MATERIALIZED (
        |  SELECT u.w AS word
        |  FROM (SELECT string_split(text, ' ') AS a FROM documents) dd,
        |       LATERAL unnest(a) u(w)
        |  WHERE length(u.w) > 0 AND strpos(u.w, $bpeD) = 0
-       |), vc AS (
+       |), vc AS MATERIALIZED (
        |  SELECT word, COUNT(*) AS wc FROM w0 GROUP BY 1
-       |), v0 AS (
+       |), v0 AS MATERIALIZED (
        |  SELECT wc, array_to_string(list_transform(
        |    generate_series(1, length(word)), i -> $bpeD || word[i] || $bpeD), '') AS s
        |  FROM vc
@@ -1552,20 +1559,20 @@ FROM c GROUP BY 1, 2"""),
     // the corpus occurrences join the per-word token counts
     "q_bpe_tokenize" ->
       (bpeTrainCtes + "," +
-        s""" a0 AS (
+        s""" a0 AS MATERIALIZED (
          |  SELECT word, array_to_string(list_transform(
          |    generate_series(1, length(word)),
          |    i -> $bpeD || word[i] || $bpeD), '') AS s
          |  FROM (SELECT DISTINCT word FROM w0)
          |),
          |${(0 until 8).map(k =>
-            s"""a${k + 1} AS (
+            s"""a${k + 1} AS MATERIALIZED (
                |  SELECT word, CASE WHEN b$k.a IS NULL THEN s ELSE
                |    replace(s, $bpeD || b$k.a || $bpeD || $bpeD || b$k.b || $bpeD,
                |            $bpeD || b$k.a || b$k.b || $bpeD) END AS s
                |  FROM a$k LEFT JOIN b$k ON true
                |)""".stripMargin).mkString(",\n")},
-         |wt AS (
+         |wt AS MATERIALIZED (
          |  SELECT word, len(string_split(substr(s, 2, length(s) - 2),
          |                                $bpeD || $bpeD)) AS wt
          |  FROM a8

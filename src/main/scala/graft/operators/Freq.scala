@@ -279,10 +279,15 @@ object Freq {
   // division, no float accumulation order to drift across engines.
 
   /** 60-bit item hash: first 15 md5 hex nibbles of the salted item —
-    * the same arithmetic family as [[cmsBuckets]]/[[bloomBits]], salted
-    * "hl|" to decorrelate from both. */
+    * the same VALUE family as [[cmsBuckets]]/[[bloomBits]], salted
+    * "hl|" to decorrelate from both, computed by the string-free
+    * codegen expression (plans/Md5Bits60Expr.scala: digest top-60-bits
+    * == the hex-nibble parse bit-for-bit, so the DuckDB twin's
+    * hex arithmetic still matches; measured 3× on the 60M-row
+    * register build where the hex/substring/conv round-trips were the
+    * whole profile). */
   private def hllHash(item: org.apache.spark.sql.Column) =
-    conv(substring(md5(concat(lit("hl|"), item)), 1, 15), 16, 10).cast("long")
+    call_function("graft_md5_60", lit("hl|"), item)
 
   /** (bucket, rho) of `item` under 2^p registers: bucket = low p bits,
     * rho = 1 + leading-zero count of the remaining w = (60 − p)-bit word

@@ -81,6 +81,10 @@ object GraftFunctions {
     fn("graft_pq_adc", "ADC distance: packed PQ code against a [sub*16+cell] lookup table", 2) {
       case Seq(code, lut) => PqAdcDistance(code, lut)
     },
+    fn("graft_md5_60",
+      "top 60 bits of md5(prefix || item) as BIGINT — the sketch-family hash, string-free", 2) {
+      case Seq(p, x) => Md5Bits60(p, x)
+    },
     fn("graft_wav_pcm",
       "[n_frames, peak_abs, sum_sq, n_zero_cross] of a 16-bit PCM WAV blob; NULL if not one", 1) {
       case Seq(b) => WavPcmStats(b)
