@@ -443,11 +443,20 @@ class PlanSpec extends AnyFunSuite {
           SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
         assert(!gen.startsWith("Found 0 WholeStageCodegen"), s"$name left codegen:\n${gen.take(300)}")
       }
-      // the cosine expression's doGenCode must actually land in generated
-      // code (a janino failure would silently fall back to interpreted)
+      // each custom expression's doGenCode must actually land in
+      // generated code (a janino failure would silently fall back to
+      // interpreted eval)
       val topk = QueriesLlm.simTopk(spark, sfDir)
       val gen = debug.codegenString(topk.queryExecution.executedPlan)
       assert(gen.contains(".getFloat("), "CosineSimilarity codegen missing from generated source")
+      val pcm = debug.codegenString(
+        QueriesLlm.audioPcm(spark, sfDir).queryExecution.executedPlan)
+      assert(pcm.contains("WavPcmStats.decode"),
+        "graft_wav_pcm codegen missing from generated source")
+      val hll = debug.codegenString(
+        QueriesEvents.hllUsers(spark, sfDir).queryExecution.executedPlan)
+      assert(hll.contains("Md5Bits60.top60"),
+        "graft_md5_60 codegen missing from generated source")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
