@@ -256,36 +256,69 @@ object QueriesCore {
   /** One-scan corpus profiling with MERGEABLE SKETCHES — the data-
     * profiling pass a 100 TB ingest runs before anything else. Exact
     * per-key distincts/percentiles shuffle every distinct value; the
-    * sketch formulation (HyperLogLog++ at 2% rsd, KLL-style quantiles at
-    * 1/10000 rank accuracy) partial-aggregates to KB-sized state per
-    * partition and merges — one shuffle of sketches, not values. Sketch
-    * outputs are not bit-portable across engines, so this row is
-    * intentionally NOT in oracleSql (the driver records a rows-only
-    * check); the accuracy contract is asserted against the EXACT
-    * aggregates in PlanSpec instead.
+    * sketch formulation partial-aggregates to bounded state per
+    * partition and merges — one corpus scan, two bounded exchanges,
+    * never a shuffle of distinct values.
     *
-    * The three quantiles come back from ONE sketch (the array overload —
-    * a scalar call per quantile would build three sketches) and are
-    * unpacked to scalar DOUBLE columns at the output edge: flat scalar
-    * rows are what downstream profiling consumers (and the harness's
-    * rows-only comparator) sort and diff on. */
-  val qProfileSketch: Q = (s, dir) =>
+    * r10: the engine-internal sketches (approx_count_distinct /
+    * percentile_approx) are replaced by this library's OWN deterministic
+    * sketch family, which is bit-portable — so the row that was the last
+    * `no_oracle` entry now carries a FULL hash oracle:
+    *   - distinct users = the [[operators.Freq.hllDistinctByGroup]]
+    *     arithmetic (same 'hl|' salt, p=9, exact-integer harmonic
+    *     denominator, one shared-constant IEEE division) — the
+    *     q_hll_users estimator, folded into this query's aggregation;
+    *   - quantiles = exact type-1 order statistics over a DETERMINISTIC
+    *     md5-coin sample (keep iff the 60-bit 'pf|'-salted event hash
+    *     < 2^58, rate 2^-2 here; at 100 TB the shift comes from catalog
+    *     stats so the per-group sample stays ~1e5 rows — the searchRanked
+    *     parameter convention, and the classic sample-quantile rank bound
+    *     O(sqrt(q(1-q)/(p·n))) is the accuracy contract, asserted in
+    *     PlanSpec against the exact ranks).
+    * Plan shape: level 1 groups on (event_type, hll bucket) — count /
+    * min / max / sampled-value list / register max all partial-aggregate
+    * map-side, keys bounded by groups×(m+1) — and level 2 folds the
+    * register table into the estimate and the sample into three scalar
+    * DOUBLE quantile columns. Both levels' state is sketch-sized. */
+  val qProfileSketch: Q = (s, dir) => {
+    val p = 9; val m = 1 << p; val rMax = 60 - p + 1
+    val cNum = operators.Freq.hllNumerator(p)
+    val (bucket, rho) = operators.Freq.hllFields(col("user_id").cast("string"), p)
+    val coin = call_function("graft_md5_60", lit("pf|"),
+      col("event_id").cast("string")) < lit(1L << 58)
+    val v6 = floor(col("value") * 1000000).cast("long")
+    def pick(qNum: Int, qDen: Int) =
+      when(size(col("sva")) > 0,
+        element_at(col("sva"),
+          expr(s"(size(sva) * $qNum + ${qDen - 1}) div $qDen").cast("int"))
+          / lit(1000000.0))
     Tables(s, dir).events
+      .select(col("event_type"), col("value"),
+        bucket.as("bucket"), rho.as("rho"),
+        when(coin && col("value").isNotNull, v6).as("sv6"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        collect_list(col("sv6")).as("sv"),
+        max(col("rho")).as("r"))
       .groupBy(col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
-        // accuracy 2000 = 1/2000 rank error — an order tighter than the
-        // asserted 1% contract at a fraction of the sketch cost
-        percentile_approx(col("value"),
-          array(lit(0.5), lit(0.95), lit(0.99)), lit(2000)).as("value_pcts"),
-        min(col("value")).as("value_min"),
-        max(col("value")).as("value_max"))
-      .select(col("event_type"), col("n_events"), col("n_users_approx"),
-        element_at(col("value_pcts"), 1).as("p50"),
-        element_at(col("value_pcts"), 2).as("p95"),
-        element_at(col("value_pcts"), 3).as("p99"),
+      .agg(sum(col("cnt")).as("n_events"),
+        min(col("vmin")).as("value_min"), max(col("vmax")).as("value_max"),
+        sort_array(flatten(collect_list(col("sv")))).as("sva"),
+        count(col("r")).as("nb"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rMax - r)")).as("sp"))
+      .select(col("event_type"), col("n_events"),
+        (lit(cNum) /
+          (col("sp") + (lit(m.toLong) - col("nb")) * lit(1L << rMax)))
+          .as("n_users_approx"),
+        // empty-register count: exact integer sketch state, carried so
+        // consumers (and the accuracy test) can apply the standard
+        // linear-counting correction m·ln(m/V) — ln is libm-dependent,
+        // so the correction itself stays OUTSIDE the hash-matched columns
+        (lit(m.toLong) - col("nb")).as("hll_n_zero"),
+        pick(1, 2).as("p50"), pick(19, 20).as("p95"), pick(99, 100).as("p99"),
         col("value_min"), col("value_max"))
+  }
 
   /** The EXACT half of the profiling pass, split out so it carries a
     * full hash oracle: count / min / max (and the non-null support
@@ -548,6 +581,56 @@ object QueriesCore {
         |       MIN(value) AS value_min, MAX(value) AS value_max,
         |       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_u6
         |FROM events GROUP BY 1""".stripMargin,
+
+    // the sketch half carries a FULL hash oracle since r10: the HLL twin
+    // is the q_hll_users arithmetic (same salt/bucket/rho/denominator,
+    // same interpolated numerator), the quantiles are exact type-1 order
+    // statistics over the same 'pf|'-salted md5-coin sample (< 2^58 =
+    // rate 1/4), and every emitted double is one IEEE division from
+    // exact integers; LEFT joins mirror the Spark side's null output on
+    // groups with no users / no sampled values
+    "q_profile_sketch" ->
+      s"""WITH base AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |         MIN(value) AS value_min, MAX(value) AS value_max
+         |  FROM events GROUP BY 1
+         |), f AS (
+         |  SELECT event_type, h60 % 512 AS bucket,
+         |         52 - (CASE WHEN (h60 >> 9) = 0 THEN 0
+         |               ELSE length(bin(h60 >> 9)) END) AS rho
+         |  FROM (
+         |    SELECT event_type, (${operators.Freq.hexToHSql}) AS h60 FROM (
+         |      SELECT event_type, md5('hl|' || CAST(user_id AS VARCHAR)) AS hx
+         |      FROM events WHERE user_id IS NOT NULL))
+         |), regs AS (
+         |  SELECT event_type, bucket, MAX(rho) AS r FROM f GROUP BY 1, 2
+         |), hll AS (
+         |  SELECT event_type,
+         |         ${operators.Freq.hllNumerator(9)} /
+         |           CAST(SUM(CAST(1 AS BIGINT) << (52 - r))
+         |                + (512 - COUNT(*)) * (CAST(1 AS BIGINT) << 52) AS BIGINT)
+         |           AS n_users_approx,
+         |         CAST(512 - COUNT(*) AS BIGINT) AS hll_n_zero
+         |  FROM regs GROUP BY 1
+         |), samp AS (
+         |  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v6
+         |  FROM (
+         |    SELECT event_type, value,
+         |           md5('pf|' || CAST(event_id AS VARCHAR)) AS hx
+         |    FROM events WHERE value IS NOT NULL)
+         |  WHERE (${operators.Freq.hexToHSql}) < ${1L << 58}
+         |), qv AS (
+         |  SELECT event_type,
+         |    CASE WHEN len(sv) > 0 THEN sv[(len(sv) + 1) // 2] / 1000000.0 END AS p50,
+         |    CASE WHEN len(sv) > 0 THEN sv[(len(sv) * 19 + 19) // 20] / 1000000.0 END AS p95,
+         |    CASE WHEN len(sv) > 0 THEN sv[(len(sv) * 99 + 99) // 100] / 1000000.0 END AS p99
+         |  FROM (SELECT event_type, list_sort(list(v6)) AS sv FROM samp GROUP BY 1)
+         |)
+         |SELECT b.event_type, b.n_events, hll.n_users_approx, hll.hll_n_zero,
+         |       qv.p50, qv.p95, qv.p99, b.value_min, b.value_max
+         |FROM base b
+         |LEFT JOIN hll USING (event_type)
+         |LEFT JOIN qv USING (event_type)""".stripMargin,
     // incremental refresh must be INVISIBLE in the result: the oracle is
     // the full recompute over base ∪ delta = all orders
     "q_agg_incremental" ->

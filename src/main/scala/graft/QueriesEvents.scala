@@ -80,10 +80,9 @@ object QueriesEvents {
     "q_event_transitions" -> transitions)
 
   /** DuckDB twin of the 60-bit md5-nibble hash (column `hx` holds the
-    * md5 hex) — the same arithmetic as QueriesLlm's shingle hashes. */
-  private val hexToH: String = (1 to 15)
-    .map(i => s"CAST(strpos('0123456789abcdef', substr(hx, $i, 1))-1 AS BIGINT)*${1L << (4 * (15 - i))}")
-    .mkString(" + ")
+    * md5 hex) — the SAME shared fragment QueriesLlm's sketch oracles
+    * interpolate (hoisted to Freq.hexToHSql so the twins cannot drift). */
+  private val hexToH: String = graft.operators.Freq.hexToHSql
 
   val oracle: Map[String, String] = Map(
     // register-exact HLL twin: identical salt, bucket/rho split (bin()

@@ -526,9 +526,33 @@ object QueriesLlm {
     operators.Tokenize.bpeTokenCounts(docs(s, dir), model)
   }
 
+  /** SERVING-shape tokenize (r10): the trained merge table is WRITTEN
+    * once to a persisted store and the tokenize pass READS the model
+    * instead of re-training inline — the `buildIndex`/`searchIndex`
+    * pattern applied to the tokenizer, matching deployment (a tokenize
+    * job never retrains) and keeping training priced exactly once in
+    * the headline (by q_bpe_merges). Parquet round-trips the model's
+    * strings and BIGINTs exactly, so the per-doc counts are
+    * bit-identical to the inline formulation — the same unrolled-chain
+    * oracle adjudicates both. */
+  val bpeTokenizeServed: Q = (s, dir) => {
+    // per-application path: concurrent harness runs must not race on a
+    // shared model dir (the simIvfProbe2 convention)
+    val store = "/tmp/graft_bpe_model/" + s.sparkContext.applicationId + "/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(store, "_SUCCESS").isFile)
+      operators.Tokenize.bpeMerges(docs(s, dir), nMerges = 8)
+        .write.mode("overwrite").parquet(store)
+    val model = s.read.parquet(store)
+      .orderBy(col("merge_idx"))
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    operators.Tokenize.bpeTokenCounts(docs(s, dir), model)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bpe_merges"          -> bpeMerges,
     "q_bpe_tokenize"        -> bpeTokenize,
+    "q_bpe_tokenize_served" -> bpeTokenizeServed,
     "q_chunk_docs"          -> chunkDocs,
     "q_audio_pcm"           -> audioPcm,
     "q_dedup_exact"         -> dedupExact,
@@ -637,6 +661,44 @@ object QueriesLlm {
        |${(0 until 8).map(iter).mkString(",\n")}""".stripMargin
   }
 
+  /** Training chain + encode chain: every distinct word folds through
+    * the 8 trained replaces (a LEFT JOIN guards an exhausted round —
+    * the word passes through unchanged, as in the Spark fold), then the
+    * corpus occurrences join the per-word token counts. Shared by
+    * q_bpe_tokenize (inline training) and q_bpe_tokenize_served
+    * (persisted model) — parquet round-trips the model bit-exactly, so
+    * the two queries are the same function of the corpus. */
+  private lazy val bpeTokenizeOracle: String =
+    bpeTrainCtes + "," +
+      s""" a0 AS MATERIALIZED (
+       |  SELECT word, array_to_string(list_transform(
+       |    generate_series(1, length(word)),
+       |    i -> $bpeD || word[i] || $bpeD), '') AS s
+       |  FROM (SELECT DISTINCT word FROM w0)
+       |),
+       |${(0 until 8).map(k =>
+          s"""a${k + 1} AS MATERIALIZED (
+             |  SELECT word, CASE WHEN b$k.a IS NULL THEN s ELSE
+             |    replace(s, $bpeD || b$k.a || $bpeD || $bpeD || b$k.b || $bpeD,
+             |            $bpeD || b$k.a || b$k.b || $bpeD) END AS s
+             |  FROM a$k LEFT JOIN b$k ON true
+             |)""".stripMargin).mkString(",\n")},
+       |wt AS MATERIALIZED (
+       |  SELECT word, len(string_split(substr(s, 2, length(s) - 2),
+       |                                $bpeD || $bpeD)) AS wt
+       |  FROM a8
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(wt) AS BIGINT) AS n_tokens
+       |FROM (
+       |  SELECT dd0.doc_id, u.w AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents) dd0,
+       |       LATERAL unnest(a) u(w)
+       |  WHERE length(u.w) > 0 AND strpos(u.w, $bpeD) = 0
+       |) dw JOIN wt USING (word)
+       |GROUP BY 1
+       |""".stripMargin
+
   /** Naive inverted-index oracle for the exact τ-Jaccard join — the
     * clearest spec of the survivor set; shared verbatim by the
     * production-geometry and forced-block-decomposition queries. */
@@ -657,10 +719,10 @@ JOIN sizes nb ON doc_b = nb.doc_id
 WHERE n_common * 1000000 >= 800000 * (na.nsh + nb.nsh - n_common)"""
 
   /** DuckDB twin of Similarity.shingleHash: first 15 md5 hex nibbles →
-    * 60-bit BIGINT (column `hx` holds the md5 hex). */
-  private val hexToH: String = (1 to 15)
-    .map(i => s"CAST(strpos('0123456789abcdef', substr(hx, $i, 1))-1 AS BIGINT)*${1L << (4 * (15 - i))}")
-    .mkString(" + ")
+    * 60-bit BIGINT (column `hx` holds the md5 hex) — the ONE shared
+    * fragment, hoisted to Freq.hexToHSql so QueriesEvents' oracle twins
+    * cannot drift from these. */
+  private val hexToH: String = graft.operators.Freq.hexToHSql
 
   /** The permutation-constant table (p, C_p, A_p) — the SAME driver-side
     * Scala values Similarity.permuted inlines into the Spark plan. */
@@ -1557,36 +1619,10 @@ FROM c GROUP BY 1, 2"""),
     // the 8 trained replaces (a LEFT JOIN guards an exhausted round —
     // the word passes through unchanged, as in the Spark fold), then
     // the corpus occurrences join the per-word token counts
-    "q_bpe_tokenize" ->
-      (bpeTrainCtes + "," +
-        s""" a0 AS MATERIALIZED (
-         |  SELECT word, array_to_string(list_transform(
-         |    generate_series(1, length(word)),
-         |    i -> $bpeD || word[i] || $bpeD), '') AS s
-         |  FROM (SELECT DISTINCT word FROM w0)
-         |),
-         |${(0 until 8).map(k =>
-            s"""a${k + 1} AS MATERIALIZED (
-               |  SELECT word, CASE WHEN b$k.a IS NULL THEN s ELSE
-               |    replace(s, $bpeD || b$k.a || $bpeD || $bpeD || b$k.b || $bpeD,
-               |            $bpeD || b$k.a || b$k.b || $bpeD) END AS s
-               |  FROM a$k LEFT JOIN b$k ON true
-               |)""".stripMargin).mkString(",\n")},
-         |wt AS MATERIALIZED (
-         |  SELECT word, len(string_split(substr(s, 2, length(s) - 2),
-         |                                $bpeD || $bpeD)) AS wt
-         |  FROM a8
-         |)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-         |       CAST(SUM(wt) AS BIGINT) AS n_tokens
-         |FROM (
-         |  SELECT dd0.doc_id, u.w AS word
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents) dd0,
-         |       LATERAL unnest(a) u(w)
-         |  WHERE length(u.w) > 0 AND strpos(u.w, $bpeD) = 0
-         |) dw JOIN wt USING (word)
-         |GROUP BY 1
-         |""".stripMargin),
+    "q_bpe_tokenize" -> bpeTokenizeOracle,
+    // the served variant reads the SAME model back from parquet, which
+    // round-trips bit-exactly — one oracle adjudicates both formulations
+    "q_bpe_tokenize_served" -> bpeTokenizeOracle,
 
     // same integer chunk-count arithmetic ((n - o + s - 1) // s, min 1),
     // 1-based inclusive list_slice == Spark's (start, length) slice

@@ -30,9 +30,12 @@ object SparkEntry {
       // round-8b tier: event analytics, exact sim join, incremental agg
       "q_funnel", "q_event_transitions", "q_simjoin_prefix", "q_agg_incremental",
       // round-9 tier: HLL sketch, real PCM decode, user-scale pagerank,
-      // composed IVF-PQ serving, chunking, BPE tokenizer training
+      // composed IVF-PQ serving, chunking, BPE tokenizer training.
+      // r10: tokenize serves from the PERSISTED model (q_bpe_tokenize
+      // stays registered + oracle-checked; the headline prices training
+      // once, in q_bpe_merges, like deployment does)
       "q_hll_users", "q_audio_pcm", "q_pagerank_events", "q_sim_ivfpq",
-      "q_chunk_docs", "q_bpe_merges", "q_bpe_tokenize")
+      "q_chunk_docs", "q_bpe_merges", "q_bpe_tokenize_served")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs

@@ -351,6 +351,15 @@ object Freq {
     (0.7213 / (1.0 + 1.079 / m)) * m * m * math.pow(2.0, 60 - p + 1)
   }
 
+  /** DuckDB-SQL twin of the shared 60-bit hash contract (`graft_md5_60` /
+    * Similarity.shingleHash): first 15 md5 hex nibbles of a column named
+    * `hx` → non-negative BIGINT. Hoisted here so the sketch oracles in
+    * QueriesLlm and QueriesEvents interpolate ONE fragment and can never
+    * drift apart from each other (or from this comment's contract). */
+  val hexToHSql: String = (1 to 15)
+    .map(i => s"CAST(strpos('0123456789abcdef', substr(hx, $i, 1))-1 AS BIGINT)*${1L << (4 * (15 - i))}")
+    .mkString(" + ")
+
   /** Standard HLL range corrections over [[hllDistinctByGroup]] output,
     * as a driver-visible column transform: linear counting
     * m·ln(m/V) when est <= 2.5m and V > 0 (the raw estimator biases high

@@ -74,10 +74,20 @@ object Tokenize {
     *
     * Scale shape: tokenization is computed once per DISTINCT word (the
     * vocab — one corpus-sized distinct), each word folded through the
-    * merge chain row-locally; the corpus then pays one broadcast join
-    * of (word → token count) and one doc-keyed count — tokenizing
-    * 100 TB costs vocab-scale CPU plus two corpus-sized aggregations,
-    * never a per-occurrence fold. */
+    * merge chain row-locally; the corpus then pays one join of
+    * (word → token count) keyed on `word` and one doc-keyed count —
+    * tokenizing 100 TB costs vocab-scale CPU plus two corpus-sized
+    * aggregations, never a per-occurrence fold.
+    *
+    * The vocab join is deliberately UN-hinted: a clean web corpus's
+    * vocabulary broadcasts (AQE picks that at runtime from the REAL
+    * post-fold size), but a raw crawl's distinct-"word" set — typos,
+    * URLs, code tokens — is 10⁸–10⁹ rows, far past any broadcast bound,
+    * and a forced hint there is a guaranteed driver/executor OOM at
+    * exactly the scale this operator exists for. The shuffle-join
+    * fallback keys both sides on `word`, so the worst case is one extra
+    * vocab-sized exchange, never a memory cliff (PlanSpec proves the
+    * plan survives autoBroadcastJoinThreshold=-1). */
   def bpeTokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -86,7 +96,7 @@ object Tokenize {
       .select(col("word"), size(
         merges.foldLeft(charSyms)((c, m) =>
           applyMerge(c, lit(m._1), lit(m._2)))).as("wt"))
-    toks.join(broadcast(wordTokens), "word")
+    toks.join(wordTokens, "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("wt")).as("n_tokens"))
   }

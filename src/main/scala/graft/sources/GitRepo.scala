@@ -47,23 +47,27 @@ object GitRepo {
     walk(gitDir).toDF()
   }
 
-  /** Walk every ref and collect reachable commits (BFS over parents). */
+  /** Walk every ref and collect reachable commits (BFS over parents).
+    * Annotated tags re-enqueue their TARGET sha, so a commit is only
+    * ever parsed and keyed under its own sha (a tag-sha key would both
+    * mislabel the row and duplicate any branch-reachable commit), and
+    * nested tags (tag → tag → commit) resolve one hop per dequeue. */
   def walk(gitDir: String): Seq[GitCommit] = {
     val store = new ObjectStore(gitDir)
     val seen = mutable.LinkedHashMap.empty[String, GitCommit]
+    val visited = mutable.HashSet.empty[String]
     val queue = mutable.Queue.empty[String]
     refs(gitDir).foreach(queue.enqueue)
     while (queue.nonEmpty) {
       val sha = queue.dequeue()
-      if (!seen.contains(sha)) {
-        store.read(sha).foreach { case (tpe, bytes) =>
-          val resolved =
-            if (tpe == "tag") tagTarget(bytes).flatMap(store.read) else Some((tpe, bytes))
-          resolved.collect { case ("commit", body) =>
+      if (visited.add(sha)) {
+        store.read(sha).foreach {
+          case ("tag", body) => tagTarget(body).foreach(queue.enqueue)
+          case ("commit", body) =>
             val c = parseCommit(sha, body)
             seen.put(sha, c)
             c.parents.foreach(queue.enqueue)
-          }
+          case _ => () // a tag of a tree/blob reaches no commits
         }
       }
     }
@@ -150,8 +154,14 @@ object GitRepo {
     }
   }
 
-  /** One .pack/.idx pair (idx v2 only — what modern git writes). */
+  /** One .pack/.idx pair (idx v2 only — what modern git writes).
+    * Whole-file reads and Int offsets bound this reader at 2 GiB per
+    * pack — metadata scale, like the walk itself; the require turns a
+    * silent offset truncation into a loud error. */
   private final class Pack(idxFile: File, packFile: File) {
+    require(packFile.length < Int.MaxValue && idxFile.length < Int.MaxValue,
+      s"${packFile.getName}: packs >= 2 GiB exceed this reader's in-memory " +
+        "Int-offset design — repack (git repack -a -d --max-pack-size) first")
     private val idx = Files.readAllBytes(idxFile.toPath)
     private val pack = Files.readAllBytes(packFile.toPath)
     require(be32(idx, 0) == 0xff744f63 && be32(idx, 4) == 2,

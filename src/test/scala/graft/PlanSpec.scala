@@ -154,8 +154,11 @@ class PlanSpec extends AnyFunSuite {
       // materializes (one KB-scale distinct, outside this plan) and
       // broadcasts into the k probe joins (asserted in LlmOpsSpec)
       "q_bloom_probe" -> 0,
-      // sketches partial-aggregate map-side; one shuffle of sketch state
-      "q_profile_sketch" -> 1,
+      // sketches partial-aggregate map-side: the (type, hll-bucket)
+      // level-1 shuffle + the per-type register/sample fold — both carry
+      // sketch-sized state, never distinct values (r10: own deterministic
+      // sketches, fully hash-adjudicated)
+      "q_profile_sketch" -> 2,
       // grid-bounded shuffles only: the (key, bucket)/(key, ts) collapse
       // + the per-key ordered window — raw rows shuffle exactly once
       "q_gapfill" -> 2, "q_scd2" -> 2,
@@ -282,12 +285,16 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).length <= 2, plan)
   }
 
-  test("sketch profile: one shuffle of sketch state, accuracy vs exact aggregates") {
+  test("sketch profile: bounded sketch shuffles, accuracy vs exact aggregates") {
     import org.apache.spark.sql.functions._
     val df = QueriesCore.qProfileSketch(spark, sfDir)
     val plan = physicalPlan(df)
-    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
-      s"profile must be one partial-aggregated shuffle:\n$plan")
+    // one corpus scan; level-1 (type, bucket) + level-2 type fold — two
+    // hash exchanges of sketch-sized state, never of distinct values
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2,
+      s"profile must be the two-level sketch fold:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"profile must read the corpus ONCE:\n$plan")
     val exactU = graft.sources.Tables(spark, sfDir).events
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"))
@@ -299,28 +306,34 @@ class PlanSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getDouble(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     for (r <- df.collect()) {
-      val (key, approxU) = (r.getString(0), r.getLong(2))
-      // HLL++ at rsd 2%: 3-sigma bound
-      assert(math.abs(approxU - exactU(key)) <=
-        math.max(1L, (exactU(key) * 0.06).toLong),
-        s"$key: HLL $approxU vs exact ${exactU(key)}")
-      // the quantile contract is RANK error, not value error (a tail
-      // quantile's neighboring order statistics can be far apart in
-      // value): the returned value's rank window must sit within 1% of
-      // the target rank
+      val key = r.getString(0)
+      // the emitted estimate is the RAW hash-portable one; apply the
+      // standard linear-counting correction driver-side (as a consumer
+      // would — hll_n_zero is carried for exactly this) before checking
+      val rawU = r.getDouble(2)
+      val m = 512.0
+      val v = r.getLong(3).toDouble
+      val estU = if (rawU <= 2.5 * m && v > 0) m * math.log(m / v) else rawU
+      val exact = exactU(key).toDouble
+      // m=512 → rsd ≈ 1.04/sqrt(512) ≈ 4.6%; allow 3 sigma ≈ 14%
+      assert(math.abs(estU - exact) <= math.max(3.0, exact * 0.14),
+        s"$key: HLL corrected $estU (raw $rawU, V $v) vs exact $exact")
+      // quantile contract: RANK error of the sample order statistic —
+      // Bernoulli rate 1/4, so sigma_rank = sqrt(q(1-q)·n/0.25); 4 sigma
       val sorted = byKey(key)
       val n = sorted.length
       // p50/p95/p99 are scalar DOUBLE columns (flat profiling output)
-      val approxP = Seq(r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val approxP = Seq(r.getDouble(4), r.getDouble(5), r.getDouble(6))
       for ((a, q) <- approxP.zip(Seq(0.5, 0.95, 0.99))) {
         val cntLt = sorted.count(_ < a)
         val cntLe = sorted.count(_ <= a)
-        val tol = math.max(2.0, n * 0.01)
+        val tol = math.max(3.0, 4.0 * math.sqrt(q * (1 - q) * n / 0.25))
         assert(cntLe >= q * n - tol && cntLt <= q * n + tol,
-          s"$key q=$q: value $a has rank window [$cntLt, $cntLe] of $n")
+          s"$key q=$q: value $a has rank window [$cntLt, $cntLe] of $n, tol $tol")
       }
       assert(approxP(0) <= approxP(1) && approxP(1) <= approxP(2))
-      assert(approxP(0) >= r.getDouble(6) && approxP(2) <= r.getDouble(7))
+      // quantiles are scale-6-quantized (floor), so allow one tick below min
+      assert(approxP(0) >= r.getDouble(7) - 1e-6 && approxP(2) <= r.getDouble(8))
     }
   }
 
@@ -466,5 +479,54 @@ class PlanSpec extends AnyFunSuite {
     // exactly the final aliases⋈company join; the max-run lookup must not
     // be a second join
     assert(joins <= 2, s"unexpected extra join(s):\n$plan")
+  }
+
+  test("deliberate single-partition windows have provably bounded input") {
+    // WindowExec's "No Partition Defined" warning appears in the bench
+    // log; every intentional site must be structurally bounded — a
+    // GlobalLimit (post-limit rank window: <= k rows) or the 256-ary
+    // `_sub` sub-bucket aggregate (offsets table: <= 256 rows per group
+    // axis) BELOW the window — so a future regression to a corpus-sized
+    // global window fails here instead of hiding behind "that warning is
+    // expected". Covers all three source sites: Ann.kmeansCodebook's
+    // seed ranking, and the two Sampling offset windows.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
+    for (name <- Seq("q_sim_kmeans", "q_shuffle_order", "q_sample_systematic")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      val globalWins = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(globalWins.nonEmpty,
+        s"$name: expected a deliberate global window (did the shape change? update this test)")
+      globalWins.foreach { w =>
+        val bounded = w.child.collectFirst {
+          case g: GlobalLimit => g
+          case a: Aggregate
+            if a.groupingExpressions.exists(_.references.exists(_.name == "_sub")) => a
+        }
+        assert(bounded.isDefined,
+          s"$name: single-partition window over UNBOUNDED input:\n$w")
+      }
+    }
+  }
+
+  test("bpe tokenize vocab join survives a broadcast-threshold-0 session") {
+    // the vocab side of the (word -> token count) join must not DEPEND
+    // on broadcastability: at raw-crawl scale the distinct-word set is
+    // 1e8-1e9 rows, and a forced broadcast hint there is a driver OOM.
+    // With auto-broadcast disabled the join must plan as a shuffle join
+    // keyed on `word` — and still produce the oracle-checked counts.
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Tokenize.bpeTokenCounts(
+        graft.sources.Tables(spark, sfDir).documents
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text")),
+        Seq(("a", "b"), ("c", "d")))
+      val plan = physicalPlan(df)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"vocab join must not require broadcast:\n$plan")
+      assert(plan.contains("Join"), s"expected a join on word:\n$plan")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 }

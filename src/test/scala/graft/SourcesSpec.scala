@@ -8,18 +8,29 @@ import graft.sources._
 class SourcesSpec extends AnyFunSuite {
   import TestSpark._
 
+  /** Locate the enclosing working tree's .git by walking up from the
+    * test's working directory — the test must hold in any checkout
+    * location, not just the original author's. */
+  private def findGitRoot(): Option[java.io.File] =
+    Iterator.iterate(new java.io.File(".").getCanonicalFile)(_.getParentFile)
+      .takeWhile(_ != null).take(16)
+      .find(d => new java.io.File(d, ".git").isDirectory)
+
   test("GitRepo walker: loose + packed + delta objects match the git binary exactly") {
     import scala.sys.process._
     // ground truth from git itself, over THIS repository — exercises
     // loose objects, the pack, and delta chains in one walk
     val gitOk = scala.util.Try(Process(Seq("git", "--version")).!!).isSuccess
     assume(gitOk, "git binary not available")
+    val repoRoot = findGitRoot()
+    assume(repoRoot.isDefined, "no enclosing git working tree")
+    val repo = repoRoot.get.getPath
     val fmt = "%H|%T|%P|%an|%ae|%at|%cn|%ce|%ct"
-    val expected = Process(Seq("git", "-C", "/root/repo", "log", "--all",
+    val expected = Process(Seq("git", "-C", repo, "log", "--all",
       s"--format=$fmt")).!!.trim.linesIterator.map { l =>
       val f = l.split("\\|", -1); f(0) -> f
     }.toMap
-    val got = GitRepo.walk("/root/repo/.git")
+    val got = GitRepo.walk(s"$repo/.git")
     assert(got.map(_.sha).toSet == expected.keySet,
       s"commit sets differ: walked ${got.length}, git ${expected.size}")
     got.foreach { c =>
@@ -32,13 +43,58 @@ class SourcesSpec extends AnyFunSuite {
         c.committer_ts == f(8).toLong, s"committer ${c.sha}")
     }
     // subjects come through the message body intact
-    val head = Process(Seq("git", "-C", "/root/repo", "log", "-1", "--format=%H %s")).!!.trim
+    val head = Process(Seq("git", "-C", repo, "log", "-1", "--format=%H %s")).!!.trim
     val (hsha, hsubj) = head.splitAt(40)
     assert(got.find(_.sha == hsha).exists(_.message.linesIterator.next() == hsubj.trim))
     // and the source lands in Spark as a queryable DataFrame
-    val df = GitRepo.commits(spark, "/root/repo/.git")
+    val df = GitRepo.commits(spark, s"$repo/.git")
     assert(df.count() == expected.size)
     assert(df.columns.contains("author_ts") && df.columns.contains("parents"))
+  }
+
+  test("GitRepo walker: annotated + nested tags resolve to the TARGET commit sha, once") {
+    import scala.sys.process._
+    val gitOk = scala.util.Try(Process(Seq("git", "--version")).!!).isSuccess
+    assume(gitOk, "git binary not available")
+    // scratch repo: two commits on main; an annotated tag on HEAD (also
+    // branch-reachable — the double-emission trap), a tag-of-a-tag on
+    // the same target, and an annotated tag on an ORPHAN commit that is
+    // reachable only through the tag chain
+    val dir = java.nio.file.Files.createTempDirectory("graft_git_tags").toFile
+    def git(args: String*): String =
+      Process(Seq("git", "-C", dir.getPath) ++ args,
+        None,
+        "GIT_AUTHOR_NAME" -> "a", "GIT_AUTHOR_EMAIL" -> "a@x",
+        "GIT_COMMITTER_NAME" -> "c", "GIT_COMMITTER_EMAIL" -> "c@x",
+        "GIT_AUTHOR_DATE" -> "1700000000 +0000",
+        "GIT_COMMITTER_DATE" -> "1700000000 +0000").!!.trim
+    try {
+      git("init", "-q", "-b", "main")
+      java.nio.file.Files.write(new java.io.File(dir, "f").toPath, "1".getBytes)
+      git("add", "f"); git("commit", "-q", "-m", "one")
+      java.nio.file.Files.write(new java.io.File(dir, "f").toPath, "2".getBytes)
+      git("add", "f"); git("commit", "-q", "-m", "two")
+      git("tag", "-a", "v1", "-m", "annotated")            // tag → HEAD commit
+      git("tag", "-a", "v1-nest", "-m", "nested", "v1")    // tag → tag → commit
+      git("checkout", "-q", "--orphan", "side")
+      java.nio.file.Files.write(new java.io.File(dir, "g").toPath, "3".getBytes)
+      git("add", "g"); git("commit", "-q", "-m", "orphan")
+      git("tag", "-a", "vside", "-m", "side-tag")
+      git("checkout", "-q", "main")
+      git("branch", "-q", "-D", "side")                    // orphan now tag-only-reachable
+      val expected = git("log", "--all", "--format=%H").linesIterator.toSet
+      val got = GitRepo.walk(s"${dir.getPath}/.git")
+      // every emitted sha is a real commit sha, each exactly once, and
+      // the tag-only-reachable orphan is found
+      assert(got.map(_.sha).toSet == expected, "walked set != git log --all")
+      assert(got.map(_.sha).distinct.length == got.length, "duplicate emission")
+      assert(got.count(_.message.startsWith("orphan")) == 1)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
   }
 
   test("typed catalog: Dataset[Commit]/[Email]/[PullRequest] accessors decode") {
