@@ -20,8 +20,14 @@ import graft.sources.{Commit, JsonIO, MboxIO, Sinks}
   *    import/FlinkMailingListToKafka.java (mbox poll → typed JSON to
   *    Kafka): mbox archives → declared-schema JSON lines.
   *  - [[commitsImport]] ≙ import/FlinkCommitsToKafka.java's output
-  *    contract over this environment's commit stand-in (Synth.commits;
-  *    the real GitHub/JGit sources need network access).
+  *    contract over this environment's commit stand-in (Synth.commits);
+  *    [[commitsImportFromApi]] runs the same contract over the GitHub
+  *    REST-replay source — the reference's PRIMARY commit ingestion
+  *    path (README.md:45-56), network-free via recorded API pages.
+  *  - [[pullsImport]] / [[pullsImportStream]] ≙
+  *    import/FlinkPullRequestsToKafka.java:19 (GithubPullRequestSource
+  *    → typed JSON to Kafka): replayed API pulls pages →
+  *    declared-schema JSON lines, batch and polling-stream forms.
   *
   * Programs compose the library's operators and sources — they add no
   * query logic of their own, exactly like the reference's mains. */
@@ -95,6 +101,39 @@ object Programs {
     JsonIO.write(
       graft.sources.Synth.commits(graft.sources.Tables(spark, sfDir).events)
         .as(Encoders.product[Commit]), out)
+
+  /** FlinkCommitsToKafka over the GitHub REST-replay source
+    * (import/FlinkCommitsToKafka.java composed with
+    * GithubCommitSource.java): recorded API commit pages → typed JSON
+    * lines. The entities are schema-identical to [[commitsImport]]'s, so
+    * everything downstream ([[commitProgram]], the analytics tier) runs
+    * unchanged over either ingestion path. */
+  def commitsImportFromApi(spark: SparkSession, apiDir: String, out: String): Unit =
+    JsonIO.write(
+      spark.read.format("github").option("entity", "commits").load(apiDir)
+        .as(Encoders.product[Commit]), out)
+
+  /** FlinkPullRequestsToKafka.java:19's twin: replayed API pull pages →
+    * declared-schema JSON lines ([[JsonIO.readPulls]]' exact schema). */
+  def pullsImport(spark: SparkSession, apiDir: String, out: String): Unit =
+    JsonIO.write(
+      spark.read.format("github").option("entity", "pulls").load(apiDir)
+        .as(Encoders.product[graft.sources.PullRequest]), out)
+
+  /** Streaming FlinkPullRequestsToKafka — the reference source POLLS the
+    * API for pulls created after its checkpointed cursor
+    * (GithubPullRequestSource.java:56-105); this twin polls the replay
+    * archive through the V2 micro-batch stream, emitting each
+    * newly-landed page's pulls exactly once. */
+  def pullsImportStream(spark: SparkSession, apiDir: String, out: String,
+      checkpoint: String): StreamingQuery =
+    spark.readStream.format("github").option("entity", "pulls").load(apiDir)
+      .writeStream
+      .format("json")
+      .option("path", out)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
 
   import graft.operators.TextAnalysis
 

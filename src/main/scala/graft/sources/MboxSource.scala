@@ -179,28 +179,14 @@ final class MboxMicroBatchStream(path: String, required: StructType)
     val lo = start.asInstanceOf[MboxOffset]
     val hi = end.asInstanceOf[MboxOffset].watermark
     val files = MboxSource.listFiles(path, conf.value)
-    val belowFiles = files.filter(_ <= lo.watermark)
-    val below = belowFiles.size
     // seenBelow < 0 = legacy offset without the count: can't validate.
-    // below < seenBelow = archives deleted: harmless for ingestion (but
-    // see the digest note below for the delete+backfill corner).
-    if (lo.seenBelow >= 0 && below > lo.seenBelow) throw new IllegalStateException(
-      s"mbox stream $path: ${below - lo.seenBelow} new file(s) sort at or below the " +
-        s"committed watermark '${lo.watermark}' — a backfilled or non-monotonically " +
-        "named archive would be skipped silently. Ingest backfills with a batch read " +
-        "or restart from a fresh checkpoint.")
-    // A count-only guard has a blind spot: a delete and a backfill in the
-    // same interval cancel (below == seenBelow) and the backfill skips
-    // silently. The order-insensitive xor digest of the at-or-below name
-    // set catches exactly that cancellation. Residual (documented) blind
-    // spot: MORE deletes than backfills in one interval is byte-for-byte
-    // indistinguishable from pure deletes with O(1) offset state.
-    if (lo.digest.exists(d => below == lo.seenBelow && MboxOffset.setDigest(belowFiles) != d))
-      throw new IllegalStateException(
-        s"mbox stream $path: the file set at or below the committed watermark " +
-          s"'${lo.watermark}' changed membership at equal count — a backfilled " +
-          "archive replaced a deleted one and would be skipped silently. Ingest " +
-          "backfills with a batch read or restart from a fresh checkpoint.")
+    // below < seenBelow = archives deleted: harmless for ingestion. A
+    // count-only guard has a blind spot — a delete and a backfill in the
+    // same interval cancel — which the order-insensitive membership
+    // digest catches; MORE deletes than backfills in one interval stays
+    // byte-for-byte indistinguishable from pure deletes with O(1) offset
+    // state (documented residual). Shared with the github page stream.
+    HwmValidation.check(s"mbox stream $path", files, lo)
     files.filter(f => f > lo.watermark && f <= hi).sorted
       .map(MboxFilePartition(_): InputPartition).toArray
   }

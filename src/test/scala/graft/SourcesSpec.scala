@@ -97,6 +97,133 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("github replay: commits round-trip API pages entity-identically, user fill is real") {
+    import org.apache.spark.sql.Encoders
+    import spark.implicits._
+    val api = "/tmp/graft_github_api_commits"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(api))
+    GithubUserCache.invalidate(s"$api/users")
+    val entities = Synth.commits(Tables(spark, sfDir).events)
+      .as(Encoders.product[Commit])
+    GithubReplay.writeCommitPages(entities, api, pageSize = 100)
+    // the page tier really paged (parallel unit = page file)
+    assert(new java.io.File(s"$api/commits").listFiles().count(_.getName.endsWith(".json")) > 1)
+    val back = spark.read.format("github").option("entity", "commits").load(api)
+    // entities identical to JsonIO.readCommits' declared schema
+    val want = Encoders.product[Commit].schema
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      want.fields.map(f => (f.name, f.dataType)).toSeq, back.schema.treeString)
+    val expected = entities.collect().map(c =>
+      if (c.author == null) c.copy(author = "unknown") else c).toSet
+    assert(back.as(Encoders.product[Commit]).collect().toSet == expected)
+    // column pruning reaches the page parser (the V2 scan's output is
+    // the single required column — formatted V2 scans print Output, not
+    // ReadSchema)
+    val pruned = formattedPlan(back.select("event_id"))
+    assert(pruned.contains("BatchScan github:commits") &&
+      pruned.contains("Output [1]: [event_id#"), pruned)
+    // the user-detail fill is REAL: logins differ from display names, so
+    // removing the users endpoint degrades to the login fallback
+    // (getUserName: name null -> login), never to silently-correct names
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$api/users"))
+    GithubUserCache.invalidate(s"$api/users")
+    val shallow = spark.read.format("github").option("entity", "commits").load(api)
+      .select("author").as[String].collect()
+    assert(shallow.forall(a => a == "unknown" || a.startsWith("login-user")), shallow.take(3).mkString(","))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(api))
+  }
+
+  test("github replay: pulls round-trip incl. merged-state derivation and weight") {
+    import org.apache.spark.sql.Encoders
+    val api = "/tmp/graft_github_api_pulls"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(api))
+    GithubUserCache.invalidate(s"$api/users")
+    val entities = Synth.pulls(Tables(spark, sfDir).orders)
+      .as(Encoders.product[PullRequest])
+    GithubReplay.writePullPages(entities, api, pageSize = 100)
+    val back = spark.read.format("github").option("entity", "pulls").load(api)
+    val want = Encoders.product[PullRequest].schema
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      want.fields.map(f => (f.name, f.dataType)).toSeq, back.schema.treeString)
+    val got = back.as(Encoders.product[PullRequest]).collect().toSet
+    val expected = entities.collect().toSet
+    assert(got == expected)
+    // all three states survive (merged is DERIVED from merged_at — the
+    // fixture stays in the API's open/closed vocabulary)
+    assert(got.map(_.state) == Set("open", "closed", "merged"))
+    // the import program twin: JSON-lines out == readPulls back
+    Programs.pullsImport(spark, api, "/tmp/graft_pulls_import")
+    assert(JsonIO.readPulls(spark, "/tmp/graft_pulls_import").collect().toSet == expected)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(api))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File("/tmp/graft_pulls_import"))
+  }
+
+  test("github replay: LRU user cache bounds entries with access-ordered eviction") {
+    // the reference's LRUCache.java semantics exactly: insert beyond the
+    // bound evicts the least-recently-ACCESSED entry
+    val c = new LruCache[String, Int](3)
+    c.put("a", 1); c.put("b", 2)
+    c.get("a") // refresh a — b is now eldest
+    c.put("c", 3) // size reaches bound: evict eldest (b)
+    assert(c.containsKey("a") && c.containsKey("c") && !c.containsKey("b"))
+  }
+
+  test("github replay stream: checkpointed page cursor is exactly-once across restarts") {
+    import spark.implicits._
+    val root = "/tmp/graft_github_stream"
+    val api = s"$root/api"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    new java.io.File(s"$api/commits").mkdirs()
+    GithubUserCache.invalidate(s"$api/users")
+    def page(name: String, ids: Seq[Long]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$api/commits", name),
+        ids.map(i =>
+          s"""{"sha":"${"%040x".format(i)}","commit":{"author":{"name":null,"email":null,
+             |"date":"2024-03-0${i}T10:00:00Z"},"committer":{"name":null,"email":null,
+             |"date":"2024-03-0${i}T10:00:00Z"},"message":"[click] commit $i"},
+             |"author":{"login":"login-u$i"},"committer":{"login":"login-u$i"},
+             |"files":[{"filename":"f$i.java","additions":$i,"deletions":0,"changes":$i}]}"""
+            .stripMargin.replace("\n", "")).mkString("[", ",", "]"))
+    page("commits-p00001.json", Seq(1L, 2L))
+    // a FILE sink (not memory — it cannot recover a checkpoint): the
+    // restart below must resume from the offset log alone
+    val out = s"$root/out"
+    def start() = spark.readStream.format("github").option("entity", "commits")
+      .load(api).writeStream
+      .format("json").option("path", out)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    def stored() = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[Commit].schema)
+      .json(out).as(org.apache.spark.sql.Encoders.product[Commit]).collect()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(stored().length == 2)
+    } finally q1.stop()
+    // RESTART from the offset log: a page landed while the query was
+    // down; only ITS rows emit (the committed cursor survives) — the
+    // reference's initializeState restore (GithubCommitSource.java:158-167)
+    page("commits-p00002.json", Seq(3L))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = stored()
+      assert(got.map(_.event_id).sorted.toSeq == Seq(1L, 2L, 3L), got.mkString(";"))
+      // no user fixtures here: names fall back to the page's login
+      assert(got.forall(_.author.startsWith("login-u")))
+      // a page backfilled BELOW the committed cursor fails loudly
+      // instead of being skipped silently (the HWM validation contract)
+      page("commits-p00000.json", Seq(9L))
+      val ex = intercept[Exception] { q2.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("below the committed watermark")), ex.toString)
+    } finally {
+      try q2.stop() catch { case _: Exception => () }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("typed catalog: Dataset[Commit]/[Email]/[PullRequest] accessors decode") {
     val t = Tables(spark, sfDir)
     val c = t.commitsTyped.head()
