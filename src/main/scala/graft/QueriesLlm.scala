@@ -506,6 +506,23 @@ object QueriesLlm {
       .select(col("doc_id"), col("n_frames"), col("peak_abs"),
         col("sum_sq"), col("n_zero_cross"))
 
+  /** REAL image decode (r10): the media lake's PNG rows (the doc_id%5=1
+    * arm) carry complete deterministic RGB PNGs — real zlib IDAT, real
+    * CRCs, every scanline filtered with type y%5 so all five PNG filter
+    * types appear — and `graft_png_pixels` runs the full decode (chunk
+    * walk → inflate → unfilter → channel sums). The oracle re-derives
+    * width/height/sums ARITHMETICALLY from the synthesis formula
+    * (pixel byte i = (doc_id·31 + i·7) % 256) without touching bytes:
+    * a hash-match proves the decompression and the filter reversal are
+    * bit-exact. */
+  val imagePixels: Q = (s, dir) =>
+    Multimodal.imagePixelStats(
+      docs(s, dir).filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"),
+          call_function("graft_png_synth", col("doc_id")).as("bytes")))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+
   /** Overlapping 64-word chunks with 16-word overlap — the
     * retrieval/training chunking pass over the corpus. */
   val chunkDocs: Q = (s, dir) =>
@@ -598,7 +615,8 @@ object QueriesLlm {
     "q_shuffle_order"       -> sampleShuffle,
     "q_pack_sequences"      -> packSequences,
     "q_multimodal_meta"     -> multimodalMeta,
-    "q_multimodal_dims"     -> multimodalDims)
+    "q_multimodal_dims"     -> multimodalDims,
+    "q_image_pixels"        -> imagePixels)
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -1738,6 +1756,26 @@ FROM c GROUP BY 1, 2"""),
         |  CASE WHEN doc_id % 5 = 3
         |    THEN CAST((600 + (doc_id % 4) * 300) * (1 + doc_id % 30) AS BIGINT)
         |    END AS duration_ts
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // image-decode twin: expected width/height/channel-sums derived
+    // ARITHMETICALLY from the synthesis formula (raw pixel byte i =
+    // (doc_id*31 + i*7) % 256 over a w*h*3 RGB stream) — the oracle
+    // never touches bytes, so a hash-match proves the Spark side's
+    // zlib inflate + five-filter unfiltering reconstructed the exact
+    // raw stream the synthesizer filtered and deflated
+    "q_image_pixels" ->
+      """WITH m AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+        |  FROM documents WHERE doc_id % 5 = 1
+        |), px AS (
+        |  SELECT doc_id, w, h, i % 3 AS c, (doc_id * 31 + i * 7) % 256 AS v
+        |  FROM m, LATERAL unnest(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT))) t(i)
+        |)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+        |  CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+        |  CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3""".stripMargin
   )
 }

@@ -329,6 +329,33 @@ object Multimodal {
       .withColumn("n_zero_cross", element_at(col("_st"), 4))
       .drop("_st")
 
+  // ---- real PNG image decode (r10) ----------------------------------------
+
+  /** REAL image decode over PNG rows — the image rung graduating from
+    * stub to real the way [[audioPcmStats]] graduated audio: PNG's
+    * codec is zlib (the DEFLATE the git source already inflates), so
+    * `graft_png_pixels` (plans/PngExprs.scala) runs the complete
+    * pipeline — CRC-checked chunk walk, multi-IDAT zlib inflate,
+    * per-scanline unfilter across all five PNG filter types — and
+    * reduces the reconstructed pixels to (width, height, per-channel
+    * sums). The decoder IS the sniff (non-PNG / non-truecolor /
+    * corrupt rows → null, filtered out here), one fused codegen
+    * expression per row: row-local, shuffle-free, scan-speed over a
+    * media lake. All-integer output (channel bytes ≤ 255), so the row
+    * hash-matches an oracle that re-derives the sums from the
+    * synthesis formula — a match proves the inflate and the
+    * unfiltering are bit-exact. */
+  def imagePixelStats(media: DataFrame): DataFrame =
+    media
+      .withColumn("_px", call_function("graft_png_pixels", col("bytes")))
+      .filter(col("_px").isNotNull)
+      .withColumn("width", element_at(col("_px"), 1))
+      .withColumn("height", element_at(col("_px"), 2))
+      .withColumn("sum_r", element_at(col("_px"), 3))
+      .withColumn("sum_g", element_at(col("_px"), 4))
+      .withColumn("sum_b", element_at(col("_px"), 5))
+      .drop("_px")
+
   /** Frame sampling: fan one media row out to `n` evenly-spaced frame
     * rows (frame_idx, pts_sec, frame_bytes). The fan-out shape — explode
     * of a computed per-row frame list, no shuffle, downstream operators

@@ -89,6 +89,14 @@ object GraftFunctions {
       "[n_frames, peak_abs, sum_sq, n_zero_cross] of a 16-bit PCM WAV blob; NULL if not one", 1) {
       case Seq(b) => WavPcmStats(b)
     },
+    fn("graft_png_pixels",
+      "[width, height, sum_r, sum_g, sum_b] of an 8-bit truecolor PNG; NULL if not one", 1) {
+      case Seq(b) => PngPixelStats(b)
+    },
+    fn("graft_png_synth",
+      "deterministic synthetic RGB PNG for a doc id (the decode tier's test signal)", 1) {
+      case Seq(id) => PngSynth(id)
+    },
     // The reference ships FOUR ArrayListAggFunction variants (.java, 2, 3,
     // 4) solely to thread generic element types through Flink's type
     // inference tiers; Catalyst aggregates are natively generic, so ONE

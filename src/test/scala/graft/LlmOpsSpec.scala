@@ -686,6 +686,60 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!got.contains(3L))
   }
 
+  test("PNG decode: synth round-trips bit-exactly, all five filters, corruption rejected") {
+    import spark.implicits._
+    import graft.plans.{PngPixelStats, PngSynth}
+    // decode(synth(id)) must equal the formula's sums for images tall
+    // enough that every filter type (y % 5: None/Sub/Up/Average/Paeth)
+    // appears — a decoder that skips unfiltering cannot pass
+    def check(id: Long, needAllFilters: Boolean): Unit = {
+      val w = PngSynth.width(id); val h = PngSynth.height(id)
+      if (needAllFilters)
+        assert(h >= 5, s"test ids must exercise all 5 filters (id=$id h=$h)")
+      val got = PngPixelStats.decode(PngSynth.synth(id))
+      val sums = new Array[Long](3)
+      for (i <- 0L until w * h * 3) sums((i % 3).toInt) += PngSynth.rawByte(id, i)
+      assert(got.toSeq == Seq(w, h, sums(0), sums(1), sums(2)), s"id=$id")
+    }
+    Seq(2L, 6L, 13L, 24L, 123459L).foreach(check(_, needAllFilters = true))
+    check(1L, needAllFilters = false) // short image: h=4, filters 0..3 only
+    val good = PngSynth.synth(7L)
+    // a flipped IDAT byte breaks the CRC — rejected, not garbled
+    val bad = good.clone()
+    bad(good.length - 20) = (bad(good.length - 20) ^ 0x01).toByte
+    assert(PngPixelStats.decode(bad) == null)
+    // truncated stream / wrong magic / non-PNG rejected
+    assert(PngPixelStats.decode(good.take(good.length - 8)) == null)
+    assert(PngPixelStats.decode("not a png".getBytes) == null)
+    // trailing bytes after IEND are ignored per spec (media lake rows
+    // carry the text payload after the container)
+    assert(PngPixelStats.decode(good ++ "trailing".getBytes).toSeq ==
+      PngPixelStats.decode(good).toSeq)
+    // multi-IDAT: splitting the zlib stream across two IDAT chunks (with
+    // re-computed CRCs) must decode identically — concatenation per spec
+    val multi = {
+      def be(v: Int) = Seq(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      val idatLen = ((good(33) & 0xff) << 24) | ((good(34) & 0xff) << 16) |
+        ((good(35) & 0xff) << 8) | (good(36) & 0xff)
+      val z = good.slice(41, 41 + idatLen)
+      val (z1, z2) = z.splitAt(z.length / 2)
+      def chunk(t: String, d: Array[Byte]) = {
+        val crc = new java.util.zip.CRC32()
+        crc.update(t.getBytes); crc.update(d)
+        be(d.length) ++ t.getBytes.toSeq ++ d.toSeq ++ be(crc.getValue.toInt)
+      }
+      (good.take(33) ++ chunk("IDAT", z1) ++ chunk("IDAT", z2) ++
+        good.drop(41 + idatLen + 4)).toArray
+    }
+    assert(PngPixelStats.decode(multi).toSeq == PngPixelStats.decode(good).toSeq)
+    // and the operator path: codegen'd expression over a DataFrame
+    val media = Seq(1L, 6L).toDF("doc_id")
+      .selectExpr("doc_id", "graft_png_synth(doc_id) AS bytes")
+    val rows = Multimodal.imagePixelStats(media).collect()
+    assert(rows.length == 2 && rows.forall(_.getAs[Long]("width") > 0))
+  }
+
   test("HLL: per-group estimates within the m=512 error envelope; registers stay KB-scale") {
     import spark.implicits._
     // group a: 10,000 distinct ids; group b: 200 distinct ids (the
