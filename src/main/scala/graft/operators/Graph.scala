@@ -26,17 +26,24 @@ import org.apache.spark.sql.functions._
   * resolution — at the default scale the per-iteration drift is ~1e-12
   * of total mass, far under any ranking-relevant difference.
   *
-  * Scale shape (the 100 TB posture): per iteration, ONE corpus-sized
-  * shuffle joins the vertex-keyed rank table to the edge list on `src`
-  * (shuffle-hash — both sides are too big to broadcast and need no
-  * sort), one map-side-combined SUM groups contributions by `dst`, and
-  * one vertex-sized join applies the update. State is one (id, deg,
-  * rank) row per vertex — never the edge closure — and each round's
-  * rank table localCheckpoints to cut the iteration's lineage. The
-  * edge list is reliably CHECKPOINTED once up front (same rationale as
-  * [[Components]]: the upstream edge derivation must not recompute per
-  * round, and memory-pinning a corpus-scale edge list is the OOM the
-  * operator must not have).
+  * Scale shape (the 100 TB posture): the edge list is reliably
+  * CHECKPOINTED once up front PRE-PARTITIONED ON `src`, and the vertex
+  * table localCheckpoints PRE-PARTITIONED ON `id` (checkpoints preserve
+  * output partitioning — `LogicalRDD` carries it), so per iteration the
+  * plan pays exactly ONE exchange: the map-side-combined dst SUM. The
+  * rank⋈edges join co-locates on the stored src partitioning (the rank
+  * table inherits hashpartitioning(id) from the previous round's
+  * update join), and the update join reuses the dst aggregation's
+  * partitioning against the stored vertex partitioning (r10 — the
+  * four-exchange-per-round formulation re-shuffled the same corpus on
+  * the same keys every iteration; asserted in PlanSpec and measured at
+  * sf30). State is one (id, deg, rank) row per vertex — never the edge
+  * closure — and each round's rank table localCheckpoints (at cadence)
+  * to cut the iteration's lineage; the reliable edge checkpoint keeps
+  * failure-recovery lineage bounded (same rationale as [[Components]]:
+  * the upstream edge derivation must not recompute per round, and
+  * memory-pinning a corpus-scale edge list is the OOM the operator
+  * must not have).
   *
   * Dangling vertices (no out-edges) would leak rank mass and complicate
   * the arithmetic contract; this operator REQUIRES none exist — callers
@@ -68,18 +75,25 @@ object Graph {
     if (sc.getCheckpointDir.isEmpty)
       sc.setCheckpointDir(
         s"${System.getProperty("java.io.tmpdir")}/graft-pr-${sc.applicationId}")
+    // stored pre-partitioned on src: every iteration's rank⋈edges join
+    // then co-locates against this one materialization — zero edge-side
+    // exchange per round (the repartition is the one time the corpus
+    // moves for the join key)
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
+      .repartition(col("src"))
       .checkpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val verts = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
-    // vertex table with out-degree attached once — the per-iteration
-    // contribution (rank DIV deg) then needs no extra join
+    // vertex table with out-degree attached once, stored pre-partitioned
+    // on id — the per-iteration contribution (rank DIV deg) needs no
+    // extra join, and the update join reuses this partitioning
     val vd = verts.join(deg, verts("id") === deg("src"), "left")
       .select(col("id"), col("deg"))
+      .repartition(col("id"))
       .localCheckpoint()
     val nDangling = vd.filter(col("deg").isNull).count()
     require(nDangling == 0,

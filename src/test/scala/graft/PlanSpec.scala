@@ -154,6 +154,9 @@ class PlanSpec extends AnyFunSuite {
       // materializes (one KB-scale distinct, outside this plan) and
       // broadcasts into the k probe joins (asserted in LlmOpsSpec)
       "q_bloom_probe" -> 0,
+      // image decode: synth + decode are fused row-local expressions —
+      // a pure scan-speed projection, zero exchanges
+      "q_image_pixels" -> 0,
       // sketches partial-aggregate map-side: the (type, hll-bucket)
       // level-1 shuffle + the per-type register/sample fold — both carry
       // sketch-sized state, never distinct values (r10: own deterministic
