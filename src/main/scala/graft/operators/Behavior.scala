@@ -30,13 +30,22 @@ object Behavior {
     * one does, since an earlier reach time only widens what can follow).
     * Returns one row per stage: (stage_idx, stage, n_users).
     *
-    * Scale shape: stage k's pass scans ONLY events of type `stages(k)`
-    * (pushed `=` filter — the scan, not the engine, discards the rest),
-    * joins them to the previous reach table on the user key, and
-    * min-aggregates: per stage, one type-sliced scan + one user-keyed
-    * shuffle whose width is the REACHED user dim, which only shrinks as
-    * k grows. No per-user event array is ever collected, so a bot user
-    * with 10⁹ events costs map-side-combined mins, not memory. */
+    * Scale shape (r10 — the LINEAR chain): ONE accumulating user-dim
+    * table carries every stage's reach timestamp as a column
+    * (reach_0..reach_k, null = not reached), built by folding the
+    * stages left to right: stage k's pass scans ONLY events of type
+    * `stages(k)` (pushed `=` filter — the scan, not the engine,
+    * discards the rest), LEFT-joins the slice onto the accumulator on
+    * the user key, and min-aggregates `when(ts > reach_{k-1}, ts)` —
+    * the null reach of an unconverted user propagates through the
+    * `when`, so no inner-join chain is needed. Every stage slice is
+    * scanned EXACTLY ONCE and all k counts come from one final 1-row
+    * aggregate over the accumulator (the previous per-stage
+    * union-of-counts formulation re-evaluated the shared reach chain
+    * per branch — k(k+1)/2 corpus scans; at 100 TB the difference is
+    * k-fold scan I/O). No per-user event array is ever collected, so a
+    * bot user with 10⁹ events costs map-side-combined mins, not
+    * memory. */
   def funnelReach(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "Behavior.funnelReach: at least one stage")
@@ -44,19 +53,29 @@ object Behavior {
       "Behavior.funnelReach: repeated stage types need positional matching — " +
         "split the repeated stage into distinct marker types upstream")
     val first = events.filter(col(typeCol) === stages.head)
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("reach_ts"))
-    val reaches = stages.zipWithIndex.tail.scanLeft(first) {
-      case (prev, (stage, _)) =>
-        events.filter(col(typeCol) === stage)
-          .join(prev.select(col(userCol), col("reach_ts").as("prev_ts")), userCol)
-          .filter(col(tsCol) > col("prev_ts"))
-          .groupBy(col(userCol)).agg(min(col(tsCol)).as("reach_ts"))
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("reach_0"))
+    val acc = stages.zipWithIndex.tail.foldLeft(first) {
+      case (prev, (stage, k)) =>
+        val slice = events.filter(col(typeCol) === stage)
+          .select(col(userCol), col(tsCol).as("_ts"))
+        val carried = (0 until k).map(j => min(col(s"reach_$j")).as(s"reach_$j"))
+        val reached =
+          min(when(col("_ts") > col(s"reach_${k - 1}"), col("_ts")))
+            .as(s"reach_$k")
+        prev.join(slice, Seq(userCol), "left")
+          .groupBy(col(userCol))
+          .agg(carried.head, (carried.tail :+ reached): _*)
     }
-    reaches.zip(stages).zipWithIndex.map { case ((r, stage), k) =>
-      r.agg(count(lit(1)).as("n_users"))
-        .select(lit(k.toLong).as("stage_idx"), lit(stage).as("stage"),
-          col("n_users"))
-    }.reduce(_ union _)
+    val counts = acc.agg(
+      count(col("reach_0")).as("c_0"),
+      (1 until stages.size).map(k => count(col(s"reach_$k")).as(s"c_$k")): _*)
+    val stageNames = array(stages.map(lit(_)): _*)
+    counts
+      .select(posexplode(array(stages.indices.map(k => col(s"c_$k")): _*))
+        .as(Seq("_pos", "n_users")))
+      .select(col("_pos").cast("long").as("stage_idx"),
+        element_at(stageNames, col("_pos") + 1).as("stage"),
+        col("n_users"))
   }
 
   /** Cohort retention grid: users cohort by the `bucketSeconds` bucket of

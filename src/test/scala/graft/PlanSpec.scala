@@ -168,11 +168,13 @@ class PlanSpec extends AnyFunSuite {
       // deletion-signature dedup + signature buckets (window shares the
       // bucket group-by's exchange) + surviving-pair distinct
       "q_fuzzy_join" -> 3,
-      // funnel: one type-sliced scan + user-keyed min agg per stage
-      // (3 stages → 5: stage-0 agg, then per later stage the sliced
-      // scan's join shuffle + its agg); reach tables BROADCAST into the
-      // joins, the per-stage counts are SinglePartition rows
-      "q_funnel" -> 5,
+      // funnel (r10 linear chain): stage-0 user-keyed agg + per later
+      // stage AT MOST the type-sliced scan's join exchange — the
+      // accumulator stays hash-partitioned on user through every
+      // join+agg (each stage's groupBy reuses it), so 3 stages bound at
+      // 3; at test scale the slices broadcast and the plan carries just
+      // the stage-0 exchange (final k-count fold is SinglePartition)
+      "q_funnel" -> 3,
       // cohort: the (user, bucket) grid distinct [the only corpus-sized
       // shuffle] + the user-keyed cohort min + the calendar-bounded
       // (cohort, period) agg; cohorts broadcast into the grid join
