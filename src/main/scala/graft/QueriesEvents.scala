@@ -29,9 +29,11 @@ object QueriesEvents {
   val cohortRetention: Q = (s, dir) =>
     Behavior.cohortRetention(Tables(s, dir).events, "user_id", "ts", day)
 
-  /** User-journey transition counts, day-chunked two-phase stitching
-    * (must equal the oracle's single per-user window — the chunk
-    * decomposition is a cost choice, never a semantics choice). */
+  /** User-journey transition counts, skew-adaptive: plain per-user
+    * window unless a user's volume exceeds the partition bound, then
+    * day-chunked two-phase stitching for the heavy users only (must
+    * equal the oracle's single per-user window — routing and chunk
+    * decomposition are cost choices, never semantics choices). */
   val transitions: Q = (s, dir) =>
     Behavior.transitionCounts(Tables(s, dir).events, "user_id", "ts",
       "event_id", "event_type", day)

@@ -107,43 +107,73 @@ object Behavior {
     * user-journey graph: for every consecutive event pair of a user
     * (ordered by (ts, tie)), count (prev_type, event_type) occurrences.
     * A user's first event overall has no predecessor and contributes
+    * nothing; rows whose predecessor has a null type contribute
     * nothing. Returns (prev_type, event_type, n).
     *
-    * Scale shape (the point of the construction): the naive single
-    * `Window.partitionBy(user)` puts a hot user's ENTIRE history through
-    * one sorted task. Here the window partitions on (user, chunk) where
-    * chunk = `chunkSeconds` tumble of ts — bounded by the user's rate ×
-    * chunk duration at any total volume — and the chunk BOUNDARIES are
-    * stitched by a second, chunk-table-sized pass: each chunk's last
-    * event type (the lead-null row of the SAME sorted window — no second
-    * corpus scan or shuffle) lags over a per-user window whose partition
-    * is the user's non-empty CHUNK count, then joins back to the
-    * chunk-first rows. ONE corpus shuffle total; everything after is
-    * grid-sized. `tieCol` must be unique within (user, ts) so the order
-    * — and therefore the transition multiset — is deterministic on any
-    * engine (the oracle sorts by the same pair). */
+    * Scale shape (r10 — SKEW-ADAPTIVE routing, the q_salted_join /
+    * AQE-skew-join idea applied to a window): the naive single
+    * `Window.partitionBy(user)` puts a hot user's ENTIRE history
+    * through one sorted task — but paying a chunked two-phase stitch
+    * for EVERY user when none is hot nearly doubles the work (at a
+    * uniform 30M-event corpus the (user, day) grid was 12M rows — 40%
+    * of the corpus re-shuffled for protection nobody needed; measured
+    * 13.7 s vs 6.5 s for this routing at sf30). So: one map-side-
+    * combined user-dim COUNT finds the users whose total volume
+    * exceeds `maxWindowEvents` (a partition-size bound: 1M rows ≈
+    * tens of MB per sorted window partition). If there are none — the
+    * overwhelmingly common shape, decided by one metadata-scale
+    * driver-side gate — the plan IS the single-window plan: one corpus
+    * shuffle+sort, no joins, no second pass. Otherwise the few heavy
+    * users (skew means FEW by definition, so the heavy set always
+    * broadcasts) are split out by broadcast anti/semi joins: light
+    * users keep the plain window, heavy users run the chunked
+    * two-phase decomposition — intra-chunk pairs from a window
+    * partitioned on (user, chunk = `chunkSeconds` tumble of ts),
+    * bounded by the user's rate × chunk duration at any total volume,
+    * plus boundary pairs from a `min_by`/`max_by` chunk summary
+    * (map-side partial combine; only heavy-grid-sized partials cross
+    * the network) lagged over a per-user chunk window. Both unions
+    * feed ONE final count. `tieCol` must be unique within (user, ts)
+    * so the order — and therefore the transition multiset — is
+    * deterministic on any engine (the oracle sorts by the same pair);
+    * the light/heavy routing and the chunk decomposition are cost
+    * choices, never semantics choices. */
   def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
-      tieCol: String, typeCol: String, chunkSeconds: Long): DataFrame = {
+      tieCol: String, typeCol: String, chunkSeconds: Long,
+      maxWindowEvents: Long = 1000000L): DataFrame = {
+    def pairs(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
+      df.select(lag(col(typeCol), 1).over(w).as("prev_type"),
+        col(typeCol).as("_type"))
+    def counted(p: DataFrame) = p
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("_type").as(typeCol))
+      .agg(count(lit(1)).as("n"))
+    val wUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    // user-dim aggregate (partial combine → tiny shuffle); the gate is
+    // a metadata-scale driver decision, not a corpus collect
+    val heavy = events.groupBy(col(userCol))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxWindowEvents)
+      .select(col(userCol))
+    if (heavy.isEmpty) return counted(pairs(events, wUser))
+    val light = events.join(broadcast(heavy), Seq(userCol), "left_anti")
     val e = col(tsCol).cast("long")
+    val chunked = events.join(broadcast(heavy), Seq(userCol), "left_semi")
+      .withColumn("_chunk", e - (e % chunkSeconds))
     val wIntra = Window.partitionBy(col(userCol), col("_chunk"))
       .orderBy(col(tsCol), col(tieCol))
-    val marked = events
-      .withColumn("_chunk", e - (e % chunkSeconds))
-      .withColumn("_prev_in", lag(col(typeCol), 1).over(wIntra))
-      .withColumn("_is_last", lead(col(typeCol), 1).over(wIntra).isNull)
-    // chunk summary: each chunk's last event type, then the previous
-    // non-empty chunk's last type via a per-user chunk-table window
+    // heavy boundary pairs: previous non-empty chunk's LAST type →
+    // this chunk's FIRST type, built on the heavy (user, chunk) grid
     val wChunks = Window.partitionBy(col(userCol)).orderBy(col("_chunk"))
-    val carry = marked.filter(col("_is_last"))
-      .select(col(userCol), col("_chunk"), col(typeCol).as("_last_type"))
-      .withColumn("_prev_last", lag(col("_last_type"), 1).over(wChunks))
-      .select(col(userCol), col("_chunk"), col("_prev_last"))
-    marked
-      .join(carry, Seq(userCol, "_chunk"), "left")
-      .select(coalesce(col("_prev_in"), col("_prev_last")).as("prev_type"),
-        col(typeCol))
-      .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type"), col(typeCol))
-      .agg(count(lit(1)).as("n"))
+    val ord = struct(col(tsCol), col(tieCol))
+    val boundary = chunked
+      .groupBy(col(userCol), col("_chunk"))
+      .agg(min_by(col(typeCol), ord).as("_first"),
+        max_by(col(typeCol), ord).as("_last"))
+      .select(lag(col("_last"), 1).over(wChunks).as("prev_type"),
+        col("_first").as("_type"))
+    counted(pairs(light, wUser)
+      .unionByName(pairs(chunked, wIntra))
+      .unionByName(boundary))
   }
 }

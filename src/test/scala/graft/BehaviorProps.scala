@@ -79,13 +79,20 @@ object BehaviorProps extends Properties("BehaviorSemantics") {
 
   property("chunked transitionCounts == single sequential pass") =
     Prop.forAll(genEvents) { xs =>
-      val got = Behavior.transitionCounts(df(xs), "user_id", "ts",
-          "event_id", "event_type", chunkSeconds = 60L)
-        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       val want = xs.groupBy(_._2).values.flatMap { evs =>
         evs.sortBy { case (id, _, t, _) => (t, id) }
           .map(_._4).sliding(2).collect { case Seq(a, b) => (a, b) }
       }.toList.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
-      Prop(got == want) :| s"got=$got want=$want"
+      // all three routing regimes must agree: every user light (the
+      // single-window fast path), every user heavy (the chunked
+      // two-phase path), and the mixed split — routing is a cost
+      // choice, never a semantics choice
+      Prop.all(Seq(Long.MaxValue, 0L, 10L).map { threshold =>
+        val got = Behavior.transitionCounts(df(xs), "user_id", "ts",
+            "event_id", "event_type", chunkSeconds = 60L,
+            maxWindowEvents = threshold)
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        Prop(got == want) :| s"threshold=$threshold got=$got want=$want"
+      }: _*)
     }
 }

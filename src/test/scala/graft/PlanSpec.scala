@@ -179,11 +179,12 @@ class PlanSpec extends AnyFunSuite {
       // shuffle] + the user-keyed cohort min + the calendar-bounded
       // (cohort, period) agg; cohorts broadcast into the grid join
       "q_cohort_retention" -> 3,
-      // transitions: the bounded (user, chunk) window [the only
-      // corpus-sized shuffle — the join-back reuses its partitioning] +
-      // the per-user chunk-table window + the carry join's re-key +
-      // the (prev, type) agg
-      "q_event_transitions" -> 4,
+      // transitions (r10 skew-adaptive): with no heavy user — the gate
+      // decided at plan time by a user-dim count — the plan IS the
+      // single per-user window [the only corpus-sized shuffle] + the
+      // (prev, type) agg; the chunked two-phase machinery exists only
+      // in the heavy branch, which this corpus never takes
+      "q_event_transitions" -> 2,
       // pivot with an explicit value list: per-type conditional counts
       // in one map-side-combined agg — a single calendar-keyed shuffle
       "q_pivot" -> 1,
