@@ -523,6 +523,26 @@ object QueriesLlm {
       .select(col("doc_id"), col("width"), col("height"),
         col("sum_r"), col("sum_g"), col("sum_b"))
 
+  /** REAL video frame decode + frame sampling (r10): the media lake's
+    * video arm (doc_id%5=3) carries complete deterministic DIB-frame
+    * AVIs — real RIFF sizes, consistent avih/strf headers, a
+    * variable-length JUNK chunk so fixed offsets cannot work, BGR
+    * byte order and DWORD row padding so a naive byte-summer cannot
+    * hash-match — and `graft_avi_frames` runs the full container walk
+    * and per-frame pixel extraction, keeping every 2nd frame (the
+    * frame-sample contract). The oracle re-derives each kept frame's
+    * channel sums ARITHMETICALLY from the synthesis formula (stored
+    * byte j of frame f = (doc_id·37 + f·11 + j·5) % 256, pad bytes
+    * excluded, channel = DIB's B,G,R order) without touching bytes. */
+  val videoFrames: Q = (s, dir) =>
+    Multimodal.videoFrameStats(
+      docs(s, dir).filter(col("doc_id") % 5 === 3)
+        .select(col("doc_id"),
+          call_function("graft_avi_synth", col("doc_id")).as("bytes")),
+      sampleEvery = 2)
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+
   /** Overlapping 64-word chunks with 16-word overlap — the
     * retrieval/training chunking pass over the corpus. */
   val chunkDocs: Q = (s, dir) =>
@@ -616,7 +636,8 @@ object QueriesLlm {
     "q_pack_sequences"      -> packSequences,
     "q_multimodal_meta"     -> multimodalMeta,
     "q_multimodal_dims"     -> multimodalDims,
-    "q_image_pixels"        -> imagePixels)
+    "q_image_pixels"        -> imagePixels,
+    "q_video_frames"        -> videoFrames)
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -1776,6 +1797,37 @@ FROM c GROUP BY 1, 2"""),
         |  CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
         |  CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
         |  CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
-        |FROM px GROUP BY 1, 2, 3""".stripMargin
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+    // video-decode twin: every kept frame's channel sums derived
+    // ARITHMETICALLY from the synthesis formula (stored byte j of
+    // frame f = (doc_id*37 + f*11 + j*5) % 256 over height rows of
+    // DWORD-padded stride s) — byte positions j with (j % s) >= 3*w
+    // are the DIB row padding and never enter a sum, and (j % s) % 3
+    // indexes the channel in DIB's B,G,R order; the oracle never
+    // touches bytes, so a hash-match proves the Spark side's container
+    // walk found the real frame chunks, skipped the pad, and mapped
+    // the channels per spec
+    "q_video_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h,
+        |         2 + doc_id % 5 AS nf, ((3 * (4 + doc_id % 9) + 3) // 4) * 4 AS s
+        |  FROM documents WHERE doc_id % 5 = 3
+        |), fr AS (
+        |  SELECT doc_id, w, h, s, f
+        |  FROM m, LATERAL unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) tf(f)
+        |  WHERE f % 2 = 0
+        |), px AS (
+        |  SELECT doc_id, w, h, f, (j % s) % 3 AS c,
+        |         (doc_id * 37 + f * 11 + j * 5) % 256 AS v
+        |  FROM fr, LATERAL unnest(generate_series(0, CAST(h * s - 1 AS BIGINT))) tj(j)
+        |  WHERE (j % s) < 3 * w
+        |)
+        |SELECT doc_id, f AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_r,
+        |  CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+        |  CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3, 4""".stripMargin
   )
 }

@@ -35,7 +35,9 @@ object SparkEntry {
       // stays registered + oracle-checked; the headline prices training
       // once, in q_bpe_merges, like deployment does)
       "q_hll_users", "q_audio_pcm", "q_pagerank_events", "q_sim_ivfpq",
-      "q_chunk_docs", "q_bpe_merges", "q_bpe_tokenize_served")
+      "q_chunk_docs", "q_bpe_merges", "q_bpe_tokenize_served",
+      // round-10 tier: real image + video decodes (zlib PNG, DIB AVI)
+      "q_image_pixels", "q_video_frames")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs

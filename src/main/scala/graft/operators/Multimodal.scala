@@ -356,12 +356,35 @@ object Multimodal {
       .withColumn("sum_b", element_at(col("_px"), 5))
       .drop("_px")
 
+  /** REAL video frame decode + sampling over DIB-frame AVI rows (r10):
+    * the full container walk (hdrl avih/strf cross-validation, JUNK
+    * skipped by size, movi `00db` frames) runs in the fused
+    * `graft_avi_frames` expression — see plans/AviExprs.scala for why
+    * this codec-free form is the honest video rung, like 16-bit PCM
+    * was for audio — and each decoded frame becomes one row, keeping
+    * every `sampleEvery`-th frame (the frame-sampling contract
+    * [[frameSample]] could only stub). Row-local fan-out: no shuffle;
+    * non-AVI rows drop (the decoder is the sniff). */
+  def videoFrameStats(media: DataFrame, sampleEvery: Int = 1): DataFrame =
+    media
+      .withColumn("_fr", explode(call_function("graft_avi_frames", col("bytes"))))
+      .filter(col("_fr.frame_idx") % sampleEvery === 0)
+      .withColumn("frame_idx", col("_fr.frame_idx"))
+      .withColumn("width", col("_fr.width"))
+      .withColumn("height", col("_fr.height"))
+      .withColumn("sum_r", col("_fr.sum_r"))
+      .withColumn("sum_g", col("_fr.sum_g"))
+      .withColumn("sum_b", col("_fr.sum_b"))
+      .drop("_fr")
+
   /** Frame sampling: fan one media row out to `n` evenly-spaced frame
     * rows (frame_idx, pts_sec, frame_bytes). The fan-out shape — explode
     * of a computed per-row frame list, no shuffle, downstream operators
     * see one row per frame — is the real contract; actual container
-    * demuxing is STUBBED as even byte-range slices (no codecs here), and
-    * the fake pts assumes a fixed 25 fps "duration" from byte length. */
+    * demuxing is STUBBED as even byte-range slices for the codec-bound
+    * containers (no codecs here; the DIB-frame AVI arm has the REAL
+    * decode above), and the fake pts assumes a fixed 25 fps "duration"
+    * from byte length. */
   def frameSample(withBytes: DataFrame, n: Int): DataFrame =
     withBytes
       .withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))

@@ -97,6 +97,14 @@ object GraftFunctions {
       "deterministic synthetic RGB PNG for a doc id (the decode tier's test signal)", 1) {
       case Seq(id) => PngSynth(id)
     },
+    fn("graft_avi_frames",
+      "per-frame (frame_idx, width, height, sum_r, sum_g, sum_b) of a DIB-frame AVI; NULL if not one", 1) {
+      case Seq(b) => AviFrameStats(b)
+    },
+    fn("graft_avi_synth",
+      "deterministic synthetic DIB-frame AVI for a doc id (the decode tier's test signal)", 1) {
+      case Seq(id) => AviSynth(id)
+    },
     // The reference ships FOUR ArrayListAggFunction variants (.java, 2, 3,
     // 4) solely to thread generic element types through Flink's type
     // inference tiers; Catalyst aggregates are natively generic, so ONE

@@ -740,6 +740,62 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.length == 2 && rows.forall(_.getAs[Long]("width") > 0))
   }
 
+  test("AVI decode: per-frame sums bit-exact, pad/BGR honored, corruption rejected") {
+    import spark.implicits._
+    import graft.plans.{AviFrameStats, AviSynth}
+    import org.apache.spark.sql.catalyst.InternalRow
+    def frames(b: Array[Byte]): Seq[Seq[Long]] = {
+      val g = AviFrameStats.decode(b)
+      if (g == null) null
+      else (0 until g.numElements()).map { i =>
+        val r = g.array(i).asInstanceOf[InternalRow]
+        (0 until 6).map(r.getLong)
+      }
+    }
+    // decode(synth(id)) must equal the formula's per-frame sums; ids
+    // cover every width residue mod 4 so rows WITH and WITHOUT DWORD
+    // padding both appear — a decoder that always or never skips pad
+    // bytes cannot pass, and one that reads channels as RGB swaps r/b
+    def check(id: Long): Unit = {
+      val w = AviSynth.width(id); val h = AviSynth.height(id)
+      val nf = AviSynth.frames(id)
+      val stride = (w * 3 + 3) & ~3L
+      val want = (0L until nf).map { f =>
+        val s = new Array[Long](3) // B, G, R in storage order
+        for (j <- 0L until h * stride; k = j % stride; if k < 3 * w)
+          s((k % 3).toInt) += AviSynth.storedByte(id, f, j)
+        Seq(f, w, h, s(2), s(1), s(0)) // emitted as (idx, w, h, R, G, B)
+      }
+      assert(frames(AviSynth.synth(id)) == want, s"id=$id")
+    }
+    Seq(0L, 1L, 2L, 3L, 7L, 11L, 123457L).foreach(check)
+    val good = AviSynth.synth(9L)
+    // trailing payload after the RIFF form is tolerated (media lake
+    // rows carry the text payload after the container)
+    assert(frames(good ++ "trailing".getBytes) == frames(good))
+    // truncation / wrong magic / non-AVI rejected, never garbled
+    assert(frames(good.take(good.length - 4)) == null)
+    assert(frames("not an avi".getBytes) == null)
+    // a frame-count lie in avih (movi has one fewer chunk) is caught
+    val lied = good.clone()
+    val avihCount = 12 + 12 + 8 + 16 // RIFF+LIST hdrl hdrs, avih hdr, +16 to dwTotalFrames
+    lied(avihCount) = (lied(avihCount) + 1).toByte
+    assert(frames(lied) == null)
+    // a corrupted 00db size field breaks the walk — rejected
+    val badSize = good.clone()
+    val moviData = new String(good, "ISO-8859-1").indexOf("movi")
+    val firstDb = new String(good, "ISO-8859-1").indexOf("00db", moviData)
+    badSize(firstDb + 4) = (badSize(firstDb + 4) + 1).toByte
+    assert(frames(badSize) == null)
+    // operator path: explode + every-2nd-frame sampling, codegen'd
+    val media = Seq(3L, 8L).toDF("doc_id")
+      .selectExpr("doc_id", "graft_avi_synth(doc_id) AS bytes")
+    val got = Multimodal.videoFrameStats(media, sampleEvery = 2).collect()
+    val wantN = Seq(3L, 8L).map(id => (AviSynth.frames(id) + 1) / 2).sum
+    assert(got.length == wantN.toInt)
+    assert(got.forall(r => r.getAs[Long]("frame_idx") % 2 == 0))
+  }
+
   test("HLL: per-group estimates within the m=512 error envelope; registers stay KB-scale") {
     import spark.implicits._
     // group a: 10,000 distinct ids; group b: 200 distinct ids (the
