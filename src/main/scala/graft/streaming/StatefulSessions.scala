@@ -68,6 +68,50 @@ object StatefulSessions {
 
   case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
 
+  case class TransEvent(user_id: Long, ts: Timestamp, event_id: Long,
+      event_type: String)
+
+  case class TransState(es: Long, tie: Long, event_type: String)
+
+  case class TransPair(user_id: Long, prev_type: String, event_type: String,
+      es: Long)
+
+  /** Streaming user-journey transitions — the online face of
+    * [[graft.operators.Behavior.transitionCounts]]: emit one
+    * (prev_type, event_type) pair row per consecutive event of a user,
+    * ordered by (ts, event_id) within each micro-batch with the
+    * predecessor carried ACROSS batches in state. Aggregating the
+    * emitted pairs equals the batch operator's counts on an in-order
+    * stream (asserted in StreamingSpec); a late event pairs against the
+    * newest predecessor instead of its in-order one — the same
+    * cannot-rewind asymmetry [[funnelStages]] documents.
+    *
+    * State is ONE (es, tie, type) row per user — the floor for an
+    * online pair emitter, and the streaming answer to the batch
+    * operator's hot-user problem: a 10⁹-event user costs the same 3
+    * fields as everyone else. Deliberately NO timeout: evicting state
+    * would silently swallow the next transition (the resumed user's
+    * first event would look like a journey start), the one wrong answer
+    * this operator must never give. */
+  def transitionPairs(events: Dataset[TransEvent]): Dataset[TransPair] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[TransEvent], state: GroupState[TransState]) =>
+          var st = state.getOption.orNull
+          val out = List.newBuilder[TransPair]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val es = e.ts.getTime / 1000
+            if (st != null)
+              out += TransPair(uid, st.event_type, e.event_type, es)
+            st = TransState(es, e.event_id, e.event_type)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class FunnelState(stage: Int, lastEs: Long)
 
   case class FunnelReach(user_id: Long, stage_idx: Int, stage: String,

@@ -381,6 +381,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transitions: pair counts equal the batch operator across micro-batches") {
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.TransEvent
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TransEvent]
+    val out = StatefulSessions.transitionPairs(in.toDS())
+    val q = out.writeStream.format("memory").queryName("strans_out")
+      .outputMode("append").start()
+    try {
+      // user 1's journey crosses all three micro-batches (the carried
+      // predecessor is the point); user 2 has a same-second tie broken
+      // by event_id; user 3 is a single-event user (no pair)
+      val rows = Seq(
+        Seq(TransEvent(1L, ts(1), 10L, "view"), TransEvent(2L, ts(2), 11L, "view"),
+          TransEvent(2L, ts(2), 12L, "click")),
+        Seq(TransEvent(1L, ts(5), 13L, "click"), TransEvent(3L, ts(5), 14L, "view")),
+        Seq(TransEvent(1L, ts(9), 15L, "purchase"), TransEvent(2L, ts(9), 16L, "view")))
+      rows.foreach(b => feed(q)(in.addData(b)))
+      val streamCounts = spark.table("strans_out")
+        .groupBy("prev_type", "event_type").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // the same rows through the BATCH operator (both routing regimes
+      // produce the same counts; the default takes the plain window)
+      val batchDf = spark.createDataFrame(rows.flatten.map(e =>
+        (e.user_id, e.ts, e.event_id, e.event_type)))
+        .toDF("user_id", "ts", "event_id", "event_type")
+      val batchCounts = graft.operators.Behavior
+        .transitionCounts(batchDf, "user_id", "ts", "event_id", "event_type",
+          chunkSeconds = 60L)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamCounts == batchCounts,
+        s"stream=$streamCounts batch=$batchCounts")
+      assert(streamCounts == Map(
+        ("view", "click") -> 2L, ("click", "purchase") -> 1L,
+        ("click", "view") -> 1L))
+      // state: ONE row per user regardless of event volume
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty && st.head.numRowsTotal == 3, q.lastProgress.prettyJson)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer closes by gap and by count") {
     import graft.streaming.StatefulSessions
     import graft.streaming.StatefulSessions.Event
