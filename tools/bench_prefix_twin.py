@@ -62,6 +62,11 @@ WHERE n_common * 1000000 >= {TAU_Q} * (na + nb - n_common)
 def main():
     sfdir = sys.argv[1]
     sparkout = sys.argv[2] if len(sys.argv) > 2 else None
+    # optional 3rd arg: timed-run count (default 3). At corpus sizes
+    # where one run is 10+ minutes, min-of-1 vs min-of-3 changes nothing
+    # material against a 10x+ gap — and a long run should PRINT as it
+    # goes, so a capped/killed campaign still yields its measurements.
+    n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     con = duckdb.connect()
     con.execute("SET threads TO 32")
     p = os.path.join(sfdir, "documents.parquet")
@@ -70,7 +75,9 @@ def main():
 
     if sparkout:
         import pandas as pd
+        t0 = time.time()
         duck = con.execute(SQL).fetchdf()
+        print(f"verify query: {time.time() - t0:.3f}s", flush=True)
         files = glob.glob(os.path.join(sparkout, "q_simjoin_prefix", "*.parquet"))
         spark = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
 
@@ -82,14 +89,15 @@ def main():
         nd, hd = digest(duck)
         ns, hs = digest(spark)
         print(f"verify: duck rows={nd} spark rows={ns} "
-              f"hash {'MATCH' if (nd, hd) == (ns, hs) else 'MISMATCH'}")
+              f"hash {'MATCH' if (nd, hd) == (ns, hs) else 'MISMATCH'}", flush=True)
         assert (nd, hd) == (ns, hs), "refusing to time an unverified twin"
 
     times = []
-    for _ in range(3):
+    for i in range(n_runs):
         t0 = time.time()
         con.execute(SQL).fetchall()
         times.append(time.time() - t0)
+        print(f"run {i + 1}/{n_runs}: {times[-1]:.3f}s", flush=True)
     print(f"duckdb prefix twin best={min(times):.3f}  "
           f"runs={[round(x, 3) for x in times]}")
 
