@@ -523,6 +523,22 @@ object QueriesLlm {
       .select(col("doc_id"), col("width"), col("height"),
         col("sum_r"), col("sum_g"), col("sum_b"))
 
+  /** REAL image resize (r10): factor-2 box-filter downsample over the
+    * decoded pixels of the media lake's PNG rows — the resize rung of
+    * the multimodal ladder. The oracle re-derives every output pixel
+    * arithmetically: group the synthesis formula's bytes by
+    * (x div 2, y div 2, channel) and integer-divide the block sums (a
+    * floor-average, matching the expression's integer arithmetic
+    * exactly — edge blocks average over their actual pixel count). */
+  val imageResize: Q = (s, dir) =>
+    Multimodal.imageResize(
+      docs(s, dir).filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"),
+          call_function("graft_png_synth", col("doc_id")).as("bytes")),
+      factor = 2)
+      .select(col("doc_id"), col("px"), col("py"),
+        col("r"), col("g"), col("b"))
+
   /** REAL video frame decode + frame sampling (r10): the media lake's
     * video arm (doc_id%5=3) carries complete deterministic DIB-frame
     * AVIs — real RIFF sizes, consistent avih/strf headers, a
@@ -637,6 +653,7 @@ object QueriesLlm {
     "q_multimodal_meta"     -> multimodalMeta,
     "q_multimodal_dims"     -> multimodalDims,
     "q_image_pixels"        -> imagePixels,
+    "q_image_resize"        -> imageResize,
     "q_video_frames"        -> videoFrames)
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -1798,6 +1815,30 @@ FROM c GROUP BY 1, 2"""),
         |  CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
         |  CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+    // image-resize twin: every output pixel of the factor-2 box filter
+    // derived ARITHMETICALLY — group the synthesis formula's bytes by
+    // (x div 2, y div 2, channel) and integer-divide each block sum by
+    // its actual pixel count (edge blocks are smaller); a hash-match
+    // proves the Spark side decoded the true pixels AND floor-averaged
+    // the same blocks
+    "q_image_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+        |  FROM documents WHERE doc_id % 5 = 1
+        |), px AS (
+        |  SELECT doc_id, (i % (w * 3)) // 3 AS x, i // (w * 3) AS y, i % 3 AS c,
+        |         (doc_id * 31 + i * 7) % 256 AS v
+        |  FROM m, LATERAL unnest(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT))) t(i)
+        |), blk AS (
+        |  SELECT doc_id, x // 2 AS px, y // 2 AS py, c, SUM(v) // COUNT(*) AS av
+        |  FROM px GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT doc_id, CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+        |  CAST(MAX(CASE WHEN c = 0 THEN av END) AS BIGINT) AS r,
+        |  CAST(MAX(CASE WHEN c = 1 THEN av END) AS BIGINT) AS g,
+        |  CAST(MAX(CASE WHEN c = 2 THEN av END) AS BIGINT) AS b
+        |FROM blk GROUP BY 1, 2, 3""".stripMargin,
 
     // video-decode twin: every kept frame's channel sums derived
     // ARITHMETICALLY from the synthesis formula (stored byte j of

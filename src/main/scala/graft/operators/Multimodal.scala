@@ -356,6 +356,23 @@ object Multimodal {
       .withColumn("sum_b", element_at(col("_px"), 5))
       .drop("_px")
 
+  /** REAL image resize over PNG rows (r10): box-filter downsample by
+    * integer `factor` over the ACTUAL decoded pixels (full inflate +
+    * unfilter inside the fused `graft_png_resize` expression — see
+    * plans/PngExprs.scala), floor-averaged per block, one row per
+    * output pixel. Row-local fan-out: no shuffle; non-PNG rows drop
+    * (the decoder is the sniff). */
+  def imageResize(media: DataFrame, factor: Int): DataFrame =
+    media
+      .withColumn("_px",
+        explode(call_function("graft_png_resize", col("bytes"), lit(factor))))
+      .withColumn("px", col("_px.px"))
+      .withColumn("py", col("_px.py"))
+      .withColumn("r", col("_px.r"))
+      .withColumn("g", col("_px.g"))
+      .withColumn("b", col("_px.b"))
+      .drop("_px")
+
   /** REAL video frame decode + sampling over DIB-frame AVI rows (r10):
     * the full container walk (hdrl avih/strf cross-validation, JUNK
     * skipped by size, movi `00db` frames) runs in the fused

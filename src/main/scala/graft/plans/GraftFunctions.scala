@@ -97,6 +97,10 @@ object GraftFunctions {
       "deterministic synthetic RGB PNG for a doc id (the decode tier's test signal)", 1) {
       case Seq(id) => PngSynth(id)
     },
+    fn("graft_png_resize",
+      "per-output-pixel (px, py, r, g, b) box-filter downsample of an 8-bit truecolor PNG", 2) {
+      case Seq(b, f) => PngResize(b, f)
+    },
     fn("graft_avi_frames",
       "per-frame (frame_idx, width, height, sum_r, sum_g, sum_b) of a DIB-frame AVI; NULL if not one", 1) {
       case Seq(b) => AviFrameStats(b)

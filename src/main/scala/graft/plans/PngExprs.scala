@@ -84,6 +84,27 @@ object PngPixelStats {
     * valid CRC-checked 8-bit truecolor non-interlaced PNG. Trailing
     * bytes after IEND are ignored (the spec's stop rule). */
   def decode(b: Array[Byte]): Array[Long] = {
+    val d = decodeRaw(b)
+    if (d == null) return null
+    val (w, h, raw) = d
+    val stride = (w * 3).toInt
+    val sums = new Array[Long](3)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (1 + stride) + 1
+      var x = 0
+      while (x < stride) { sums(x % 3) += raw(rowOff + x) & 0xff; x += 1 }
+      y += 1
+    }
+    Array(w, h, sums(0), sums(1), sums(2))
+  }
+
+  /** Full decode to the UNFILTERED pixel stream: (width, height, raw)
+    * where `raw` keeps the scanline layout (1 dead filter byte + 3·w
+    * pixel bytes per row — pixel (x, y, c) is
+    * `raw(y·(1+3w) + 1 + 3x + c)`); null for anything outside the
+    * supported profile or failing CRC/inflate/filter validation. */
+  def decodeRaw(b: Array[Byte]): (Long, Long, Array[Byte]) = {
     if (b.length < 8) return null
     var i = 0
     while (i < 8) { if (b(i) != Signature(i)) return null; i += 1 }
@@ -134,7 +155,6 @@ object PngPixelStats {
     finally inf.end()
     if (got < rawLen) return null
     // unfilter in place: prior row = unfiltered bytes of y-1 (zeros at y=0)
-    val sums = new Array[Long](3)
     var y = 0
     while (y < h) {
       val rowOff = y * (1 + stride) + 1
@@ -159,13 +179,106 @@ object PngPixelStats {
             (cur + pred) & 0xff
         }
         raw(rowOff + x) = recon.toByte
-        sums(x % 3) += recon
         x += 1
       }
       y += 1
     }
-    Array(w, h, sums(0), sums(1), sums(2))
+    (w, h, raw)
   }
+
+  /** Box-filter downsample by integer `factor`: output pixel (X, Y, c)
+    * is the FLOOR-average of the decoded pixels in the f×f block
+    * (edge blocks smaller — averaged over their actual pixel count, so
+    * every input pixel contributes to exactly one output pixel).
+    * Returns one (px, py, r, g, b) struct per output pixel, row-major;
+    * null where decode fails or factor < 1. */
+  def resize(b: Array[Byte], factor: Int): GenericArrayData = {
+    if (factor < 1) return null
+    val d = decodeRaw(b)
+    if (d == null) return null
+    val (wL, hL, raw) = d
+    val w = wL.toInt; val h = hL.toInt
+    val stride = 3 * w
+    val outW = (w + factor - 1) / factor
+    val outH = (h + factor - 1) / factor
+    val out = new Array[Any](outW * outH)
+    var oy = 0
+    while (oy < outH) {
+      var ox = 0
+      while (ox < outW) {
+        val x0 = ox * factor; val x1 = math.min(w, x0 + factor)
+        val y0 = oy * factor; val y1 = math.min(h, y0 + factor)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = y0
+        while (y < y1) {
+          val rowOff = y * (1 + stride) + 1
+          var x = x0
+          while (x < x1) {
+            sr += raw(rowOff + 3 * x) & 0xff
+            sg += raw(rowOff + 3 * x + 1) & 0xff
+            sb += raw(rowOff + 3 * x + 2) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (x1 - x0).toLong * (y1 - y0)
+        out(oy * outW + ox) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](ox.toLong, oy.toLong, sr / n, sg / n, sb / n))
+        ox += 1
+      }
+      oy += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** REAL image resize (r10) — the one named multimodal operation
+  * ([[PngPixelStats]] covers decode, `Multimodal.featurize` the
+  * feature-extract plumbing, [[AviFrameStats]] frame-sample) that had
+  * no real rung: a box-filter downsample over the ACTUAL decoded
+  * pixels of the PNG (full inflate + unfilter via
+  * [[PngPixelStats.decodeRaw]]), floor-averaged per block, so the
+  * DuckDB oracle re-derives every output pixel arithmetically from the
+  * synthesis formula (group the formula bytes by (x div f, y div f, c)
+  * and integer-divide the sums). Fused expression for the same reason
+  * as the decode: the resize IS the sniff, no derived-column
+  * re-evaluation, whole-stage codegen. */
+case class PngResize(child: Expression, factor: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = factor
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType && factor.dataType == IntegerType &&
+        factor.foldable) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, int literal) arguments")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("px", LongType, nullable = false),
+    StructField("py", LongType, nullable = false),
+    StructField("r", LongType, nullable = false),
+    StructField("g", LongType, nullable = false),
+    StructField("b", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_png_resize"
+
+  override def nullSafeEval(b: Any, f: Any): Any =
+    PngPixelStats.resize(b.asInstanceOf[Array[Byte]], f.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, f) => {
+      val res = ctx.freshName("resized")
+      s"""
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $res =
+         |  graft.plans.PngPixelStats.resize($b, $f);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PngResize = copy(child = newLeft, factor = newRight)
 }
 
 /** Deterministic PNG SYNTHESIS for the image rows of the media lake —

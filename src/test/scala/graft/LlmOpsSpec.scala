@@ -740,6 +740,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.length == 2 && rows.forall(_.getAs[Long]("width") > 0))
   }
 
+  test("PNG resize: box filter floor-averages the true decoded pixels, edge blocks partial") {
+    import spark.implicits._
+    import graft.plans.{PngPixelStats, PngSynth}
+    import org.apache.spark.sql.catalyst.InternalRow
+    def got(id: Long, f: Int): Map[(Long, Long), (Long, Long, Long)] = {
+      val g = PngPixelStats.resize(PngSynth.synth(id), f)
+      (0 until g.numElements()).map { i =>
+        val r = g.array(i).asInstanceOf[InternalRow]
+        (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))
+      }.toMap
+    }
+    def want(id: Long, f: Int): Map[(Long, Long), (Long, Long, Long)] = {
+      val w = PngSynth.width(id).toInt; val h = PngSynth.height(id).toInt
+      (for (oy <- 0 until (h + f - 1) / f; ox <- 0 until (w + f - 1) / f) yield {
+        val xs = (ox * f) until math.min(w, (ox + 1) * f)
+        val ys = (oy * f) until math.min(h, (oy + 1) * f)
+        def av(c: Int) = xs.flatMap(x => ys.map(y =>
+          PngSynth.rawByte(id, y.toLong * w * 3 + x * 3 + c).toLong)).sum / (xs.size * ys.size)
+        (ox.toLong, oy.toLong) -> (av(0), av(1), av(2))
+      }).toMap
+    }
+    // odd dims (edge blocks smaller), factor larger than a dimension,
+    // and factor 1 (identity — every pixel its own block)
+    for (id <- Seq(2L, 7L, 12L, 123459L); f <- Seq(1, 2, 5))
+      assert(got(id, f) == want(id, f), s"id=$id f=$f")
+    // corrupt input nulls through the same validation as the decode
+    assert(PngPixelStats.resize("not a png".getBytes, 2) == null)
+    assert(PngPixelStats.resize(PngSynth.synth(7L), 0) == null)
+    // operator path: explode keeps doc rows apart, codegen'd
+    val media = Seq(1L, 6L).toDF("doc_id")
+      .selectExpr("doc_id", "graft_png_synth(doc_id) AS bytes")
+    val rows = Multimodal.imageResize(media, factor = 2).collect()
+    val wantN = Seq(1L, 6L).map { id =>
+      ((PngSynth.width(id) + 1) / 2) * ((PngSynth.height(id) + 1) / 2)
+    }.sum
+    assert(rows.length == wantN.toInt)
+  }
+
   test("AVI decode: per-frame sums bit-exact, pad/BGR honored, corruption rejected") {
     import spark.implicits._
     import graft.plans.{AviFrameStats, AviSynth}
