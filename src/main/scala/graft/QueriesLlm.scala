@@ -336,6 +336,32 @@ object QueriesLlm {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** SERVING-shape IVF-PQ search (r10): query against the PERSISTED
+    * composed index — the deployment path (a serving job never
+    * retrains; q_sim_ivfpq stays registered as the honest end-to-end
+    * train+encode+serve cost). The q_bpe_tokenize_served pattern
+    * applied to ANN: both codebooks and the cell-partitioned codes
+    * round-trip parquet bit-exactly, so the top-k is identical to the
+    * inline composition and the SAME oracle adjudicates both. */
+  val simIvfPqServed: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // per-application path: concurrent harness runs must not race on a
+    // shared index dir (the bpeTokenizeServed convention)
+    val store = "/tmp/graft_ivfpq_index/" + s.sparkContext.applicationId + "/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // coarse is written LAST by the builder, so its marker implies the
+    // codes and pq stores are complete (partitionBy leaves no _SUCCESS)
+    if (!new java.io.File(store + "/coarse/_SUCCESS").isFile)
+      operators.Ann.buildIvfPqIndex(corpus, store, kCells = 4, iters = 2)
+    operators.Ann.searchIvfPqIndex(s, store, queries, k = 5, nprobe = 2)
+      .select(col("query_id"), col("cell"), col("corpus_id"), col("dist_q"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Snapshot diff between the corpus and a synthetic next version
     * (every 31st doc dropped, every 17th doc's text edited, three new
     * ids): the ingest-delta audit, joined on 16-byte digests only
@@ -643,6 +669,7 @@ object QueriesLlm {
     "q_sim_kmeans"          -> simKmeans,
     "q_sim_pq"              -> simPq,
     "q_sim_ivfpq"           -> simIvfPq,
+    "q_sim_ivfpq_served"    -> simIvfPqServed,
     "q_pipeline_prep"       -> pipelinePrep,
     "q_sample_stratified"   -> sampleStratified,
     "q_sample_quota"        -> sampleQuota,
@@ -953,6 +980,70 @@ sym AS (
        |       unnest(generate_series(0, 63)) t(i)
        |  GROUP BY 1, 2) m GROUP BY 1""".stripMargin
 
+  /** The unrolled IVF-PQ train+probe oracle — shared by the inline
+    * (q_sim_ivfpq) and served (q_sim_ivfpq_served) formulations so
+    * the two can never train apart. */
+  private lazy val oracleIvfPq: String =
+      s"""WITH c AS (
+         |  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS ce
+         |  FROM embeddings WHERE vec_id >= 5
+         |), q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < 5
+         |), seeds AS (
+         |  SELECT corpus_id, ce, md5('km|' || CAST(corpus_id AS VARCHAR)) AS h
+         |  FROM c ORDER BY h, corpus_id LIMIT 4
+         |), k0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, corpus_id) - 1 AS INT) AS cell, ce
+         |  FROM seeds
+         |), a1 AS (${kmAssign("k0")}
+         |), k1 AS (${kmMeans("a1")}
+         |), a2 AS (${kmAssign("k1")}
+         |), k2 AS MATERIALIZED (${kmMeans("a2")}
+         |), cellof AS MATERIALIZED (${kmAssign("k2")}
+         |), sv AS MATERIALIZED (
+         |  SELECT corpus_id, s.sub, ce[s.sub*8+1 : s.sub*8+8] AS sv
+         |  FROM c, (SELECT unnest(generate_series(0, 7)) AS sub) s
+         |), pa0 AS (
+         |  SELECT corpus_id, sub,
+         |    CAST(strpos('0123456789abcdef',
+         |      substr(md5('pq|' || CAST(sub AS VARCHAR) || '|'
+         |                 || CAST(corpus_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS cell,
+         |    sv
+         |  FROM sv
+         |), pk0 AS MATERIALIZED (${pqMeansSql("SELECT * FROM pa0")}
+         |), pa1 AS (${pqAssignSql("pk0")}
+         |), pk1 AS MATERIALIZED (${pqMeansSql("SELECT * FROM pa1")}
+         |), pa2 AS (${pqAssignSql("pk1")}
+         |), pk2 AS MATERIALIZED (${pqMeansSql("SELECT * FROM pa2")}
+         |), paf AS MATERIALIZED (${pqAssignSql("pk2")}
+         |), probe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.query_id, k.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |                         ORDER BY ${cosSql("q.qe", "k.ce")} DESC, k.cell ASC) AS crnk
+         |    FROM q, k2 k) x WHERE crnk <= 2
+         |), qs AS (
+         |  SELECT query_id, s.sub, qe[s.sub*8+1 : s.sub*8+8] AS qsv
+         |  FROM q, (SELECT unnest(generate_series(0, 7)) AS sub) s
+         |), lq AS (
+         |  SELECT g.query_id, k.sub, k.cell, ${pqDqSql("g.qsv", "k.sc")} AS lq
+         |  FROM qs g JOIN pk2 k ON k.sub = g.sub
+         |), d AS (
+         |  SELECT l.query_id, cf.cell, a.corpus_id,
+         |    CAST(SUM(l.lq) AS BIGINT) AS dist_q
+         |  FROM paf a
+         |  JOIN lq l ON l.sub = a.sub AND l.cell = a.cell
+         |  JOIN cellof cf ON cf.corpus_id = a.corpus_id
+         |  JOIN probe p ON p.query_id = l.query_id AND p.cell = cf.cell
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT query_id, cell, corpus_id, dist_q, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY dist_q ASC, corpus_id ASC) AS rnk
+         |  FROM d) t
+         |WHERE rnk <= 5""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_sim_kmeans" ->
       s"""WITH c AS (
@@ -1021,66 +1112,7 @@ sym AS (
     // ..pk2 — q_sim_pq's up to CTE renaming) trains the fine codebooks;
     // probe keeps each query's 2 best coarse cells and the ADC join is
     // restricted to codes whose coarse cell that query probed
-    "q_sim_ivfpq" ->
-      s"""WITH c AS (
-         |  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS ce
-         |  FROM embeddings WHERE vec_id >= 5
-         |), q AS (
-         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-         |  FROM embeddings WHERE vec_id < 5
-         |), seeds AS (
-         |  SELECT corpus_id, ce, md5('km|' || CAST(corpus_id AS VARCHAR)) AS h
-         |  FROM c ORDER BY h, corpus_id LIMIT 4
-         |), k0 AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, corpus_id) - 1 AS INT) AS cell, ce
-         |  FROM seeds
-         |), a1 AS (${kmAssign("k0")}
-         |), k1 AS (${kmMeans("a1")}
-         |), a2 AS (${kmAssign("k1")}
-         |), k2 AS MATERIALIZED (${kmMeans("a2")}
-         |), cellof AS MATERIALIZED (${kmAssign("k2")}
-         |), sv AS MATERIALIZED (
-         |  SELECT corpus_id, s.sub, ce[s.sub*8+1 : s.sub*8+8] AS sv
-         |  FROM c, (SELECT unnest(generate_series(0, 7)) AS sub) s
-         |), pa0 AS (
-         |  SELECT corpus_id, sub,
-         |    CAST(strpos('0123456789abcdef',
-         |      substr(md5('pq|' || CAST(sub AS VARCHAR) || '|'
-         |                 || CAST(corpus_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS cell,
-         |    sv
-         |  FROM sv
-         |), pk0 AS MATERIALIZED (${pqMeansSql("SELECT * FROM pa0")}
-         |), pa1 AS (${pqAssignSql("pk0")}
-         |), pk1 AS MATERIALIZED (${pqMeansSql("SELECT * FROM pa1")}
-         |), pa2 AS (${pqAssignSql("pk1")}
-         |), pk2 AS MATERIALIZED (${pqMeansSql("SELECT * FROM pa2")}
-         |), paf AS MATERIALIZED (${pqAssignSql("pk2")}
-         |), probe AS (
-         |  SELECT query_id, cell FROM (
-         |    SELECT q.query_id, k.cell,
-         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |                         ORDER BY ${cosSql("q.qe", "k.ce")} DESC, k.cell ASC) AS crnk
-         |    FROM q, k2 k) x WHERE crnk <= 2
-         |), qs AS (
-         |  SELECT query_id, s.sub, qe[s.sub*8+1 : s.sub*8+8] AS qsv
-         |  FROM q, (SELECT unnest(generate_series(0, 7)) AS sub) s
-         |), lq AS (
-         |  SELECT g.query_id, k.sub, k.cell, ${pqDqSql("g.qsv", "k.sc")} AS lq
-         |  FROM qs g JOIN pk2 k ON k.sub = g.sub
-         |), d AS (
-         |  SELECT l.query_id, cf.cell, a.corpus_id,
-         |    CAST(SUM(l.lq) AS BIGINT) AS dist_q
-         |  FROM paf a
-         |  JOIN lq l ON l.sub = a.sub AND l.cell = a.cell
-         |  JOIN cellof cf ON cf.corpus_id = a.corpus_id
-         |  JOIN probe p ON p.query_id = l.query_id AND p.cell = cf.cell
-         |  GROUP BY 1, 2, 3
-         |)
-         |SELECT query_id, cell, corpus_id, dist_q, rnk FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |                               ORDER BY dist_q ASC, corpus_id ASC) AS rnk
-         |  FROM d) t
-         |WHERE rnk <= 5""".stripMargin,
+    "q_sim_ivfpq" -> oracleIvfPq,
     "q_dedup_exact" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS survivor, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
@@ -1870,5 +1902,11 @@ FROM c GROUP BY 1, 2"""),
         |  CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
         |  CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3, 4""".stripMargin
-  )
+  ) ++ Map(
+    // the served IVF-PQ query returns the inline composition's exact
+    // rows (parquet round-trips both codebooks and the codes
+    // bit-exactly), so the SAME unrolled train+probe oracle
+    // adjudicates both formulations — the q_bpe_tokenize_served
+    // convention applied to ANN serving
+    "q_sim_ivfpq_served" -> oracleIvfPq)
 }

@@ -383,6 +383,43 @@ object Ann {
     * only when its cell is probed by that query; the per-query rank
     * window is the only exchange, asserted in PlanSpec. Returns
     * (query_id, cell, corpus_id, dist_q, rnk), dist_q ascending. */
+  /** Persist the composed IVF-PQ index — [[buildIndex]]'s contract for
+    * the quantized layout: the coarse codebook, the PQ codebook, and
+    * the (corpus_id, code) table written `partitionBy("cell")` so a
+    * probe's broadcast join prunes cell directories at the source.
+    * Training runs HERE, once; [[searchIvfPqIndex]] never trains. */
+  def buildIvfPqIndex(corpus: DataFrame, dir: String, kCells: Int,
+      iters: Int, dim: Int = 64, m: Int = 8): Unit = {
+    val coarse = kmeansCodebook(corpus, k = kCells, iters = iters, dim = dim)
+      .localCheckpoint()
+    val pqCb = pqCodebook(corpus, iters = iters, dim = dim, m = m)
+      .localCheckpoint()
+    pqEncode(pqCb, corpus, dim = dim, m = m)
+      .join(assignCells(coarse, corpus).select(col("corpus_id"), col("cell")),
+        "corpus_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    pqCb.write.mode("overwrite").parquet(s"$dir/pq")
+    // written LAST: a partitionBy write leaves no _SUCCESS marker, so
+    // coarse/_SUCCESS is the build-complete gate callers test
+    coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+  }
+
+  /** IVF-PQ serving against a [[buildIvfPqIndex]]-persisted index — the
+    * deployment shape: both codebooks and the codes read from the
+    * store, zero training in the query path. Parquet round-trips the
+    * centroid doubles and code ints bit-exactly, so the top-k equals
+    * the inline [[ivfPqTopK]] composition and the same oracle
+    * adjudicates both. */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nprobe: Int,
+      dim: Int = 64, m: Int = 8): DataFrame =
+    ivfPqTopK(
+      spark.read.parquet(s"$dir/coarse"),
+      spark.read.parquet(s"$dir/pq"),
+      spark.read.parquet(s"$dir/codes")
+        .select(col("cell"), col("corpus_id"), col("code")),
+      queries, k, nprobe, dim, m)
+
   def ivfPqTopK(coarse: DataFrame, pqCb: DataFrame, codes: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int,
       dim: Int = 64, m: Int = 8): DataFrame = {
