@@ -314,8 +314,11 @@ object QueriesCore {
         // empty-register count: exact integer sketch state, carried so
         // consumers (and the accuracy test) can apply the standard
         // linear-counting correction m·ln(m/V) — ln is libm-dependent,
-        // so the correction itself stays OUTSIDE the hash-matched columns
-        (lit(m.toLong) - col("nb")).as("hll_n_zero"),
+        // so the correction itself stays OUTSIDE the hash-matched columns.
+        // nb = 0 (a type whose user_id values are ALL null) means there
+        // is no sketch at all — NULL, matching the oracle's absent hll
+        // row, not a fabricated all-empty register file
+        when(col("nb") > 0, lit(m.toLong) - col("nb")).as("hll_n_zero"),
         pick(1, 2).as("p50"), pick(19, 20).as("p95"), pick(99, 100).as("p99"),
         col("value_min"), col("value_max"))
   }

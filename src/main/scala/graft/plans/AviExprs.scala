@@ -135,7 +135,12 @@ object AviFrameStats {
       }
       p += 8 + size + (size & 1)
     }
-    if (w <= 0 || h <= 0 || totalFrames < 0 || moviOff < 0) return null
+    // bound each dimension BEFORE the stride/frameBytes arithmetic: w,h
+    // come from le32 (up to 2^32-1) and h*stride wraps Long for crafted
+    // headers, so the frameBytes <= Int.MaxValue check alone would pass
+    // a small-positive wrap
+    if (w <= 0 || h <= 0 || w > (1L << 16) || h > (1L << 16) ||
+      totalFrames < 0 || moviOff < 0) return null
     // header consistency: the stream format must agree with the main
     // header and declare uncompressed 24-bit pixels (BI_RGB = 0)
     if (strfW != w || strfH != h || bitCount != 24 || compression != 0L) return null

@@ -127,7 +127,11 @@ object PngPixelStats {
         // filter method 0, non-interlaced — the supported profile
         if (b(dataOff + 8) != 8 || b(dataOff + 9) != 2 || b(dataOff + 10) != 0 ||
           b(dataOff + 11) != 0 || b(dataOff + 12) != 0) return null
-        if (w <= 0 || h <= 0 || w * h * 3 > (1L << 26)) return null // 64 MiB raw cap
+        // bound each dimension BEFORE multiplying: w,h come from be32 (up
+        // to 2^32-1) and w*h*3 wraps Long for crafted dims, so the product
+        // cap alone would pass a negative wrap
+        if (w <= 0 || h <= 0 || w > (1L << 24) || h > (1L << 24) ||
+          w * h * 3 > (1L << 26)) return null // 64 MiB raw cap
         first = false
       } else if (ctype == 0x49444154L) { // IDAT — may span several chunks
         if (!crcOk(b, off + 4, len.toInt)) return null

@@ -266,14 +266,26 @@ object GithubReplay {
 object GithubUserCache {
   final case class UserDetail(name: Option[String], email: Option[String])
 
-  private val caches =
-    new java.util.concurrent.ConcurrentHashMap[String, LruCache[String, UserDetail]]()
+  // The OUTER map is bounded too (LRU of per-dir caches): a long-lived
+  // executor reading many distinct API archive paths would otherwise
+  // accumulate one up-to-10k-entry cache per path forever — the
+  // reference never hits this (one cache per source instance), but an
+  // executor-global twin must bound both tiers. 64 archive dirs resident
+  // at once is far beyond any real session's concurrent-source count.
+  private val MaxDirs = 64
+  private val caches = new LruCache[String, LruCache[String, UserDetail]](MaxDirs)
   private val mapper = new ObjectMapper()
 
   def lookup(usersDir: String, login: String, maxEntries: Int,
       conf: org.apache.hadoop.conf.Configuration): UserDetail = {
-    val cache = caches.computeIfAbsent(s"$usersDir|$maxEntries",
-      _ => new LruCache[String, UserDetail](maxEntries))
+    val cache = caches.synchronized {
+      var c = caches.get(s"$usersDir|$maxEntries")
+      if (c == null) {
+        c = new LruCache[String, UserDetail](maxEntries)
+        caches.put(s"$usersDir|$maxEntries", c)
+      }
+      c
+    }
     cache.synchronized {
       val hit = cache.get(login)
       if (hit != null) return hit
@@ -300,7 +312,7 @@ object GithubUserCache {
 
   /** Test hook: drop the cache for a users dir (cache residency must not
     * leak between test fixtures sharing a path). */
-  private[graft] def invalidate(usersDir: String): Unit = {
+  private[graft] def invalidate(usersDir: String): Unit = caches.synchronized {
     val it = caches.keySet.iterator()
     while (it.hasNext) if (it.next().startsWith(usersDir + "|")) it.remove()
   }

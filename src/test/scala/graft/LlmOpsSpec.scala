@@ -733,6 +733,20 @@ class LlmOpsSpec extends AnyFunSuite {
         good.drop(41 + idatLen + 4)).toArray
     }
     assert(PngPixelStats.decode(multi).toSeq == PngPixelStats.decode(good).toSeq)
+    // crafted IHDR with w=h=0xFFFFFFFF and a VALID CRC: w*h*3 wraps Long,
+    // so the raw-size cap alone would pass it and the decoder would throw
+    // on a negative array size — the contract is null, never an exception
+    val overflowDims = {
+      val o = good.clone()
+      for (k <- 0 until 8) o(16 + k) = 0xff.toByte // IHDR width+height
+      val crc = new java.util.zip.CRC32()
+      crc.update(o, 12, 4 + 13) // chunk type + IHDR data
+      val v = crc.getValue.toInt
+      o(29) = (v >> 24).toByte; o(30) = (v >> 16).toByte
+      o(31) = (v >> 8).toByte; o(32) = v.toByte
+      o
+    }
+    assert(PngPixelStats.decode(overflowDims) == null)
     // and the operator path: codegen'd expression over a DataFrame
     val media = Seq(1L, 6L).toDF("doc_id")
       .selectExpr("doc_id", "graft_png_synth(doc_id) AS bytes")
@@ -825,6 +839,16 @@ class LlmOpsSpec extends AnyFunSuite {
     val firstDb = new String(good, "ISO-8859-1").indexOf("00db", moviData)
     badSize(firstDb + 4) = (badSize(firstDb + 4) + 1).toByte
     assert(frames(badSize) == null)
+    // crafted headers declaring w=h=0xFFFFFFFF (avih AND the strf
+    // BITMAPINFOHEADER, so the cross-check agrees): h*stride wraps Long,
+    // so the frameBytes <= Int.MaxValue check alone could pass a
+    // small-positive wrap — the contract is null, never an exception
+    val overflowDims = good.clone()
+    for (k <- 0 until 8) {
+      overflowDims(64 + k) = 0xff.toByte  // avih dwWidth/dwHeight
+      overflowDims(176 + k) = 0xff.toByte // strf biWidth/biHeight
+    }
+    assert(frames(overflowDims) == null)
     // operator path: explode + every-2nd-frame sampling, codegen'd
     val media = Seq(3L, 8L).toDF("doc_id")
       .selectExpr("doc_id", "graft_avi_synth(doc_id) AS bytes")

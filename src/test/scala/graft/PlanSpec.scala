@@ -291,6 +291,28 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).length <= 2, plan)
   }
 
+  test("sketch profile: all-null-user type emits NULL hll_n_zero (no fabricated empty sketch)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a type whose user_id values are ALL null has no HLL sketch at all:
+    // emitting 512 (m - 0) there would diverge from the oracle's absent
+    // hll row — the contract is NULL for both sketch columns
+    val dir = java.nio.file.Files.createTempDirectory("pfnull").toString
+    Seq(
+      (1L, Some(10L), "click", Some(1.5), java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, Some(11L), "click", Some(2.5), java.sql.Timestamp.valueOf("2024-01-01 01:00:00")),
+      (3L, None: Option[Long], "ghost", Some(3.5), java.sql.Timestamp.valueOf("2024-01-01 02:00:00")),
+      (4L, None: Option[Long], "ghost", None: Option[Double], java.sql.Timestamp.valueOf("2024-01-01 03:00:00")))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val out = QueriesCore.qProfileSketch(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("ghost").isNullAt(out("ghost").fieldIndex("hll_n_zero")),
+      "all-null-user type must carry NULL hll_n_zero")
+    assert(out("ghost").isNullAt(out("ghost").fieldIndex("n_users_approx")))
+    assert(!out("click").isNullAt(out("click").fieldIndex("hll_n_zero")))
+  }
+
   test("sketch profile: bounded sketch shuffles, accuracy vs exact aggregates") {
     import org.apache.spark.sql.functions._
     val df = QueriesCore.qProfileSketch(spark, sfDir)
