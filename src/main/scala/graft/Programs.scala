@@ -51,13 +51,17 @@ object Programs {
 
   /** Batch FlinkCommitProgram: JSON-lines commits (the import tier's
     * Kafka-shape output) → [[componentSummary]] → date-partitioned
-    * parquet. `startDate` plays the reference's `--start-date` and lands
-    * in the scan as a pushed filter (no post-read pruning). */
+    * parquet. `startDate` plays the reference's `--start-date` with its
+    * FLEXIBLE shapes (year-month, date, or datetime, missing fields
+    * defaulting — [[graft.functions.Dates.parseFlexibleDate]], the
+    * Utils.java:40-47 twin) and lands in the scan as a pushed filter
+    * (no post-read pruning). */
   def commitProgram(spark: SparkSession, in: String, out: String,
       startDate: Option[String] = None): Unit = {
     val commits = JsonIO.readCommits(spark, in).toDF()
     val ranged = startDate.fold(commits)(d =>
-      commits.filter(col("commit_date") >= lit(d).cast("timestamp")))
+      commits.filter(
+        col("commit_date") >= lit(graft.functions.Dates.parseFlexibleInstant(d))))
     Sinks.writePartitioned(componentSummary(ranged), out, "w_start")
   }
 

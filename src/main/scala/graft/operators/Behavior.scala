@@ -137,10 +137,22 @@ object Behavior {
     * so the order — and therefore the transition multiset — is
     * deterministic on any engine (the oracle sorts by the same pair);
     * the light/heavy routing and the chunk decomposition are cost
-    * choices, never semantics choices. */
+    * choices, never semantics choices.
+    *
+    * `userCounts` (r11): the routing gate needs per-user totals, and
+    * deriving them ad hoc costs a full corpus aggregate PER INVOCATION —
+    * at 100 TB, a second complete scan to answer a question a catalog
+    * answers from a dim table. Pass a precomputed user dim (columns:
+    * `userCol`, `n_events` — the thing ingest pipelines maintain anyway)
+    * and the gate becomes a dim-scale filter; counts may be UPPER BOUNDS
+    * (stale stats that over-count only route more users to the chunked
+    * path — a cost error, never a semantics error; under-counting can
+    * un-protect a hot partition, so refresh stats on append). Omitted →
+    * the self-contained corpus aggregate, correct but scan-priced. */
   def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
       tieCol: String, typeCol: String, chunkSeconds: Long,
-      maxWindowEvents: Long = 1000000L): DataFrame = {
+      maxWindowEvents: Long = 1000000L,
+      userCounts: Option[DataFrame] = None): DataFrame = {
     def pairs(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
       df.select(lag(col(typeCol), 1).over(w).as("prev_type"),
         col(typeCol).as("_type"))
@@ -150,11 +162,16 @@ object Behavior {
       .agg(count(lit(1)).as("n"))
     val wUser = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(tieCol))
-    // user-dim aggregate (partial combine → tiny shuffle); the gate is
-    // a metadata-scale driver decision, not a corpus collect
-    val heavy = events.groupBy(col(userCol))
-      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxWindowEvents)
-      .select(col(userCol))
+    // heavy set from the provided user dim (dim-scale filter) or, absent
+    // one, a user-dim aggregate (partial combine → tiny shuffle); either
+    // way the gate is a metadata-scale driver decision, not a corpus
+    // collect
+    val heavy = userCounts
+      .map(_.filter(col("n_events") > maxWindowEvents).select(col(userCol)))
+      .getOrElse(events.groupBy(col(userCol))
+        .agg(count(lit(1)).as("n_events"))
+        .filter(col("n_events") > maxWindowEvents)
+        .select(col(userCol)))
     if (heavy.isEmpty) return counted(pairs(events, wUser))
     val light = events.join(broadcast(heavy), Seq(userCol), "left_anti")
     val e = col(tsCol).cast("long")

@@ -95,4 +95,27 @@ object BehaviorProps extends Properties("BehaviorSemantics") {
         Prop(got == want) :| s"threshold=$threshold got=$got want=$want"
       }: _*)
     }
+
+  property("transitionCounts with provided user stats == self-derived") =
+    Prop.forAll(genEvents) { xs =>
+      import TestSpark.spark.implicits._
+      val want = xs.groupBy(_._2).values.flatMap { evs =>
+        evs.sortBy { case (id, _, t, _) => (t, id) }
+          .map(_._4).sliding(2).collect { case Seq(a, b) => (a, b) }
+      }.toList.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val exact = xs.groupBy(_._2).map { case (u, es) => (u, es.size.toLong) }
+        .toSeq.toDF("user_id", "n_events")
+      // stale stats that OVER-count only route more users to the chunked
+      // path — a cost error, never a semantics error (the documented
+      // contract; under-counting is the caller's refresh obligation)
+      val stale = exact.withColumn("n_events",
+        org.apache.spark.sql.functions.col("n_events") * 100)
+      Prop.all(Seq(exact, stale).map { dim =>
+        val got = Behavior.transitionCounts(df(xs), "user_id", "ts",
+            "event_id", "event_type", chunkSeconds = 60L,
+            maxWindowEvents = 10L, userCounts = Some(dim))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        Prop(got == want) :| s"got=$got want=$want"
+      }: _*)
+    }
 }

@@ -473,6 +473,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("served IVF-PQ: codes scan prunes unprobed cell directories (DPP) and never retrains") {
+    // the PERSISTED-store serving path (searchIvfPqIndex), not the
+    // pinned-localCheckpoint audit above: the codes live partitionBy("cell")
+    // on disk, and the probe's broadcast join must reach the SCAN as a
+    // dynamic partition filter — at 100 TB nprobe/kCells of the index is
+    // the fraction read, and that claim is a plan property, not a hope
+    val df = QueriesLlm.simIvfPqServed(spark, sfDir) // builds + loads the index
+    val plan = physicalPlan(df)
+    assert(plan.contains("dynamicpruning"),
+      s"codes scan must prune unprobed cells at the partition level:\n$plan")
+    // no k-means / training aggregate over the corpus in the query path:
+    // the only aggregate allowed is the query-sized LUT build
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(df.count() > 0)
+  }
+
   test("hot paths compile into whole-stage codegen, including graft_cosine") {
     import org.apache.spark.sql.execution.debug
     // AQE wraps the plan and defers codegen until execution; disable it

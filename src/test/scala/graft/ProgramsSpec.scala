@@ -31,16 +31,39 @@ class ProgramsSpec extends AnyFunSuite {
     val b = direct.collect().map(_.toSeq).toSet
     assert(a.nonEmpty && a == b)
 
-    // --start-date: the ranged store is the direct summary of ranged input
-    val mid = "2024-01-15 00:00:00"
-    Programs.commitProgram(spark, s"$dir/commits", s"$dir/store_ranged", Some(mid))
-    val ranged = Sinks.readPartitioned(spark, s"$dir/store_ranged")
-      .drop(Sinks.PartitionCol).collect().map(_.toSeq).toSet
+    // --start-date: the ranged store is the direct summary of ranged
+    // input, and the FLEXIBLE shapes (date-only and datetime, the
+    // reference's Utils.java:40-47 contract) produce the same store as
+    // the full literal they default to
     val directRanged = Programs.componentSummary(
       JsonIO.readCommits(spark, s"$dir/commits").toDF()
-        .filter(col("commit_date") >= lit(mid).cast("timestamp")))
+        .filter(col("commit_date") >= lit("2024-01-15 00:00:00").cast("timestamp")))
       .collect().map(_.toSeq).toSet
-    assert(ranged == directRanged && ranged.size < a.size)
+    for ((shape, tag) <- Seq("2024-01-15" -> "d", "2024-01-15T00:00:00Z" -> "dt")) {
+      Programs.commitProgram(spark, s"$dir/commits", s"$dir/store_ranged_$tag", Some(shape))
+      val ranged = Sinks.readPartitioned(spark, s"$dir/store_ranged_$tag")
+        .drop(Sinks.PartitionCol).collect().map(_.toSeq).toSet
+      assert(ranged == directRanged && ranged.size < a.size, s"shape=$shape")
+    }
+  }
+
+  test("flexible --start-date parsing: year-month, date and datetime shapes default like the reference") {
+    import java.time.LocalDateTime
+    import graft.functions.Dates.parseFlexibleDate
+    // Utils.java:21-47 semantics: day defaults to 1, time to midnight;
+    // empty means now; T/Z are case-insensitive; anything else is loud
+    assert(parseFlexibleDate("2019-06") == LocalDateTime.of(2019, 6, 1, 0, 0))
+    assert(parseFlexibleDate("2019-06-15") == LocalDateTime.of(2019, 6, 15, 0, 0))
+    assert(parseFlexibleDate("2019-06-15T12:30:00Z") == LocalDateTime.of(2019, 6, 15, 12, 30))
+    assert(parseFlexibleDate("2019-06-15t12:30z") == LocalDateTime.of(2019, 6, 15, 12, 30))
+    assert(parseFlexibleDate("2019-06-15T12:30:45.5Z") ==
+      LocalDateTime.of(2019, 6, 15, 12, 30, 45, 500000000))
+    val pinned = LocalDateTime.of(2030, 1, 2, 3, 4)
+    assert(parseFlexibleDate("", () => pinned) == pinned)
+    assert(parseFlexibleDate(null, () => pinned) == pinned)
+    intercept[IllegalArgumentException](parseFlexibleDate("2019"))
+    intercept[IllegalArgumentException](parseFlexibleDate("2024-01-15 00:00:00"))
+    intercept[java.time.DateTimeException](parseFlexibleDate("2019-13"))
   }
 
   test("commitProgramStream emits closed windows exactly once into the store") {
