@@ -585,6 +585,26 @@ object QueriesLlm {
       .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
         col("sum_r"), col("sum_g"), col("sum_b"))
 
+  /** REAL frame demux (r11): every 2nd frame's RAW DIB BYTES extracted
+    * from the media lake's video arm with its EXACT presentation time
+    * (frame_idx · avih dwMicroSecPerFrame — integer, no float in the
+    * contract) via `graft_avi_demux` — the extraction twin of
+    * q_video_frames' stats pass, retiring the even-byte-slice
+    * frameSample stub for the AVI arm. Bytes are adjudicated as
+    * md5-of-hex so the oracle — which re-derives every frame byte
+    * ARITHMETICALLY from the synthesis formula, pad bytes included
+    * (raw DIB rows ship their DWORD padding) — never touches a blob. */
+  val videoDemux: Q = (s, dir) =>
+    docs(s, dir).filter(col("doc_id") % 5 === 3)
+      .select(col("doc_id"),
+        call_function("graft_avi_synth", col("doc_id")).as("bytes"))
+      .select(col("doc_id"),
+        explode(call_function("graft_avi_demux", col("bytes"), lit(2))).as("_fr"))
+      .select(col("doc_id"), col("_fr.frame_idx").as("frame_idx"),
+        col("_fr.pts_us").as("pts_us"),
+        octet_length(col("_fr.frame_bytes")).cast("long").as("frame_len"),
+        md5(hex(col("_fr.frame_bytes"))).as("frame_md5"))
+
   /** Overlapping 64-word chunks with 16-word overlap — the
     * retrieval/training chunking pass over the corpus. */
   val chunkDocs: Q = (s, dir) =>
@@ -681,7 +701,8 @@ object QueriesLlm {
     "q_multimodal_dims"     -> multimodalDims,
     "q_image_pixels"        -> imagePixels,
     "q_image_resize"        -> imageResize,
-    "q_video_frames"        -> videoFrames)
+    "q_video_frames"        -> videoFrames,
+    "q_video_demux"         -> videoDemux)
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -1901,7 +1922,35 @@ FROM c GROUP BY 1, 2"""),
         |  CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_r,
         |  CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
         |  CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_b
-        |FROM px GROUP BY 1, 2, 3, 4""".stripMargin
+        |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // frame-demux twin: every kept frame's RAW bytes re-derived
+    // arithmetically (synthesis formula, PAD BYTES INCLUDED — a raw DIB
+    // frame ships its DWORD padding) and reduced to md5-of-uppercase-hex,
+    // the same reduction the Spark side applies to the actual demuxed
+    // blob; pts is the exact integer frame_idx · dwMicroSecPerFrame
+    // (33333 + (doc_id % 3) · 8334, the avih synthesis value)
+    "q_video_demux" ->
+      """WITH m AS (
+        |  SELECT doc_id, 3 + doc_id % 7 AS h, 2 + doc_id % 5 AS nf,
+        |         ((3 * (4 + doc_id % 9) + 3) // 4) * 4 AS s,
+        |         33333 + (doc_id % 3) * 8334 AS usf
+        |  FROM documents WHERE doc_id % 5 = 3
+        |), fr AS (
+        |  SELECT doc_id, h, s, usf, f
+        |  FROM m, LATERAL unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) tf(f)
+        |  WHERE f % 2 = 0
+        |), hx AS (
+        |  SELECT doc_id, f, usf,
+        |         string_agg(lpad(upper(to_hex((doc_id * 37 + f * 11 + j * 5) % 256)),
+        |                    2, '0'), '' ORDER BY j) AS fhex,
+        |         COUNT(*) AS flen
+        |  FROM fr, LATERAL unnest(generate_series(0, CAST(h * s - 1 AS BIGINT))) tj(j)
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, f AS frame_idx, CAST(f * usf AS BIGINT) AS pts_us,
+        |       CAST(flen AS BIGINT) AS frame_len, md5(fhex) AS frame_md5
+        |FROM hx""".stripMargin
   ) ++ Map(
     // the served IVF-PQ query returns the inline composition's exact
     // rows (parquet round-trips both codebooks and the codes

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -394,36 +394,108 @@ object Multimodal {
       .withColumn("sum_b", col("_fr.sum_b"))
       .drop("_fr")
 
-  /** Frame sampling: fan one media row out to `n` evenly-spaced frame
-    * rows (frame_idx, pts_sec, frame_bytes). The fan-out shape — explode
-    * of a computed per-row frame list, no shuffle, downstream operators
-    * see one row per frame — is the real contract; actual container
-    * demuxing is STUBBED as even byte-range slices for the codec-bound
-    * containers (no codecs here; the DIB-frame AVI arm has the REAL
-    * decode above), and the fake pts assumes a fixed 25 fps "duration"
-    * from byte length. */
-  def frameSample(withBytes: DataFrame, n: Int): DataFrame =
-    withBytes
-      .withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
+  /** Frame sampling: fan one media row out to evenly-spaced frame rows
+    * (frame_idx, pts_sec, frame_bytes) — no shuffle, downstream
+    * operators see one row per frame.
+    *
+    * r11: the AVI arm is REAL — `graft_avi_demux` (plans/AviExprs.scala)
+    * walks the validated container and emits every `sampleEvery`-th
+    * frame's raw DIB bytes with its exact presentation time
+    * (frame_idx · dwMicroSecPerFrame). The decoder is the sniff: rows it
+    * returns null for (JPEG/MP4/plain text — the codec-bound containers
+    * this environment cannot decode) fall back to the STUBBED
+    * even-byte-slice fan-out with its fake 25 fps pts, kept as the
+    * documented plug-in point a real codec would replace. Both arms are
+    * row-local; the union is of two filters of the same scan — with
+    * media laid out by container (the [[withMeta]] partitioning), each
+    * arm's scan prunes to its own modality instead. `n` bounds the fake
+    * arm's fan-out and sets the real arm's stride via the frame count. */
+  def frameSample(withBytes: DataFrame, n: Int): DataFrame = {
+    val demux = call_function("graft_avi_demux", col("bytes"), lit(1))
+    val real = withBytes.withColumn("_frames", demux)
+      .filter(col("_frames").isNotNull)
+      // n evenly-spaced of the nf real frames: stride = ceil(nf / n)
+      .withColumn("_fr", explode(filter(col("_frames"),
+        f => f.getField("frame_idx") %
+          ceil(size(col("_frames")) / lit(n.toDouble)).cast("long") === 0)))
+      .withColumn("frame_idx", col("_fr.frame_idx"))
+      .withColumn("pts_sec", col("_fr.pts_us").cast("double") / 1e6)
+      .withColumn("frame_bytes", col("_fr.frame_bytes"))
+      .drop("_frames", "_fr")
+    val stub = withBytes.filter(demux.isNull)
+      .withColumn("frame_idx", explode(sequence(lit(0L), lit(n - 1L))))
       .withColumn("pts_sec",
         col("frame_idx").cast("double") * octet_length(col("bytes")) / n / 25.0)
       .withColumn("frame_bytes",
         expr(s"substring(bytes, CAST(frame_idx * octet_length(bytes) / $n AS INT) + 1, " +
           s"greatest(CAST(octet_length(bytes) / $n AS INT), 1))"))
+    real.unionByName(stub)
+  }
 
   /** Feature-extraction schema: input rows + fixed-width float vector. */
   def featureSchema(input: StructType): StructType =
     StructType(input.fields :+ StructField("features", ArrayType(FloatType), nullable = false))
 
+  /** Feature extraction over an opaque media column, routed per row to
+    * the REAL decode rungs where one exists (r11, retiring the fake for
+    * those arms): PNG pixels via `graft_png_pixels`, 16-bit PCM WAV
+    * samples via `graft_wav_pcm`, DIB-AVI frames via `graft_avi_frames`
+    * — each arm's `featureDim`-float descriptor is derived from ACTUAL
+    * decoded pixels/samples (arm tag, geometry, normalized channel
+    * means / signal statistics). The decoders are the sniffs (null for
+    * anything they don't support), so no separate container predicate
+    * exists to drift from the decode reality; rows no real rung decodes
+    * (JPEG/MP4/plain text) fall back to [[decodeStub]], the documented
+    * codec plug-in point. All three real arms are fused codegen
+    * expressions — row-local, shuffle-free; the residual split is two
+    * filters of the same scan (with media laid out by container, each
+    * arm prunes to its modality instead of rescanning). */
+  def decodeFeatures(withBytes: DataFrame): DataFrame = {
+    val png = call_function("graft_png_pixels", col("bytes"))
+    val wav = call_function("graft_wav_pcm", col("bytes"))
+    val avi = call_function("graft_avi_frames", col("bytes"))
+    def f(c: Column) = c.cast("float")
+    // PNG: [1, w, h, mean_r, mean_g, mean_b in [0,1], n_pixels, 0]
+    val pngPix = element_at(png, 1) * element_at(png, 2)
+    val pngFeat = array(f(lit(1)), f(element_at(png, 1)), f(element_at(png, 2)),
+      f(element_at(png, 3) / pngPix / 255.0), f(element_at(png, 4) / pngPix / 255.0),
+      f(element_at(png, 5) / pngPix / 255.0), f(pngPix), f(lit(0)))
+    // WAV: [2, n_frames, peak/2^15, rms/2^15, zero-cross rate, 0, 0, 0]
+    val wn = element_at(wav, 1)
+    val wavFeat = array(f(lit(2)), f(wn), f(element_at(wav, 2) / 32768.0),
+      f(sqrt(element_at(wav, 3) / greatest(wn, lit(1L))) / 32768.0),
+      f(element_at(wav, 4) / greatest(wn - 1, lit(1L))),
+      f(lit(0)), f(lit(0)), f(lit(0)))
+    // AVI: [3, n_frames, w, h, mean_r, mean_g, mean_b in [0,1]] over ALL
+    // decoded frames (aggregate over the per-frame sums — still row-local)
+    val nf = size(avi).cast("long")
+    val aviPix = element_at(avi, 1).getField("width") *
+      element_at(avi, 1).getField("height") * nf
+    def aviSum(field: String) =
+      aggregate(avi, lit(0L), (acc, fr) => acc + fr.getField(field))
+    val aviFeat = array(f(lit(3)), f(nf),
+      f(element_at(avi, 1).getField("width")), f(element_at(avi, 1).getField("height")),
+      f(aviSum("sum_r") / aviPix / 255.0), f(aviSum("sum_g") / aviPix / 255.0),
+      f(aviSum("sum_b") / aviPix / 255.0), f(lit(0)))
+    val routed = withBytes.withColumn("features",
+      when(png.isNotNull, pngFeat)
+        .when(wav.isNotNull, wavFeat)
+        .when(avi.isNotNull && nf > 0, aviFeat))
+    routed.filter(col("features").isNotNull)
+      .unionByName(decodeStub(routed.filter(col("features").isNull).drop("features")))
+  }
+
   /** STUB decode: batch feature extraction over the binary column via
     * mapPartitions (the Spark-side shape a real decoder plugs into — one
     * model/codec instance per partition, rows streamed through it).
     *
-    * A real implementation would decode `bytes` (JPEG/WAV/MP4) and run a
-    * feature extractor here; this container has no codecs, so features
-    * are a DETERMINISTIC FAKE: byte-position-weighted sums folded into
-    * `featureDim` buckets. The schema, batching and partition behavior
-    * are the real contract. */
+    * A real implementation would decode `bytes` (JPEG/MP4) and run a
+    * feature extractor here; this container has no such codecs, so
+    * features are a DETERMINISTIC FAKE: byte-position-weighted sums
+    * folded into `featureDim` buckets. The schema, batching and
+    * partition behavior are the real contract. Media with codec-free
+    * containers never reach this stub — [[decodeFeatures]] routes
+    * PNG/WAV/AVI rows through their real decode rungs first. */
   def decodeStub(withBytes: DataFrame): DataFrame = {
     val inSchema = withBytes.schema
     val outSchema = featureSchema(inSchema)

@@ -75,21 +75,26 @@ case class AviFrameStats(child: Expression) extends UnaryExpression {
 }
 
 object AviFrameStats {
-  private def le32(b: Array[Byte], p: Int): Long =
+  private[plans] def le32(b: Array[Byte], p: Int): Long =
     (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
       ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
 
-  private def fourCC(b: Array[Byte], p: Int, s: String): Boolean =
+  private[plans] def fourCC(b: Array[Byte], p: Int, s: String): Boolean =
     b(p) == s.charAt(0).toByte && b(p + 1) == s.charAt(1).toByte &&
       b(p + 2) == s.charAt(2).toByte && b(p + 3) == s.charAt(3).toByte
 
-  /** Decode a DIB-frame AVI to per-frame channel sums; null for
-    * anything that is not a structurally valid 24-bit `00db` AVI. */
-  def decode(b: Array[Byte]): GenericArrayData = {
+  /** Validated header facts both AVI consumers ([[decode]]'s stats pass
+    * and [[AviDemux]]'s frame extraction) need: geometry, frame count,
+    * the avih frame period, and the movi extent. */
+  private[plans] final case class Header(w: Long, h: Long, nf: Long,
+      usPerFrame: Long, moviOff: Long, moviEnd: Long, frameBytes: Long)
+
+  /** Pass 1 — top-level walk to the hdrl LIST, read + cross-validate
+    * avih and strf; null for anything not a supported 24-bit DIB AVI. */
+  private[plans] def parseHeader(b: Array[Byte]): Header = {
     if (b.length < 24 || !fourCC(b, 0, "RIFF") || !fourCC(b, 8, "AVI ")) return null
     val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4))
-    // ---- pass 1: top-level walk to the hdrl LIST, read avih + strf
-    var w = -1L; var h = -1L; var totalFrames = -1L
+    var w = -1L; var h = -1L; var totalFrames = -1L; var usPerFrame = 0L
     var strfW = -2L; var strfH = -2L; var bitCount = -1L; var compression = -1L
     var moviOff = -1L; var moviEnd = -1L
     var p = 12L
@@ -106,6 +111,7 @@ object AviFrameStats {
             val cEnd = q + 8 + csz
             if (cEnd > dataEnd) return null
             if (fourCC(b, q.toInt, "avih") && csz >= 56) {
+              usPerFrame = le32(b, q.toInt + 8)
               totalFrames = le32(b, q.toInt + 8 + 16)
               w = le32(b, q.toInt + 8 + 32)
               h = le32(b, q.toInt + 8 + 36)
@@ -147,15 +153,25 @@ object AviFrameStats {
     val stride = (w * 3 + 3) & ~3L
     val frameBytes = h * stride
     if (frameBytes <= 0 || frameBytes > Int.MaxValue) return null
+    Header(w, h, totalFrames, usPerFrame, moviOff, moviEnd, frameBytes)
+  }
+
+  /** Decode a DIB-frame AVI to per-frame channel sums; null for
+    * anything that is not a structurally valid 24-bit `00db` AVI. */
+  def decode(b: Array[Byte]): GenericArrayData = {
+    val hd = parseHeader(b)
+    if (hd == null) return null
+    val w = hd.w; val h = hd.h
+    val stride = (w * 3 + 3) & ~3L
     // ---- pass 2: movi walk — every 00db chunk is one frame
     val rows = new java.util.ArrayList[InternalRow]()
-    var q = moviOff
+    var q = hd.moviOff
     var idx = 0L
-    while (q + 8 <= moviEnd) {
+    while (q + 8 <= hd.moviEnd) {
       val csz = le32(b, q.toInt + 4)
-      if (q + 8 + csz > moviEnd) return null
+      if (q + 8 + csz > hd.moviEnd) return null
       if (fourCC(b, q.toInt, "00db")) {
-        if (csz != frameBytes) return null
+        if (csz != hd.frameBytes) return null
         var sB = 0L; var sG = 0L; var sR = 0L
         val base = (q + 8).toInt
         var y = 0
@@ -178,7 +194,84 @@ object AviFrameStats {
       }
       q += 8 + csz + (csz & 1)
     }
-    if (idx != totalFrames) return null
+    if (idx != hd.nf) return null
+    new GenericArrayData(rows.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
+/** REAL frame demux (r11) — the extraction twin of [[AviFrameStats]]:
+  * instead of reducing frames to channel sums, emit every `every`-th
+  * frame's RAW DIB BYTES with its EXACT presentation time — what a
+  * vision-training pipeline feeds downstream (resize / embed / filter),
+  * retiring the even-byte-slice frameSample stub for the AVI arm. Same
+  * validated header walk (shared [[AviFrameStats.parseHeader]]), same
+  * decoder-is-the-sniff contract: null for anything not a supported
+  * 24-bit DIB AVI, so the router needs no separate container predicate.
+  *
+  * `pts_us` is the exact integer `frame_idx · dwMicroSecPerFrame`
+  * (avih's frame period) — no float division in the contract, so the
+  * demux output is oracle-hashable end to end. */
+case class AviDemux(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, int) arguments, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("pts_us", LongType, nullable = false),
+    StructField("frame_bytes", BinaryType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_avi_demux"
+
+  override def nullSafeEval(bytes: Any, every: Any): Any =
+    AviDemux.demux(bytes.asInstanceOf[Array[Byte]], every.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, e) => {
+      val res = ctx.freshName("demux")
+      s"""
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $res =
+         |  graft.plans.AviDemux.demux($b, $e);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AviDemux = copy(left = newLeft, right = newRight)
+}
+
+object AviDemux {
+  import AviFrameStats.{fourCC, le32, parseHeader}
+
+  /** Extract every `every`-th DIB frame (raw bytes, exact pts); null for
+    * non-AVI input or a non-positive `every`. */
+  def demux(b: Array[Byte], every: Int): GenericArrayData = {
+    if (every <= 0) return null
+    val hd = parseHeader(b)
+    if (hd == null) return null
+    val rows = new java.util.ArrayList[InternalRow]()
+    var q = hd.moviOff
+    var idx = 0L
+    while (q + 8 <= hd.moviEnd) {
+      val csz = le32(b, q.toInt + 4)
+      if (q + 8 + csz > hd.moviEnd) return null
+      if (fourCC(b, q.toInt, "00db")) {
+        if (csz != hd.frameBytes) return null
+        if (idx % every == 0) {
+          val frame = java.util.Arrays.copyOfRange(b, (q + 8).toInt,
+            (q + 8 + csz).toInt)
+          rows.add(new GenericInternalRow(Array[Any](idx, idx * hd.usPerFrame, frame)))
+        }
+        idx += 1
+      }
+      q += 8 + csz + (csz & 1)
+    }
+    if (idx != hd.nf) return null
     new GenericArrayData(rows.toArray.asInstanceOf[Array[Any]])
   }
 }

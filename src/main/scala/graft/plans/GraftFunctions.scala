@@ -109,6 +109,10 @@ object GraftFunctions {
       "deterministic synthetic DIB-frame AVI for a doc id (the decode tier's test signal)", 1) {
       case Seq(id) => AviSynth(id)
     },
+    fn("graft_avi_demux",
+      "every Nth (frame_idx, pts_us, frame_bytes) of a DIB-frame AVI; NULL if not one", 2) {
+      case Seq(b, n) => AviDemux(b, n)
+    },
     // The reference ships FOUR ArrayListAggFunction variants (.java, 2, 3,
     // 4) solely to thread generic element types through Flink's type
     // inference tiers; Catalyst aggregates are natively generic, so ONE

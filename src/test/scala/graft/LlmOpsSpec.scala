@@ -190,10 +190,85 @@ class LlmOpsSpec extends AnyFunSuite {
     val plan = physicalPlan(frames)
     assert(!plan.contains("Exchange"), s"frame fan-out must be shuffle-free:\n$plan")
     val r = frames.filter(col("doc_id") === 0)
-      .select("frame_idx", "pts_sec", "frame_bytes").collect().sortBy(_.getInt(0))
-    assert(r.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+      .select("frame_idx", "pts_sec", "frame_bytes").collect().sortBy(_.getLong(0))
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
     assert(r(0).getDouble(1) == 0.0 && r(3).getDouble(1) > 0.0)
     assert(r.forall(_.getAs[Array[Byte]](2).nonEmpty))
+  }
+
+  test("frameSample: AVI rows demux REAL frame bytes with exact pts; others keep the stub slices") {
+    import spark.implicits._
+    import graft.plans.{AviSynth, AviFrameStats}
+    // doc 3: real 24-bit DIB AVI (7 frames: 3 % 5 = 3 ⇒ nf = 2 + 3 = 5);
+    // doc 9: plain text — must take the even-slice fallback arm
+    val media = Seq(3L, 9L).toDF("doc_id")
+      .withColumn("bytes",
+        when(col("doc_id") === 3, expr("graft_avi_synth(doc_id)"))
+          .otherwise(expr("encode('not a container at all', 'UTF-8')")))
+    val out = Multimodal.frameSample(media, n = 3)
+      .select("doc_id", "frame_idx", "pts_sec", "frame_bytes").collect()
+    val avi = out.filter(_.getLong(0) == 3L).sortBy(_.getLong(1))
+    // nf = 5, n = 3 ⇒ stride = ceil(5/3) = 2 ⇒ real frames 0, 2, 4
+    assert(avi.map(_.getLong(1)).toSeq == Seq(0L, 2L, 4L), avi.mkString(","))
+    // exact pts from avih's dwMicroSecPerFrame (33333 + (3%3)·8334)
+    assert(avi(1).getDouble(2) == 2 * 33333 / 1e6)
+    // the frame BYTES are the real movi payload: synthesis formula,
+    // stride padding included (raw DIB rows, pad bytes and all)
+    val fb = avi(1).getAs[Array[Byte]](3) // frame_idx 2
+    val w = AviSynth.width(3L).toInt; val h = AviSynth.height(3L).toInt
+    val stride = (w * 3 + 3) & ~3
+    assert(fb.length == h * stride)
+    assert(fb.zipWithIndex.forall { case (b, j) =>
+      (b & 0xff) == AviSynth.storedByte(3L, 2L, j.toLong) })
+    // the non-AVI row kept the documented fallback fan-out
+    assert(out.count(_.getLong(0) == 9L) == 3)
+    // and the demux expression refuses a corrupt container (truncated
+    // movi) rather than emitting partial frames
+    val good = AviSynth.synth(3L)
+    assert(graft.plans.AviDemux.demux(good, 1).numElements() == 5)
+    assert(graft.plans.AviDemux.demux(java.util.Arrays.copyOf(good, good.length - 4), 1) == null)
+    assert(graft.plans.AviDemux.demux(good, 0) == null)
+    // demux and stats agree on the validated geometry
+    assert(AviFrameStats.decode(good).numElements() == 5)
+  }
+
+  test("decodeFeatures: PNG/WAV/AVI arms carry REAL decoded features; codec-bound rows fall back") {
+    import spark.implicits._
+    // one row per arm: real PNG (graft_png_synth), real WAV (synthMedia's
+    // wav arm carries real 16-bit PCM), real AVI (graft_avi_synth), and a
+    // JPEG-headed row that no real rung decodes (the stub plug-in point)
+    val wavRow = Multimodal.synthMedia(Seq((2L, "pcm payload text")).toDF("doc_id", "text"))
+      .select(col("doc_id"), col("bytes")) // 2 % 5 = 2 ⇒ wav container
+    val jpegRow = Multimodal.synthMedia(Seq((5L, "jpeg body")).toDF("doc_id", "text"))
+      .select(col("doc_id"), col("bytes")) // 5 % 5 = 0 ⇒ jpeg container
+    val media = Seq(1L).toDF("doc_id")
+      .select(col("doc_id"), expr("graft_png_synth(doc_id)").as("bytes"))
+      .unionByName(Seq(3L).toDF("doc_id")
+        .select(col("doc_id"), expr("graft_avi_synth(doc_id)").as("bytes")))
+      .unionByName(wavRow).unionByName(jpegRow)
+    val feats = Multimodal.decodeFeatures(media)
+      .select(col("doc_id"), col("features")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.values.forall(_.length == Multimodal.featureDim))
+    // arm tags: 1 = png, 2 = wav, 3 = avi — real decodes, not the fake
+    assert(feats(1L)(0) == 1f && feats(2L)(0) == 2f && feats(3L)(0) == 3f, feats.toString)
+    // PNG features are derived from the ACTUAL decoded pixels
+    val px = graft.plans.PngPixelStats.decode(graft.plans.PngSynth.synth(1L))
+    val nPix = (px(0) * px(1)).toFloat
+    assert(feats(1L)(1) == px(0) && feats(1L)(2) == px(1))
+    assert(math.abs(feats(1L)(3) - px(2) / nPix / 255.0) < 1e-6)
+    // WAV features from the real PCM stats expression
+    val st = graft.plans.WavPcmStats.decode(wavRow.collect()(0).getAs[Array[Byte]](1))
+    assert(feats(2L)(1) == st(0).toFloat && // n_frames
+      math.abs(feats(2L)(2) - st(1) / 32768.0) < 1e-6) // peak
+    // AVI features over ALL real frames
+    assert(feats(3L)(1) == graft.plans.AviSynth.frames(3L).toFloat)
+    assert(feats(3L)(2) == graft.plans.AviSynth.width(3L).toFloat)
+    // the JPEG row fell back to the deterministic stub — its features
+    // equal decodeStub's on the same bytes
+    val stubF = Multimodal.decodeStub(jpegRow).select(col("features"))
+      .collect()(0).getSeq[Float](0)
+    assert(feats(5L) == stubF)
   }
 
   test("span dedup removes cross-doc boilerplate and reassembles in order") {
@@ -272,10 +347,15 @@ class LlmOpsSpec extends AnyFunSuite {
       .map { case (t, i) =>
         if (i == 18) (73L, texts(13)) else (i.toLong, t) }
       .toDF("doc_id", "text")
-    // binary → typed meta → stub decode: the features column is the
-    // real fixed-width contract a codec-backed decoder would fill
-    val feats = Multimodal.decodeStub(Multimodal.withMetaFromDocs(df))
+    // binary → typed meta → routed decode: the WAV rows (doc_id % 5 = 2)
+    // carry REAL PCM-derived features (the synthMedia wav arm embeds the
+    // payload as genuine 16-bit PCM), the codec-bound rest take the
+    // documented stub plug-in point — one fixed-width contract either way
+    val feats = Multimodal.decodeFeatures(Multimodal.withMetaFromDocs(df))
       .select(col("doc_id"), col("modality"), col("features"))
+    assert(feats.filter(col("modality") === "audio")
+      .collect().forall(_.getSeq[Float](2).head == 2f),
+      "audio rows must ride the real PCM decode arm")
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     assert(feats.schema("features").dataType.asInstanceOf[ArrayType]
       .elementType == FloatType)
