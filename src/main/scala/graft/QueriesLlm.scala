@@ -605,6 +605,29 @@ object QueriesLlm {
         octet_length(col("_fr.frame_bytes")).cast("long").as("frame_len"),
         md5(hex(col("_fr.frame_bytes"))).as("frame_md5"))
 
+  /** REAL JPEG decode (r11): the last decode rung — baseline JFIF over
+    * the media lake's jpeg arm (doc_id%5=0), decoded by
+    * `graft_jpeg_pixels` (plans/JpegExprs.scala): marker walk, DHT
+    * canonical Huffman entropy decode, differential DC, dequant, the
+    * 13-bit fixed-point integer IDCT, fixed-point YCbCr→RGB, crop to
+    * the real (non-multiple-of-8) dimensions. The synthesis pins the
+    * QUANTIZED COEFFICIENTS (DC-only blocks, luma q0 = 8 cancels the
+    * transform's /8), so the oracle re-derives every decoded pixel —
+    * `dc + 128` per block, then the exact fixed-point color formula —
+    * arithmetically, never touching bytes: a hash match proves the
+    * whole chain is bit-exact. */
+  val imageJpeg: Q = (s, dir) =>
+    docs(s, dir).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        call_function("graft_jpeg_pixels",
+          call_function("graft_jpeg_synth", col("doc_id"))).as("_px"))
+      .select(col("doc_id"),
+        element_at(col("_px"), 1).as("width"),
+        element_at(col("_px"), 2).as("height"),
+        element_at(col("_px"), 3).as("sum_r"),
+        element_at(col("_px"), 4).as("sum_g"),
+        element_at(col("_px"), 5).as("sum_b"))
+
   /** Overlapping 64-word chunks with 16-word overlap — the
     * retrieval/training chunking pass over the corpus. */
   val chunkDocs: Q = (s, dir) =>
@@ -702,7 +725,8 @@ object QueriesLlm {
     "q_image_pixels"        -> imagePixels,
     "q_image_resize"        -> imageResize,
     "q_video_frames"        -> videoFrames,
-    "q_video_demux"         -> videoDemux)
+    "q_video_demux"         -> videoDemux,
+    "q_image_jpeg"          -> imageJpeg)
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -1950,7 +1974,43 @@ FROM c GROUP BY 1, 2"""),
         |)
         |SELECT doc_id, f AS frame_idx, CAST(f * usf AS BIGINT) AS pts_us,
         |       CAST(flen AS BIGINT) AS frame_len, md5(fhex) AS frame_md5
-        |FROM hx""".stripMargin
+        |FROM hx""".stripMargin,
+
+    // JPEG-decode twin: the synthesis pins the QUANTIZED COEFFICIENTS
+    // (DC-only blocks), so each block's decoded value is exactly
+    // dc + 128 (luma q0 = 8 cancels the IDCT's /8) and the oracle
+    // re-derives every pixel arithmetically — block grid with edge
+    // cropping (vis), then the EXACT fixed-point color formula the
+    // decoder applies: floor((c·x + 32768) / 65536) via a positive-bias
+    // integer division (x + 2^31) // 65536 - 32768, so the rounding of
+    // negative chroma products matches Spark's arithmetic >> bit-for-bit
+    "q_image_jpeg" ->
+      """WITH m AS (
+        |  SELECT doc_id, 9 + doc_id % 24 AS w, 8 + doc_id % 17 AS h,
+        |         (9 + doc_id % 24 + 7) // 8 AS bw, (8 + doc_id % 17 + 7) // 8 AS bh
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), blk AS (
+        |  SELECT doc_id, w, h,
+        |         LEAST(8, w - (k % bw) * 8) * LEAST(8, h - (k // bw) * 8) AS vis,
+        |         (doc_id * 13 + k * 7) % 128 + 64 AS yy,
+        |         (doc_id * 13 + 29 + k * 7) % 128 - 64 AS cbb,
+        |         (doc_id * 13 + 58 + k * 7) % 128 - 64 AS crr
+        |  FROM m, LATERAL unnest(generate_series(0, CAST(bw * bh - 1 AS BIGINT))) t(k)
+        |), px AS (
+        |  SELECT doc_id, w, h, vis,
+        |    LEAST(255, GREATEST(0,
+        |      yy + ((91881 * crr + 32768 + 2147483648) // 65536) - 32768)) AS r,
+        |    LEAST(255, GREATEST(0,
+        |      yy - ((22554 * cbb + 46802 * crr + 32768 + 2147483648) // 65536) + 32768)) AS g,
+        |    LEAST(255, GREATEST(0,
+        |      yy + ((116130 * cbb + 32768 + 2147483648) // 65536) - 32768)) AS b
+        |  FROM blk
+        |)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(SUM(r * vis) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g * vis) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b * vis) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3""".stripMargin
   ) ++ Map(
     // the served IVF-PQ query returns the inline composition's exact
     // rows (parquet round-trips both codebooks and the codes

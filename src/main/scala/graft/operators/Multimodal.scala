@@ -438,28 +438,35 @@ object Multimodal {
 
   /** Feature extraction over an opaque media column, routed per row to
     * the REAL decode rungs where one exists (r11, retiring the fake for
-    * those arms): PNG pixels via `graft_png_pixels`, 16-bit PCM WAV
-    * samples via `graft_wav_pcm`, DIB-AVI frames via `graft_avi_frames`
-    * — each arm's `featureDim`-float descriptor is derived from ACTUAL
-    * decoded pixels/samples (arm tag, geometry, normalized channel
-    * means / signal statistics). The decoders are the sniffs (null for
-    * anything they don't support), so no separate container predicate
-    * exists to drift from the decode reality; rows no real rung decodes
-    * (JPEG/MP4/plain text) fall back to [[decodeStub]], the documented
-    * codec plug-in point. All three real arms are fused codegen
-    * expressions — row-local, shuffle-free; the residual split is two
-    * filters of the same scan (with media laid out by container, each
-    * arm prunes to its modality instead of rescanning). */
+    * those arms): PNG pixels via `graft_png_pixels`, baseline JPEG via
+    * `graft_jpeg_pixels`, 16-bit PCM WAV samples via `graft_wav_pcm`,
+    * DIB-AVI frames via `graft_avi_frames` — each arm's
+    * `featureDim`-float descriptor is derived from ACTUAL decoded
+    * pixels/samples (arm tag, geometry, normalized channel means /
+    * signal statistics). The decoders are the sniffs (null for anything
+    * they don't support), so no separate container predicate exists to
+    * drift from the decode reality; rows no real rung decodes (MP4,
+    * out-of-profile images, plain text) fall back to [[decodeStub]],
+    * the documented codec plug-in point. All four real arms are fused
+    * codegen expressions — row-local, shuffle-free; the residual split
+    * is two filters of the same scan (with media laid out by container,
+    * each arm prunes to its modality instead of rescanning). */
   def decodeFeatures(withBytes: DataFrame): DataFrame = {
     val png = call_function("graft_png_pixels", col("bytes"))
+    val jpg = call_function("graft_jpeg_pixels", col("bytes"))
     val wav = call_function("graft_wav_pcm", col("bytes"))
     val avi = call_function("graft_avi_frames", col("bytes"))
     def f(c: Column) = c.cast("float")
-    // PNG: [1, w, h, mean_r, mean_g, mean_b in [0,1], n_pixels, 0]
-    val pngPix = element_at(png, 1) * element_at(png, 2)
-    val pngFeat = array(f(lit(1)), f(element_at(png, 1)), f(element_at(png, 2)),
-      f(element_at(png, 3) / pngPix / 255.0), f(element_at(png, 4) / pngPix / 255.0),
-      f(element_at(png, 5) / pngPix / 255.0), f(pngPix), f(lit(0)))
+    // PNG: [1, w, h, mean_r, mean_g, mean_b in [0,1], n_pixels, 0];
+    // JPEG shares the shape (same decode contract) under arm tag 4
+    def imgFeat(px: Column, tag: Int) = {
+      val n = element_at(px, 1) * element_at(px, 2)
+      array(f(lit(tag)), f(element_at(px, 1)), f(element_at(px, 2)),
+        f(element_at(px, 3) / n / 255.0), f(element_at(px, 4) / n / 255.0),
+        f(element_at(px, 5) / n / 255.0), f(n), f(lit(0)))
+    }
+    val pngFeat = imgFeat(png, 1)
+    val jpgFeat = imgFeat(jpg, 4)
     // WAV: [2, n_frames, peak/2^15, rms/2^15, zero-cross rate, 0, 0, 0]
     val wn = element_at(wav, 1)
     val wavFeat = array(f(lit(2)), f(wn), f(element_at(wav, 2) / 32768.0),
@@ -479,6 +486,7 @@ object Multimodal {
       f(aviSum("sum_b") / aviPix / 255.0), f(lit(0)))
     val routed = withBytes.withColumn("features",
       when(png.isNotNull, pngFeat)
+        .when(jpg.isNotNull, jpgFeat)
         .when(wav.isNotNull, wavFeat)
         .when(avi.isNotNull && nf > 0, aviFeat))
     routed.filter(col("features").isNotNull)

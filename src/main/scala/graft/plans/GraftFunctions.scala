@@ -113,6 +113,14 @@ object GraftFunctions {
       "every Nth (frame_idx, pts_us, frame_bytes) of a DIB-frame AVI; NULL if not one", 2) {
       case Seq(b, n) => AviDemux(b, n)
     },
+    fn("graft_jpeg_pixels",
+      "[width, height, sum_r, sum_g, sum_b] of a baseline 4:4:4 JFIF; NULL if not one", 1) {
+      case Seq(b) => JpegPixelStats(b)
+    },
+    fn("graft_jpeg_synth",
+      "deterministic DC-only baseline JFIF for a doc id (the decode tier's test signal)", 1) {
+      case Seq(id) => JpegSynth(id)
+    },
     // The reference ships FOUR ArrayListAggFunction variants (.java, 2, 3,
     // 4) solely to thread generic element types through Flink's type
     // inference tiers; Catalyst aggregates are natively generic, so ONE

@@ -938,6 +938,161 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.forall(r => r.getAs[Long]("frame_idx") % 2 == 0))
   }
 
+  test("JPEG: decode(synth) equals the coefficient formula; out-of-profile and corrupt inputs reject") {
+    import spark.implicits._
+    import graft.plans.{JpegPixelStats, JpegSynth}
+    def oracle(id: Long): Array[Long] = {
+      val w = JpegSynth.width(id); val h = JpegSynth.height(id)
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (k <- 0 until bw * bh) {
+        val vis = math.min(8, w - (k % bw) * 8) * math.min(8, h - (k / bw) * 8)
+        val (r, g, b) = JpegPixelStats.ycc2rgb(JpegSynth.dcCoef(id, 0, k) + 128,
+          JpegSynth.dcCoef(id, 1, k) + 128, JpegSynth.dcCoef(id, 2, k) + 128)
+        sr += r.toLong * vis; sg += g.toLong * vis; sb += b.toLong * vis
+      }
+      Array(w, h, sr, sg, sb)
+    }
+    // geometry sweep hits non-multiple-of-8 widths AND heights (edge
+    // blocks overhang; a decoder that skips cropping cannot match) and
+    // DC chains long enough to exercise every category 0..7
+    for (id <- Seq(0L, 5L, 10L, 35L, 120L, 123455L))
+      assert(JpegPixelStats.decode(JpegSynth.synth(id)).toSeq == oracle(id).toSeq, s"id=$id")
+    val good = JpegSynth.synth(10L)
+    // trailing payload after EOI is tolerated (media-lake rows append text)
+    assert(JpegPixelStats.decode(good ++ "trailing".getBytes).toSeq ==
+      JpegPixelStats.decode(good).toSeq)
+    // truncation mid-entropy / non-JPEG rejected, never garbled or thrown
+    assert(JpegPixelStats.decode(good.take(good.length - 3)) == null)
+    assert(JpegPixelStats.decode("not a jpeg at all".getBytes) == null)
+    def patched(f: Array[Byte] => Unit): Array[Byte] = { val c = good.clone(); f(c); c }
+    def sofAt: Int = { // locate FFC0
+      var i = 2
+      while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0)) i += 1
+      i
+    }
+    // progressive (SOF2) is out of the baseline profile
+    assert(JpegPixelStats.decode(patched(_(sofAt + 1) = 0xc2.toByte)) == null)
+    // chroma subsampling (2x2 for component 1) is out of profile
+    assert(JpegPixelStats.decode(patched(_(sofAt + 11) = 0x22.toByte)) == null)
+    // dimension bombs reject before allocation (w = 0xFFFF > 2^12)
+    assert(JpegPixelStats.decode(patched { c =>
+      c(sofAt + 7) = 0xff.toByte; c(sofAt + 8) = 0xff.toByte }) == null)
+    // operator path: the registered expression over a DataFrame, and the
+    // routed feature extractor rides the real arm (tag 4)
+    val media = Seq(0L, 15L).toDF("doc_id")
+      .selectExpr("doc_id", "graft_jpeg_synth(doc_id) AS bytes")
+    val viaSql = media.selectExpr("doc_id", "graft_jpeg_pixels(bytes) AS px")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql(0L) == oracle(0L).toSeq && viaSql(15L) == oracle(15L).toSeq)
+    val feats = Multimodal.decodeFeatures(media)
+      .select(col("doc_id"), col("features")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(0L)(0) == 4f && feats(0L)(1) == JpegSynth.width(0L).toFloat)
+  }
+
+  test("JPEG: general AC entropy decode (runs, ZRL, EOB), grayscale, restart markers") {
+    import graft.plans.{JpegPixelStats, JpegSynth}
+    // hand-built grayscale stream with REAL AC coefficients — the DC-only
+    // oracle corpus never exercises runs/ZRL or the IDCT's AC path, so
+    // this does: coefficients placed at zigzag positions with short runs,
+    // a 16-zero ZRL run, and an EOB tail; q = 1 so dequant is identity
+    class W { // minimal canonical-code bit writer with stuffing
+      val out = new java.io.ByteArrayOutputStream()
+      private var buf = 0; private var cnt = 0
+      def bit(v: Int): Unit = {
+        buf = (buf << 1) | v; cnt += 1
+        if (cnt == 8) { out.write(buf); if ((buf & 0xff) == 0xff) out.write(0); buf = 0; cnt = 0 }
+      }
+      def put(code: Int, len: Int): Unit = (len - 1 to 0 by -1).foreach(i => bit((code >> i) & 1))
+      def flushOnes(): Unit = while (cnt != 0) bit(1)
+    }
+    val dcT = JpegPixelStats.canonicalCodes(JpegSynth.DcLumaBits, JpegSynth.DcVals)
+    val acT = JpegPixelStats.canonicalCodes(JpegSynth.AcBits, JpegSynth.AcVals)
+    def cat(v: Int): Int = { var t = 0; var a = math.abs(v); while (a > 0) { t += 1; a >>= 1 }; t }
+    // encode one block from zigzag-ordered coefficients
+    def block(w: W, zz: Array[Int], predIn: Int): Int = {
+      val t = cat(zz(0) - predIn)
+      val (dl, dc) = dcT(t); w.put(dc, dl)
+      if (t > 0) w.put(if (zz(0) - predIn < 0) zz(0) - predIn + (1 << t) - 1 else zz(0) - predIn, t)
+      var k = 1; var run = 0
+      while (k <= 63) {
+        if (zz(k) == 0) run += 1
+        else {
+          while (run >= 16) { val (l, c) = acT(0xf0); w.put(c, l); run -= 16 } // ZRL
+          val s = cat(zz(k))
+          val (l, c) = acT((run << 4) | s); w.put(c, l)
+          w.put(if (zz(k) < 0) zz(k) + (1 << s) - 1 else zz(k), s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (l, c) = acT(0x00); w.put(c, l) } // EOB
+      zz(0)
+    }
+    // two 8x8 MCUs side by side (16x8), DRI = 1 so a RST0 sits between
+    val zz1 = new Array[Int](64)
+    zz1(0) = -30; zz1(1) = 12; zz1(5) = -7; zz1(25) = 3 // short runs
+    val zz2 = new Array[Int](64)
+    zz2(0) = 50; zz2(2) = 4; zz2(20) = -9; zz2(40) = 2 // includes a 17-gap ZRL
+    val out = new java.io.ByteArrayOutputStream()
+    def m(mk: Int): Unit = { out.write(0xff); out.write(mk) }
+    def b16(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xff) }
+    m(0xd8)
+    m(0xdb); b16(2 + 65); out.write(0) // DQT 0: identity
+    (0 until 64).foreach(_ => out.write(1))
+    m(0xc0); b16(8 + 3); out.write(8); b16(8); b16(16); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    m(0xc4); b16(2 + 17 + JpegSynth.DcVals.length); out.write(0x00)
+    JpegSynth.DcLumaBits.foreach(out.write); JpegSynth.DcVals.foreach(out.write)
+    m(0xc4); b16(2 + 17 + JpegSynth.AcVals.length); out.write(0x10)
+    JpegSynth.AcBits.foreach(out.write); JpegSynth.AcVals.foreach(out.write)
+    m(0xdd); b16(4); b16(1) // DRI = 1 MCU
+    m(0xda); b16(6 + 2); out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    val w1 = new W; block(w1, zz1, 0); w1.flushOnes()
+    out.write(w1.out.toByteArray)
+    m(0xd0) // RST0, predictors reset
+    val w2 = new W; block(w2, zz2, 0); w2.flushOnes() // pred reset ⇒ diff from 0
+    out.write(w2.out.toByteArray)
+    m(0xd9)
+    val got = JpegPixelStats.decode(out.toByteArray)
+    assert(got != null, "grayscale AC stream must decode")
+    // expected: idct of the dezigzagged coefficients, r = g = b = Y
+    def sums(zz: Array[Int]): Long = {
+      val nat = new Array[Int](64)
+      (0 until 64).foreach(k => nat(JpegPixelStats.Zigzag(k)) = zz(k))
+      val px = new Array[Int](64)
+      JpegPixelStats.idct8x8(nat, px)
+      px.map(_.toLong).sum
+    }
+    val want = sums(zz1) + sums(zz2)
+    assert(got.toSeq == Seq(16L, 8L, want, want, want), s"got ${got.toSeq}")
+  }
+
+  test("JPEG IDCT: fixed-point output within 1 of the double-precision reference") {
+    import graft.plans.JpegPixelStats
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 50) {
+      val c = Array.fill(64)(if (rnd.nextInt(3) == 0) rnd.nextInt(1601) - 800 else 0)
+      val got = new Array[Int](64)
+      JpegPixelStats.idct8x8(c.clone(), got)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        var f = 0.0
+        for (v <- 0 until 8; u <- 0 until 8) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+          f += cu * cv * c(v * 8 + u) *
+            math.cos((2 * x + 1) * u * math.Pi / 16) *
+            math.cos((2 * y + 1) * v * math.Pi / 16)
+        }
+        val ref = math.max(0, math.min(255, math.round(f / 4 + 128).toInt))
+        assert(math.abs(got(y * 8 + x) - ref) <= 1,
+          s"trial=$trial ($x,$y): got ${got(y * 8 + x)} ref $ref")
+      }
+    }
+  }
+
   test("HLL: per-group estimates within the m=512 error envelope; registers stay KB-scale") {
     import spark.implicits._
     // group a: 10,000 distinct ids; group b: 200 distinct ids (the
