@@ -60,6 +60,16 @@ object QueriesLlm {
     Dedup.spanDedup(docs(s, dir), spanWords = 10, maxDf = 1L)
       .select(col("doc_id"), col("clean_text"), col("n_removed"))
 
+  /** Exact substring dedup over OVERLAPPING 10-word grams (r11): any
+    * 10-word sequence shared by more than one doc is removed from every
+    * carrier WHEREVER it starts — the offset-independent strengthening
+    * of q_dedup_spans (fixed spans miss passages that straddle a span
+    * boundary or sit at different offsets per doc), with maximal
+    * flagged runs merged so shared passages come out whole. */
+  val dedupSubstrings: Q = (s, dir) =>
+    Dedup.substringDedup(docs(s, dir), spanWords = 10, maxDf = 1L)
+      .select(col("doc_id"), col("clean_text"), col("n_removed"), col("n_spans"))
+
   /** Near-dup CLUSTERS from the minhash candidate pairs: pair emission
     * says A~B and B~C; clustering says {A,B,C} is one duplicate group
     * with one survivor (the minimum doc id = the component label) — via
@@ -257,6 +267,29 @@ object QueriesLlm {
     operators.Ann.buildIndex(annCorpus(s, dir), idx)
     operators.Ann.searchIndex(s, idx, annQueries(s, dir), k = 10, nprobe = 2)
       .select(col("query_id"), col("cell"), col("corpus_id"), col("rnk"), col("score_q"))
+  }
+
+  /** Recall@10 of the IVF probe against the exact brute-force top-10 —
+    * the ANN ladder's standard quality metric (r11): an index whose
+    * speed wins are bought with silent recall loss is not "done", so
+    * the evaluation is a first-class query like the indexes themselves.
+    * nprobe=1 deliberately (the lossiest rung): the metric shows the
+    * probe/recall trade the nprobe=2 and PQ rungs exist to tune.
+    * Integer-exact output (n_hits, recall_pct = n_hits·10), so it
+    * hash-matches. Scale shape: ground truth is brute force over the
+    * QUERY SAMPLE (the standard offline eval — queries broadcast, the
+    * corpus streams once per side, the join is query-sized). */
+  val simRecall: Q = (s, dir) => {
+    val brute = operators.Ann.bruteForceTopK(annQueries(s, dir),
+        annCorpus(s, dir).drop("cell"), k = 10)
+      .select(col("query_id"), col("corpus_id"))
+    val ivf = operators.Ann.ivfTopK(annQueries(s, dir), annCorpus(s, dir),
+        k = 10, nprobe = 1)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    brute.join(ivf, Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        (count(col("hit")) * 10).as("recall_pct"))
   }
 
   /** k-means-TRAINED IVF assignment: learn a 4-cell codebook from the
@@ -688,6 +721,7 @@ object QueriesLlm {
     "q_dedup_simhash"       -> dedupSimhash,
     "q_dedup_embcos"        -> dedupEmbCos,
     "q_dedup_spans"         -> dedupSpans,
+    "q_dedup_substrings"    -> dedupSubstrings,
     "q_freq_heavyhitters"   -> freqHeavyHitters,
     "q_freq_hh_grouped"     -> freqHeavyHittersGrouped,
     "q_freq_cms"            -> freqCms,
@@ -709,6 +743,7 @@ object QueriesLlm {
     "q_text_commonness"     -> textCommonness,
     "q_sim_ivf"             -> simIvf,
     "q_sim_ivf_probe2"      -> simIvfProbe2,
+    "q_sim_recall"          -> simRecall,
     "q_sim_kmeans"          -> simKmeans,
     "q_sim_pq"              -> simPq,
     "q_sim_ivfpq"           -> simIvfPq,
@@ -1172,6 +1207,46 @@ sym AS (
         |  coalesce(string_agg(CASE WHEN df = 1 THEN s.seg END, ' ' ORDER BY s.pos), '') AS clean_text,
         |  CAST(coalesce(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed
         |FROM seg s JOIN df USING (seg) GROUP BY 1""".stripMargin,
+
+    // substring-dedup twin: overlapping 10-grams by TEXT equality (the
+    // Spark side's md5 is a shuffle-width choice, not semantics), covered
+    // word positions from the flagged starts, maximal runs by the
+    // gaps-and-islands lag, and reassembly keeps exactly the uncovered
+    // words in order; every doc comes back (LEFT joins from documents)
+    "q_dedup_substrings" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i, array_to_string(a[i+1 : i+10], ' ') AS g
+        |  FROM arr, LATERAL unnest(generate_series(0, CAST(len(a) - 10 AS BIGINT))) t(i)
+        |  WHERE len(a) >= 10),
+        |dup AS (SELECT g FROM grams GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1),
+        |flagged AS (SELECT doc_id, i FROM grams JOIN dup USING (g)),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, i + d AS p
+        |  FROM flagged, LATERAL unnest(generate_series(0, 9)) t(d)),
+        |runs AS (
+        |  SELECT doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_removed,
+        |         CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+        |  FROM (SELECT doc_id, p,
+        |          COALESCE(p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p), 2) > 1 AS is_new
+        |        FROM covered)
+        |  GROUP BY 1),
+        |wordrows AS (
+        |  SELECT arr.doc_id, q - 1 AS p, a[CAST(q AS INT)] AS word
+        |  FROM arr, LATERAL unnest(generate_series(1, CAST(len(a) AS BIGINT))) t(q)),
+        |clean AS (
+        |  SELECT w.doc_id,
+        |         string_agg(CASE WHEN c.p IS NULL THEN w.word END, ' ' ORDER BY w.p)
+        |           AS clean_text
+        |  FROM wordrows w LEFT JOIN covered c ON c.doc_id = w.doc_id AND c.p = w.p
+        |  GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(cl.clean_text, '') AS clean_text,
+        |       COALESCE(r.n_removed, 0) AS n_removed,
+        |       COALESCE(r.n_spans, 0) AS n_spans
+        |FROM documents d
+        |LEFT JOIN clean cl USING (doc_id)
+        |LEFT JOIN runs r USING (doc_id)""".stripMargin,
 
     "q_freq_heavyhitters" ->
       """WITH w AS (
@@ -1693,6 +1768,33 @@ FROM c GROUP BY 1, 2"""),
 
     "q_sim_ivf" -> ivfOracle(nprobe = 1),
     "q_sim_ivf_probe2" -> ivfOracle(nprobe = 2),
+
+    // recall twin: the brute top-10 (the q_sim_topk shape) left-joined
+    // with the IVF top-10 (the full ivfOracle body as a subquery — its
+    // own WITH nests legally); counts are integer-exact
+    "q_sim_recall" ->
+      s"""WITH brute AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY score_q DESC, corpus_id ASC) AS rnk
+         |    FROM (
+         |      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |        ${cosSql("CAST(q.embedding AS DOUBLE[])", "CAST(c.embedding AS DOUBLE[])")} AS score_q
+         |      FROM embeddings q, embeddings c
+         |      WHERE q.vec_id < 5 AND c.vec_id >= 5) s) t
+         |  WHERE rnk <= 10
+         |), ivf AS (
+         |  SELECT query_id, corpus_id, 1 AS hit FROM (
+         |${ivfOracle(nprobe = 1).linesIterator.map("    " + _).mkString("\n")}
+         |  ) iv
+         |)
+         |SELECT b.query_id,
+         |  CAST(COUNT(i.hit) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(i.hit) * 10 AS BIGINT) AS recall_pct
+         |FROM brute b
+         |LEFT JOIN ivf i ON i.query_id = b.query_id AND i.corpus_id = b.corpus_id
+         |GROUP BY 1""".stripMargin,
 
     // identical top-k rank semantics as q_sim_topk, then the majority
     // vote with ties to the smallest label — integer end to end

@@ -96,6 +96,75 @@ object Dedup {
       .drop("w", "rm")
   }
 
+  /** EXACT SUBSTRING dedup over OVERLAPPING word grams (r11) — the
+    * "deduplicate training data at the substring level" pass: any
+    * `spanWords`-word sequence appearing in more than `maxDf` distinct
+    * docs is cut from every doc carrying it, wherever it starts.
+    * [[spanDedup]]'s fixed non-overlapping spans miss duplicates that
+    * straddle a span boundary or sit at different offsets in different
+    * docs (the common case: a quoted paragraph rarely starts at the
+    * same word index twice); overlapping grams catch every aligned-or-
+    * not occurrence, and maximal runs of flagged grams merge so a
+    * 50-word shared passage is removed whole, not as confetti. Returns
+    * every input doc with (clean_text, n_removed = covered word count,
+    * n_spans = maximal removed runs).
+    *
+    * Scale shape: gram TEXT never crosses the network — construction is
+    * per-row slicing + md5 at scan speed, and the df count and mark
+    * join shuffle (doc_id, pos, 16-byte digest) rows; the gram stream
+    * is `words − L + 1` rows per doc (≈ L× spanDedup's, the price of
+    * offset-independence — still linear in corpus size). Flagged START
+    * positions come back per doc as one sorted int array (doc-bounded,
+    * and only for docs that have duplication); covered-position
+    * accounting is a LINEAR row-local fold over that array (runs and
+    * counts from one pass — no covered-position explosion), and
+    * reassembly filters the doc's own word array in place. The
+    * per-word coverage test is `exists` over the flagged starts
+    * (worst case words × starts for a pathologically self-similar doc;
+    * at that point the doc is mostly boilerplate and the right fix is
+    * upstream whole-doc dedup). Within-doc repeats count as ONE doc
+    * toward df — a doc-internal refrain is not self-boilerplate. */
+  def substringDedup(docs: DataFrame, spanWords: Int, maxDf: Long = 1L): DataFrame = {
+    val words = docs.withColumn("w", split(col("text"), " "))
+    val L = lit(spanWords)
+    // digest-only overlapping-gram stream: (doc_id, start, h)
+    val gramsH = words
+      .filter(size(col("w")) >= spanWords)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("w")) - lit(spanWords)),
+        i => md5(array_join(slice(col("w"), i + 1, lit(spanWords)), " "))))
+        .as(Seq("pos", "h")))
+    val dup = gramsH.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("h"))
+    val flagged = gramsH.join(dup, "h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("rm"))
+    words.join(flagged, Seq("doc_id"), "left")
+      .withColumn("clean_text", coalesce(
+        array_join(filter(col("w"), (wd, p) =>
+          col("rm").isNull ||
+            !exists(col("rm"), s => s <= p && p < s + L)), " "),
+        lit("")))
+      // one linear fold over the sorted starts: merged-run count and
+      // covered word count together (starts are sorted and each gram
+      // covers [s, s+L), so end is monotone: a new run starts iff
+      // s > previous end, else the run extends by s + L − end)
+      .withColumn("_acc", when(col("rm").isNotNull, aggregate(col("rm"),
+        struct(lit(-1L).as("end"), lit(0L).as("cnt"), lit(0L).as("rmv")),
+        (st, s) => struct(
+          (s + L).cast("long").as("end"),
+          when(s > st.getField("end"), st.getField("cnt") + 1L)
+            .otherwise(st.getField("cnt")).as("cnt"),
+          when(s > st.getField("end"), st.getField("rmv") + L.cast("long"))
+            .otherwise(st.getField("rmv") + (s + L) - st.getField("end"))
+            .as("rmv")))))
+      .withColumn("n_removed", coalesce(col("_acc.rmv"), lit(0L)))
+      .withColumn("n_spans", coalesce(col("_acc.cnt"), lit(0L)))
+      .drop("w", "rm", "_acc")
+  }
+
   /** (doc_id, shingle) pairs — distinct word-k-shingles, exploded. The
     * words array is materialized in its own projection first (see
     * Similarity.shinglesOfWords on why that boundary matters). */

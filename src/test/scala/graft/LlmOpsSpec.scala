@@ -289,6 +289,45 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(3L) == ("v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 tail words only", 0L))
   }
 
+  test("substring dedup: offset-independent removal, straddling runs merge whole") {
+    import spark.implicits._
+    // a 12-word passage shared by two docs AT DIFFERENT OFFSETS: fixed
+    // 10-word spans would slice it differently per doc and miss most of
+    // it; overlapping grams flag starts 0..2 of the passage in both docs
+    // and the maximal-run merge removes all 12 words in each
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, s"a1 a2 $shared"),
+      (2L, s"$shared b1 b2 b3"),
+      // within-doc refrain (same 10 words twice in ONE doc): df counts
+      // distinct docs, so it is NOT self-boilerplate
+      (3L, ((1 to 10).map(i => s"r$i").mkString(" ") + " mid " +
+        (1 to 10).map(i => s"r$i").mkString(" "))),
+      (4L, "short doc under ten words"),
+      (5L, null: String)).toDF("doc_id", "text")
+    val r = Dedup.substringDedup(df, spanWords = 10).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("clean_text"), x.getAs[Long]("n_removed"),
+          x.getAs[Long]("n_spans")))).toMap
+    assert(r(1L) == (("a1 a2", 12L, 1L)), r(1L).toString)
+    assert(r(2L) == (("b1 b2 b3", 12L, 1L)), r(2L).toString)
+    assert(r(3L)._2 == 0L, "within-doc refrain must not self-flag")
+    assert(r(4L) == (("short doc under ten words", 0L, 0L)))
+    assert(r(5L) == (("", 0L, 0L)), "null text comes back as empty")
+    // two DISJOINT shared runs in one doc count as two spans
+    val p1 = (1 to 10).map(i => s"x$i").mkString(" ")
+    val p2 = (1 to 10).map(i => s"y$i").mkString(" ")
+    val df2 = Seq(
+      (1L, s"$p1 gap1 gap2 gap3 $p2"),
+      (2L, s"$p1 z $p2")).toDF("doc_id", "text")
+    val r2 = Dedup.substringDedup(df2, spanWords = 10).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("clean_text"), x.getAs[Long]("n_removed"),
+          x.getAs[Long]("n_spans")))).toMap
+    assert(r2(1L) == (("gap1 gap2 gap3", 20L, 2L)), r2(1L).toString)
+    assert(r2(2L) == (("z", 20L, 2L)), r2(2L).toString)
+  }
+
   test("span dedup: a null-text doc comes back as empty text, not null") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, null: String)).toDF("doc_id", "text")
