@@ -77,7 +77,10 @@ object TextIndex {
     postings.filter(col("term").isin(distinctTerms: _*))
       .withColumn("_df", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
-      .withColumn("_w", expr(s"(${nDocs} * 1000000) DIV _df"))
+      // BIGINT literals: bare int literals here fold as 32-bit and a
+      // corpus over ~2147 docs overflows the 10^6-scaled weight at PLAN
+      // time under ANSI (caught by the sf0.1 plan audit, r11)
+      .withColumn("_w", expr(s"(${nDocs}L * 1000000L) DIV _df"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("tf") * col("_w")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)

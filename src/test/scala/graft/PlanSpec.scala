@@ -131,6 +131,14 @@ class PlanSpec extends AnyFunSuite {
       // heavy hitters = candidate-rows group-by (the sketch agg and the
       // total are single-partition, candidates broadcast)
       "q_asof_join" -> 1, "q_range_join" -> 4, "q_dedup_spans" -> 3,
+      // substring dedup (r11): same digest-keyed trio as span dedup —
+      // (h, doc) distinct + df count + per-doc flagged-start collect
+      "q_dedup_substrings" -> 3,
+      // recall eval (r11): brute rank window + the IVF chain's probe and
+      // result windows + the query-sized join/agg — all query-keyed
+      "q_sim_recall" -> 7,
+      // decode rungs are row-local fan-outs: zero exchanges, ever
+      "q_image_jpeg" -> 0, "q_video_demux" -> 0,
       // chunked as-of: the bounded (key, chunk) window [the only
       // corpus-sized shuffle] + map-side-combined carry-out agg +
       // spine distinct + KB-scale carry-in window; the spine itself
