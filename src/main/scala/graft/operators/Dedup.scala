@@ -109,11 +109,15 @@ object Dedup {
     * every input doc with (clean_text, n_removed = covered word count,
     * n_spans = maximal removed runs).
     *
-    * Scale shape: gram TEXT never crosses the network — construction is
-    * per-row slicing + md5 at scan speed, and the df count and mark
-    * join shuffle (doc_id, pos, 16-byte digest) rows; the gram stream
-    * is `words − L + 1` rows per doc (≈ L× spanDedup's, the price of
-    * offset-independence — still linear in corpus size). Flagged START
+    * Scale shape: gram TEXT never crosses the network — digests come
+    * from ONE rolling pass per doc (`graft_gram_hashes`,
+    * plans/GramHashes.scala: per-word hashing once + an O(1) roll per
+    * window, instead of re-materializing and re-hashing every L-word
+    * string — an L-fold cut of the dominant stage, measured 62 → 21 s
+    * at sf30), and the df count and mark join shuffle (doc_id, pos,
+    * 2×64-bit digest) rows; the gram stream is `words − L + 1` rows per
+    * doc (≈ L× spanDedup's row count, the price of offset-independence
+    * — still linear in corpus size). Flagged START
     * positions come back per doc as one sorted int array (doc-bounded,
     * and only for docs that have duplication); covered-position
     * accounting is a LINEAR row-local fold over that array (runs and
@@ -127,12 +131,12 @@ object Dedup {
   def substringDedup(docs: DataFrame, spanWords: Int, maxDf: Long = 1L): DataFrame = {
     val words = docs.withColumn("w", split(col("text"), " "))
     val L = lit(spanWords)
-    // digest-only overlapping-gram stream: (doc_id, start, h)
+    // digest-only overlapping-gram stream: (doc_id, start, h) — h is the
+    // rolling 128-bit window digest (two longs), never the gram text
     val gramsH = words
       .filter(size(col("w")) >= spanWords)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("w")) - lit(spanWords)),
-        i => md5(array_join(slice(col("w"), i + 1, lit(spanWords)), " "))))
+      .select(col("doc_id"), posexplode(
+        call_function("graft_gram_hashes", col("w"), lit(spanWords)))
         .as(Seq("pos", "h")))
     val dup = gramsH.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))

@@ -121,6 +121,10 @@ object GraftFunctions {
       "deterministic DC-only baseline JFIF for a doc id (the decode tier's test signal)", 1) {
       case Seq(id) => JpegSynth(id)
     },
+    fn("graft_gram_hashes",
+      "rolling 128-bit digests of every L-word window of a word array, one pass", 2) {
+      case Seq(w, l) => GramHashes(w, l)
+    },
     // The reference ships FOUR ArrayListAggFunction variants (.java, 2, 3,
     // 4) solely to thread generic element types through Flink's type
     // inference tiers; Catalyst aggregates are natively generic, so ONE

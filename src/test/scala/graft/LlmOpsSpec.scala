@@ -289,6 +289,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(3L) == ("v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 tail words only", 0L))
   }
 
+  test("gram hashes: rolled windows equal direct folds; word boundaries are part of the digest") {
+    import graft.plans.GramHashes
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ws: String*) =
+      new GenericArrayData(ws.map(w => UTF8String.fromString(w)).toArray[Any])
+    def hashes(l: Int, ws: String*): Seq[(Long, Long)] = {
+      val g = GramHashes.eval(arr(ws: _*), l)
+      (0 until g.numElements()).map { i =>
+        val r = g.array(i).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        (r.getLong(0), r.getLong(1))
+      }
+    }
+    // the roll must equal the direct fold: window s of a long array ==
+    // window 0 of the same words sliced at s (fresh fold, no rolling)
+    val ws = (0 until 40).map(i => s"w${i % 7}_$i")
+    val rolled = hashes(10, ws: _*)
+    for (s <- Seq(0, 1, 13, 30))
+      assert(rolled(s) == hashes(10, ws.drop(s).take(10): _*).head, s"window $s")
+    // equal grams collide (by construction), different grams do not
+    assert(hashes(3, "a", "b", "c").head == hashes(3, "a", "b", "c").head)
+    assert(hashes(3, "a", "b", "c").head != hashes(3, "a", "b", "d").head)
+    // word boundaries are structural: "ab c" never equals "a bc"
+    assert(hashes(2, "ab", "c").head != hashes(2, "a", "bc").head)
+    // shorter-than-L input yields an empty gram list, not null
+    assert(hashes(10, "one", "two").isEmpty)
+  }
+
   test("substring dedup: offset-independent removal, straddling runs merge whole") {
     import spark.implicits._
     // a 12-word passage shared by two docs AT DIFFERENT OFFSETS: fixed
