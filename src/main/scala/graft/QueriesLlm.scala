@@ -111,6 +111,22 @@ object QueriesLlm {
       k = 3, perms = 8, bands = 4)
   }
 
+  /** Incremental SUBSTRING dedup (r11): the standing corpus (doc_id %
+    * 10 ≠ 0) builds a distinct-gram-digest index once; the delta batch
+    * (doc_id % 10 = 0) probes it at delta cost, and any 10-word gram
+    * already present in the corpus is cut from the arriving doc — the
+    * q_dedup_incremental posture applied to sub-document boilerplate.
+    * Every delta doc comes back with the same (clean_text, n_removed,
+    * n_spans) contract as q_dedup_substrings. */
+  val dedupSubstrIncremental: Q = (s, dir) => {
+    val d = docs(s, dir)
+    Dedup.incrementalSubstrings(
+        corpus = d.filter(col("doc_id") % 10 =!= 0),
+        delta = d.filter(col("doc_id") % 10 === 0),
+        spanWords = 10)
+      .select(col("doc_id"), col("clean_text"), col("n_removed"), col("n_spans"))
+  }
+
   /** Exact heavy hitters (vocabulary items above 2% of the token stream)
     * via the Misra-Gries sketch + exact-verify two-pass: the corpus-wide
     * shuffle carries k=64 counters per partition, never the vocabulary. */
@@ -722,6 +738,7 @@ object QueriesLlm {
     "q_dedup_embcos"        -> dedupEmbCos,
     "q_dedup_spans"         -> dedupSpans,
     "q_dedup_substrings"    -> dedupSubstrings,
+    "q_dedup_substr_incremental" -> dedupSubstrIncremental,
     "q_freq_heavyhitters"   -> freqHeavyHitters,
     "q_freq_hh_grouped"     -> freqHeavyHittersGrouped,
     "q_freq_cms"            -> freqCms,
@@ -1247,6 +1264,49 @@ sym AS (
         |FROM documents d
         |LEFT JOIN clean cl USING (doc_id)
         |LEFT JOIN runs r USING (doc_id)""".stripMargin,
+
+    // incremental-substring twin: corpus grams as a DISTINCT text set,
+    // delta grams joined against it, then the same covered/runs/reassembly
+    // pipeline restricted to the delta docs
+    "q_dedup_substr_incremental" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |cg AS (
+        |  SELECT DISTINCT array_to_string(a[i+1 : i+10], ' ') AS g
+        |  FROM arr, LATERAL unnest(generate_series(0, CAST(len(a) - 10 AS BIGINT))) t(i)
+        |  WHERE len(a) >= 10 AND doc_id % 10 <> 0),
+        |dg AS (
+        |  SELECT doc_id, i, array_to_string(a[i+1 : i+10], ' ') AS g
+        |  FROM arr, LATERAL unnest(generate_series(0, CAST(len(a) - 10 AS BIGINT))) t(i)
+        |  WHERE len(a) >= 10 AND doc_id % 10 = 0),
+        |flagged AS (SELECT doc_id, i FROM dg JOIN cg USING (g)),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, i + d AS p
+        |  FROM flagged, LATERAL unnest(generate_series(0, 9)) t(d)),
+        |runs AS (
+        |  SELECT doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_removed,
+        |         CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+        |  FROM (SELECT doc_id, p,
+        |          COALESCE(p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p), 2) > 1 AS is_new
+        |        FROM covered)
+        |  GROUP BY 1),
+        |wordrows AS (
+        |  SELECT arr.doc_id, q - 1 AS p, a[CAST(q AS INT)] AS word
+        |  FROM arr, LATERAL unnest(generate_series(1, CAST(len(a) AS BIGINT))) t(q)
+        |  WHERE doc_id % 10 = 0),
+        |clean AS (
+        |  SELECT w.doc_id,
+        |         string_agg(CASE WHEN c.p IS NULL THEN w.word END, ' ' ORDER BY w.p)
+        |           AS clean_text
+        |  FROM wordrows w LEFT JOIN covered c ON c.doc_id = w.doc_id AND c.p = w.p
+        |  GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(cl.clean_text, '') AS clean_text,
+        |       COALESCE(r.n_removed, 0) AS n_removed,
+        |       COALESCE(r.n_spans, 0) AS n_spans
+        |FROM documents d
+        |LEFT JOIN clean cl USING (doc_id)
+        |LEFT JOIN runs r USING (doc_id)
+        |WHERE d.doc_id % 10 = 0""".stripMargin,
 
     "q_freq_heavyhitters" ->
       """WITH w AS (

@@ -130,14 +130,7 @@ object Dedup {
     * toward df — a doc-internal refrain is not self-boilerplate. */
   def substringDedup(docs: DataFrame, spanWords: Int, maxDf: Long = 1L): DataFrame = {
     val words = docs.withColumn("w", split(col("text"), " "))
-    val L = lit(spanWords)
-    // digest-only overlapping-gram stream: (doc_id, start, h) — h is the
-    // rolling 128-bit window digest (two longs), never the gram text
-    val gramsH = words
-      .filter(size(col("w")) >= spanWords)
-      .select(col("doc_id"), posexplode(
-        call_function("graft_gram_hashes", col("w"), lit(spanWords)))
-        .as(Seq("pos", "h")))
+    val gramsH = gramStream(words, spanWords)
     val dup = gramsH.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDf)
@@ -145,6 +138,69 @@ object Dedup {
     val flagged = gramsH.join(dup, "h")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("rm"))
+    cutFlagged(words, flagged, spanWords)
+  }
+
+  /** Build the substring-gram INDEX over a standing corpus: one row per
+    * DISTINCT overlapping-L-gram digest, with its corpus document
+    * frequency. The incremental-ingest posture of [[substringDedup]],
+    * mirroring [[minhashBandIndex]]: the full cross-doc pass runs ONCE,
+    * the distinct-digest table persists (parquet, bucketed on `h` via
+    * `Sinks.saveBucketed` in deployment), and every arriving batch
+    * probes it at delta cost instead of re-streaming the corpus grams.
+    * The index is append-able: an admitted batch's gram digests (already
+    * computed by the probe's subtree) union in. */
+  def gramIndex(corpus: DataFrame, spanWords: Int): DataFrame =
+    gramStream(corpus.withColumn("w", split(col("text"), " ")), spanWords)
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+
+  /** Probe a gram index with a delta batch: any delta gram PRESENT in
+    * the standing corpus (df ≥ `minDf`) is boilerplate relative to it
+    * and is cut from the arriving doc — covered-position semantics and
+    * accounting identical to [[substringDedup]]'s. One-sided by design
+    * (the [[graft.operators.Freq.bloomProbe]] posture): delta-internal
+    * duplication is NOT judged here — the standing corpus is the
+    * authority, and delta-vs-delta dedup belongs to the batch pass that
+    * admits the delta into the corpus.
+    *
+    * Scale shape: the corpus never re-streams — the index side of the
+    * digest join arrives pre-partitioned when stored bucketed on `h`;
+    * the delta gram stream, the join, and the flagged-start collect are
+    * all delta-sized. */
+  def probeGramIndex(delta: DataFrame, index: DataFrame, spanWords: Int,
+      minDf: Long = 1L): DataFrame = {
+    val words = delta.withColumn("w", split(col("text"), " "))
+    val flagged = gramStream(words, spanWords)
+      .join(index.filter(col("df") >= minDf).select(col("h")), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("rm"))
+    cutFlagged(words, flagged, spanWords)
+  }
+
+  /** Incremental substring dedup, inline form: build the corpus gram
+    * index and probe it with `delta` in one plan (the oracle-checked
+    * shape; production persists the index once, probes many batches). */
+  def incrementalSubstrings(corpus: DataFrame, delta: DataFrame,
+      spanWords: Int, minDf: Long = 1L): DataFrame =
+    probeGramIndex(delta, gramIndex(corpus, spanWords), spanWords, minDf)
+
+  /** The digest-only overlapping-gram stream: (doc_id, start, h) — h is
+    * the rolling 128-bit window digest (two longs), never gram text. */
+  private def gramStream(words: DataFrame, spanWords: Int): DataFrame =
+    words
+      .filter(size(col("w")) >= spanWords)
+      .select(col("doc_id"), posexplode(
+        call_function("graft_gram_hashes", col("w"), lit(spanWords)))
+        .as(Seq("pos", "h")))
+
+  /** Shared tail of the substring-dedup family: join the per-doc sorted
+    * flagged-start arrays back, cut covered words, and account removed
+    * words / maximal runs with one linear fold. `words` must carry `w`
+    * (the split word array) plus the original columns. */
+  private def cutFlagged(words: DataFrame, flagged: DataFrame,
+      spanWords: Int): DataFrame = {
+    val L = lit(spanWords)
     words.join(flagged, Seq("doc_id"), "left")
       .withColumn("clean_text", coalesce(
         array_join(filter(col("w"), (wd, p) =>

@@ -356,6 +356,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r2(2L) == (("z", 20L, 2L)), r2(2L).toString)
   }
 
+  test("incremental substring dedup: the standing corpus is the authority, delta pays delta cost") {
+    import spark.implicits._
+    val passage = (1 to 10).map(i => s"c$i").mkString(" ")
+    val corpus = Seq(
+      (100L, s"lead in $passage trail out"),
+      (101L, "unrelated corpus words only here")).toDF("doc_id", "text")
+    val deltaRefrain = (1 to 10).map(i => s"d$i").mkString(" ")
+    val delta = Seq(
+      // carries the corpus passage at a different offset — cut
+      (1L, s"x1 $passage x2 x3"),
+      // delta-internal duplication only: NOT judged by the probe (the
+      // one-sided contract — delta-vs-delta belongs to the batch pass)
+      (2L, deltaRefrain), (3L, deltaRefrain),
+      (4L, "novel words that match nothing at all standing")).toDF("doc_id", "text")
+    val r = Dedup.incrementalSubstrings(corpus, delta, spanWords = 10)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("clean_text"), x.getAs[Long]("n_removed"),
+          x.getAs[Long]("n_spans")))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L), "every DELTA doc comes back, only delta docs")
+    assert(r(1L) == (("x1 x2 x3", 10L, 1L)), r(1L).toString)
+    assert(r(2L) == ((deltaRefrain, 0L, 0L)), "delta-internal dup is not the probe's call")
+    assert(r(4L)._2 == 0L)
+    // the plan never re-streams corpus text past the index aggregation:
+    // the probe side's only wide state is the delta gram stream
+    val plan = physicalPlan(Dedup.probeGramIndex(delta,
+      Dedup.gramIndex(corpus, 10).localCheckpoint(), 10))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("span dedup: a null-text doc comes back as empty text, not null") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, null: String)).toDF("doc_id", "text")
