@@ -40,9 +40,10 @@ object SparkEntry {
       // and the served IVF-PQ path (q_sim_ivfpq stays: the honest e2e
       // train+encode+serve cost, priced once like q_bpe_merges)
       "q_image_pixels", "q_video_frames", "q_sim_ivfpq_served",
-      // round-11 tier: baseline JPEG decode (the last decode rung) and
-      // the real AVI frame demux (raw frame bytes + exact pts)
-      "q_image_jpeg", "q_video_demux")
+      // round-11 tier: baseline JPEG decode (the last decode rung), the
+      // real AVI frame demux (raw frame bytes + exact pts), exact
+      // substring dedup over overlapping grams, and the ANN recall eval
+      "q_image_jpeg", "q_video_demux", "q_dedup_substrings", "q_sim_recall")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs
