@@ -1166,6 +1166,50 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(16L, 8L, want, want, want), s"got ${got.toSeq}")
   }
 
+  test("decoder fuzz: every binary decoder returns null-or-value under corruption, never throws") {
+    import graft.plans._
+    import spark.implicits._
+    // the decode expressions run over ARBITRARY binary columns at scan
+    // speed; an uncaught exception in any of them fails the whole task.
+    // Deterministic fuzz: truncations at every region + seeded byte
+    // flips/inserts over real containers — the contract is a clean
+    // return (null or a value), NEVER a throw. (Both round-10 ADVICE
+    // findings — the PNG/AVI dimension-overflow crashes — were exactly
+    // this class.)
+    val rnd = new scala.util.Random(20260815)
+    val decoders: Seq[(String, Array[Byte] => Any)] = Seq(
+      "wav_pcm" -> (b => WavPcmStats.decode(b)),
+      "png_pixels" -> (b => PngPixelStats.decode(b)),
+      "avi_frames" -> (b => AviFrameStats.decode(b)),
+      "avi_demux" -> (b => AviDemux.demux(b, 2)),
+      "jpeg_pixels" -> (b => JpegPixelStats.decode(b)))
+    val seeds: Seq[Array[Byte]] = Seq(
+      PngSynth.synth(7L), AviSynth.synth(7L), JpegSynth.synth(7L),
+      Multimodal.synthMedia(Seq((7L, "payload words for the wav arm"))
+        .toDF("doc_id", "text")).collect()(0).getAs[Array[Byte]]("bytes"))
+    var runs = 0
+    for (seed <- seeds; (name, dec) <- decoders) {
+      // truncation sweep: every prefix length in a coarse grid + the
+      // interesting short lengths
+      for (n <- (0 to math.min(64, seed.length)) ++
+          (0 until 32).map(_ => rnd.nextInt(seed.length + 1))) {
+        val t = java.util.Arrays.copyOf(seed, n)
+        try { dec(t); runs += 1 }
+        catch { case e: Throwable => fail(s"$name threw on $n-byte truncation: $e") }
+      }
+      // byte-flip sweep: 64 seeded single/double flips
+      for (_ <- 0 until 64) {
+        val m = seed.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        if (rnd.nextBoolean()) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        try { dec(m); runs += 1 }
+        catch { case e: Throwable =>
+          fail(s"$name threw on byte-flip of ${seed.length}-byte input: $e") }
+      }
+    }
+    assert(runs > 1500, s"fuzz executed $runs decode calls")
+  }
+
   test("JPEG IDCT: fixed-point output within 1 of the double-precision reference") {
     import graft.plans.JpegPixelStats
     val rnd = new scala.util.Random(4242)
