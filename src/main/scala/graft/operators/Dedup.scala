@@ -113,8 +113,9 @@ object Dedup {
     * from ONE rolling pass per doc (`graft_gram_hashes`,
     * plans/GramHashes.scala: per-word hashing once + an O(1) roll per
     * window, instead of re-materializing and re-hashing every L-word
-    * string — an L-fold cut of the dominant stage, measured 62 → 21 s
-    * at sf30), and the df count and mark join shuffle (doc_id, pos,
+    * string — measured 30-36% at sf0.1/sf10 and 62 → 54 s at sf30,
+    * where the replicated bench corpus makes every gram duplicated and
+    * shuffle dominates), and the df count and mark join shuffle (doc_id, pos,
     * 2×64-bit digest) rows; the gram stream is `words − L + 1` rows per
     * doc (≈ L× spanDedup's row count, the price of offset-independence
     * — still linear in corpus size). Flagged START
@@ -171,8 +172,16 @@ object Dedup {
   def probeGramIndex(delta: DataFrame, index: DataFrame, spanWords: Int,
       minDf: Long = 1L): DataFrame = {
     val words = delta.withColumn("w", split(col("text"), " "))
+    // the index side is pinned SORT-MERGE, never broadcast: a standing
+    // corpus's gram index is corpus-sized, and a post-aggregate table's
+    // size is a planner guess (the prefixJaccardPairs rationale — the
+    // static plan broadcast the full index here, paying a single-threaded
+    // driver-side hashed-relation build; measured 6.6 → 1.8 s at sf0.1).
+    // SMJ also reads a `Sinks.saveBucketed`-persisted index (bucketed +
+    // sorted on h) with NO exchange on the index side
     val flagged = gramStream(words, spanWords)
-      .join(index.filter(col("df") >= minDf).select(col("h")), Seq("h"))
+      .join(index.filter(col("df") >= minDf).select(col("h")).hint("merge"),
+        Seq("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("rm"))
     cutFlagged(words, flagged, spanWords)

@@ -134,10 +134,11 @@ class PlanSpec extends AnyFunSuite {
       // substring dedup (r11): same digest-keyed trio as span dedup —
       // (h, doc) distinct + df count + per-doc flagged-start collect
       "q_dedup_substrings" -> 3,
-      // incremental probe: index df agg + delta-sized mark join agg +
-      // delta flagged-start collect (inline-build shape; a persisted
-      // bucketed index removes its exchange in deployment)
-      "q_dedup_substr_incremental" -> 3,
+      // incremental probe: index (h, doc) distinct + df agg + the
+      // pinned-SMJ mark join's delta-side exchange + flagged-start
+      // collect (inline-build shape; a persisted bucketed+sorted index
+      // removes its side's exchange AND sort in deployment)
+      "q_dedup_substr_incremental" -> 4,
       // recall eval (r11): brute rank window + the IVF chain's probe and
       // result windows + the query-sized join/agg — all query-keyed
       "q_sim_recall" -> 7,
