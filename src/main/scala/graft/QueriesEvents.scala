@@ -43,17 +43,27 @@ object QueriesEvents {
     * transition query never re-scans the corpus to ask who is heavy. */
   val transitions: Q = (s, dir) => {
     // per-application path: concurrent harness runs must not race on a
-    // shared stats dir (the simIvfPqServed convention)
-    val store = "/tmp/graft_user_stats/" + s.sparkContext.applicationId + "/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    if (!new java.io.File(store, "_SUCCESS").isFile)
-      Tables(s, dir).events.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .write.mode("overwrite").parquet(store)
+    // shared stats dir (the simIvfPqServed convention). The corpus key
+    // is an md5 of the RAW dir string — a sanitizing replaceAll would
+    // collide distinct corpora (/data/sf0.1 vs /data-sf0.1) onto one
+    // stats file (round-11 ADVICE).
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val store = "/tmp/graft_user_stats/" + s.sparkContext.applicationId + "/" + dirKey
+    // Build-once gate, serialized per JVM: concurrent invocations in one
+    // application must not race overwrite-mode writes to the same path.
+    statsBuildLock.synchronized {
+      if (!new java.io.File(store, "_SUCCESS").isFile)
+        Tables(s, dir).events.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .write.mode("overwrite").parquet(store)
+    }
     Behavior.transitionCounts(Tables(s, dir).events, "user_id", "ts",
       "event_id", "event_type", day,
       userCounts = Some(s.read.parquet(store)))
   }
+
+  private val statsBuildLock = new Object
 
   /** Daily activity matrix: one row per day, one count column per event
     * type — the pivot/wide reshaping, hand-lowered to per-type

@@ -412,8 +412,16 @@ object Multimodal {
     * arm's fan-out and sets the real arm's stride via the frame count. */
   def frameSample(withBytes: DataFrame, n: Int): DataFrame = {
     val demux = call_function("graft_avi_demux", col("bytes"), lit(1))
+    // Cheap validity probe (r11 ADVICE): an astronomically large stride
+    // still walks+validates the container but copies only frame 0's
+    // bytes, so the stub arm's routing predicate never pays a full
+    // every-frame demux. Null ⇔ not a decodable DIB-AVI; empty array ⇔
+    // valid container with zero 00db frames — BOTH route to the stub so
+    // every input row fans out to ≥1 frame row (the frameSample
+    // contract; a bare explode would silently drop zero-frame AVIs).
+    val probe = call_function("graft_avi_demux", col("bytes"), lit(1000000000))
     val real = withBytes.withColumn("_frames", demux)
-      .filter(col("_frames").isNotNull)
+      .filter(col("_frames").isNotNull && size(col("_frames")) > 0)
       // n evenly-spaced of the nf real frames: stride = ceil(nf / n)
       .withColumn("_fr", explode(filter(col("_frames"),
         f => f.getField("frame_idx") %
@@ -422,7 +430,7 @@ object Multimodal {
       .withColumn("pts_sec", col("_fr.pts_us").cast("double") / 1e6)
       .withColumn("frame_bytes", col("_fr.frame_bytes"))
       .drop("_frames", "_fr")
-    val stub = withBytes.filter(demux.isNull)
+    val stub = withBytes.filter(probe.isNull || size(probe) === 0)
       .withColumn("frame_idx", explode(sequence(lit(0L), lit(n - 1L))))
       .withColumn("pts_sec",
         col("frame_idx").cast("double") * octet_length(col("bytes")) / n / 25.0)

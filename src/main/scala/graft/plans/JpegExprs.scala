@@ -325,6 +325,7 @@ object JpegPixelStats {
       p += 2
       while (m == 0xff) { if (p >= b.length) return null; m = b(p) & 0xff; p += 1 }
       if (m == 0xd9) return null // EOI before any scan
+      if (p + 2 > b.length) return null // fill bytes may have eaten the length field
       val len = be16(b, p)
       if (len < 2 || p + len > b.length) return null
       val seg = p + 2; val segEnd = p + len
@@ -380,6 +381,7 @@ object JpegPixelStats {
           dri = be16(b, seg)
         case 0xda => // SOS
           if (w < 0) return null
+          if (segEnd - seg < 1) return null // need at least the Ns byte
           val ns = b(seg) & 0xff
           if (ns != nComp || segEnd - seg < 1 + 2 * ns + 3) return null
           var ci = 0

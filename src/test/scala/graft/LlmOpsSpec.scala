@@ -232,6 +232,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(AviFrameStats.decode(good).numElements() == 5)
   }
 
+  test("frameSample: a valid AVI with ZERO frames routes to the stub arm, not silently dropped") {
+    import spark.implicits._
+    import graft.plans.{AviSynth, AviDemux}
+    // Patch a synth'd AVI down to zero frames: totalFrames (avih) and
+    // stream length (strh) to 0, movi LIST emptied, RIFF size fixed up.
+    // Still a structurally valid container, so demux returns an EMPTY
+    // array (not null) — the round-11 ADVICE case where a bare explode
+    // would drop the row from BOTH arms.
+    val src = AviSynth.synth(3L)
+    def le32At(b: Array[Byte], p: Int, v: Long): Unit = {
+      b(p) = (v & 0xff).toByte; b(p + 1) = ((v >> 8) & 0xff).toByte
+      b(p + 2) = ((v >> 16) & 0xff).toByte; b(p + 3) = ((v >> 24) & 0xff).toByte
+    }
+    val junkLen = (2 + 3 % 9) + ((2 + 3 % 9) & 1) // doc 3's JUNK payload+pad
+    val moviHdr = 220 + junkLen                   // "LIST" of the movi list
+    val zf = java.util.Arrays.copyOf(src, moviHdr + 12) // keep through "movi"
+    le32At(zf, 48, 0)               // avih dwTotalFrames
+    le32At(zf, 140, 0)              // strh dwLength
+    le32At(zf, moviHdr + 4, 4)      // movi LIST size: fourcc only
+    le32At(zf, 4, zf.length - 8L)   // RIFF size
+    val d = AviDemux.demux(zf, 1)
+    assert(d != null && d.numElements() == 0, "patched container must be valid with 0 frames")
+    val media = Seq(1L).toDF("doc_id").withColumn("bytes", lit(zf))
+    val out = Multimodal.frameSample(media, n = 3)
+    assert(out.count() == 3, "zero-frame AVI must take the stub fan-out, not vanish")
+  }
+
   test("decodeFeatures: PNG/WAV/AVI arms carry REAL decoded features; codec-bound rows fall back") {
     import spark.implicits._
     // one row per arm: real PNG (graft_png_synth), real WAV (synthMedia's
@@ -1188,6 +1215,18 @@ class LlmOpsSpec extends AnyFunSuite {
       Multimodal.synthMedia(Seq((7L, "payload words for the wav arm"))
         .toDF("doc_id", "text")).collect()(0).getAs[Array[Byte]]("bytes"))
     var runs = 0
+    // Directed crafted inputs (round-11 ADVICE): (1) trailing 0xFF fill
+    // bytes eat the marker-length field; (2) an SOS segment whose
+    // declared length 2 puts the Ns byte past the buffer end.
+    val crafted: Seq[Array[Byte]] = Seq(
+      Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xc4).map(_.toByte),
+      Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0x08, 0x00,
+        0x08, 0x01, 0x01, 0x11, 0x00, 0x00, 0x00, 0x00, 0x00,
+        0xff, 0xda, 0x00, 0x02).map(_.toByte))
+    for (c <- crafted; (name, dec) <- decoders) {
+      try { dec(c); runs += 1 }
+      catch { case e: Throwable => fail(s"$name threw on crafted input: $e") }
+    }
     for (seed <- seeds; (name, dec) <- decoders) {
       // truncation sweep: every prefix length in a coarse grid + the
       // interesting short lengths
