@@ -35,8 +35,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0").toDouble
-    val maxWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WAIT_SEC", "600").toInt
+    // 2.0, not 4.0 (r12): two consecutive rounds committed a graded
+    // artifact from a 3.4-load window that distorted the shuffle-heavy
+    // queries ~2x while still passing the 4.0 gate. On 32 CPUs a 1-min
+    // load of 2 is genuinely idle; anything above it is the neighbors.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
+    val maxWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WAIT_SEC", "1800").toInt
     val loadStart = awaitIdle(maxLoad, maxWait)
     val spark = GraftSession.builder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

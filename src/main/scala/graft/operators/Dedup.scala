@@ -132,11 +132,11 @@ object Dedup {
   def substringDedup(docs: DataFrame, spanWords: Int, maxDf: Long = 1L): DataFrame = {
     val words = docs.withColumn("w", split(col("text"), " "))
     val gramsH = gramStream(words, spanWords)
-    val dup = gramsH.groupBy(col("h"))
+    val dup = gramsH.groupBy(col("h1"), col("h2"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDf)
-      .select(col("h"))
-    val flagged = gramsH.join(dup, "h")
+      .select(col("h1"), col("h2"))
+    val flagged = gramsH.join(dup, Seq("h1", "h2"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("rm"))
     cutFlagged(words, flagged, spanWords)
@@ -153,7 +153,7 @@ object Dedup {
     * computed by the probe's subtree) union in. */
   def gramIndex(corpus: DataFrame, spanWords: Int): DataFrame =
     gramStream(corpus.withColumn("w", split(col("text"), " ")), spanWords)
-      .groupBy(col("h"))
+      .groupBy(col("h1"), col("h2"))
       .agg(countDistinct(col("doc_id")).as("df"))
 
   /** Probe a gram index with a delta batch: any delta gram PRESENT in
@@ -178,10 +178,11 @@ object Dedup {
     // static plan broadcast the full index here, paying a single-threaded
     // driver-side hashed-relation build; measured 6.6 → 1.8 s at sf0.1).
     // SMJ also reads a `Sinks.saveBucketed`-persisted index (bucketed +
-    // sorted on h) with NO exchange on the index side
+    // sorted on (h1,h2)) with NO exchange on the index side — asserted
+    // by LlmOpsSpec's round-trip test, the minhashBandIndex pattern
     val flagged = gramStream(words, spanWords)
-      .join(index.filter(col("df") >= minDf).select(col("h")).hint("merge"),
-        Seq("h"))
+      .join(index.filter(col("df") >= minDf).select(col("h1"), col("h2"))
+        .hint("merge"), Seq("h1", "h2"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("rm"))
     cutFlagged(words, flagged, spanWords)
@@ -194,14 +195,20 @@ object Dedup {
       spanWords: Int, minDf: Long = 1L): DataFrame =
     probeGramIndex(delta, gramIndex(corpus, spanWords), spanWords, minDf)
 
-  /** The digest-only overlapping-gram stream: (doc_id, start, h) — h is
-    * the rolling 128-bit window digest (two longs), never gram text. */
+  /** The digest-only overlapping-gram stream: (doc_id, start, h1, h2) —
+    * (h1,h2) is the rolling 128-bit window digest, never gram text.
+    * FLAT long lanes rather than one struct column (r12): a persisted
+    * gram index buckets on plain columns, so the probe join's keys must
+    * be the same flat lanes for the bucketed read to satisfy the join
+    * distribution with zero index-side exchange. */
   private def gramStream(words: DataFrame, spanWords: Int): DataFrame =
     words
       .filter(size(col("w")) >= spanWords)
       .select(col("doc_id"), posexplode(
         call_function("graft_gram_hashes", col("w"), lit(spanWords)))
         .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos"),
+        col("h.h1").as("h1"), col("h.h2").as("h2"))
 
   /** Shared tail of the substring-dedup family: join the per-doc sorted
     * flagged-start arrays back, cut covered words, and account removed

@@ -412,6 +412,46 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("a persisted bucketed gram index probes with zero index-side shuffle") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    // the Dedup.scala:180 claim, asserted the way minhashBandIndex's is:
+    // persist the standing-corpus gram index bucketed+sorted on the flat
+    // digest lanes, then probe — every remaining exchange is DELTA-sized
+    val passage = (1 to 10).map(i => s"g$i").mkString(" ")
+    val corpus = (0L until 40L).map(i =>
+      (i, if (i % 4 == 0) s"filler$i a $passage z tail$i"
+          else s"corpus doc $i " + (1 to 12).map(j => s"w$i-$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (1000L, s"lead $passage close"),
+      (1001L, "novel delta words " + (1 to 12).map(j => s"n$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS b_gram_index")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("spark-warehouse/b_gram_index"))
+    Sinks.saveBucketed(Dedup.gramIndex(corpus, 10), "b_gram_index",
+      Seq("h1", "h2"), 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val persisted = Dedup.probeGramIndex(delta, spark.table("b_gram_index"), 10)
+      val plan = physicalPlan(persisted)
+      // delta gram stream into the digest join, the per-doc flagged-start
+      // collect, and the words side of the doc_id join — the INDEX side
+      // of the digest join reads its buckets with no exchange
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 3, plan)
+      val inline = Dedup.incrementalSubstrings(corpus, delta, 10)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(x => (x.getAs[Long]("doc_id"),
+          x.getAs[String]("clean_text"), x.getAs[Long]("n_removed"),
+          x.getAs[Long]("n_spans"))).toSet
+      assert(rows(persisted) == rows(inline))
+      assert(rows(persisted).exists { case (id, _, rm, _) => id == 1000L && rm == 10L },
+        "the planted corpus passage must be cut from the probing delta doc")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (64L * 1024 * 1024).toString)
+  }
+
   test("span dedup: a null-text doc comes back as empty text, not null") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, null: String)).toDF("doc_id", "text")
