@@ -392,23 +392,69 @@ object QueriesLlm {
     * applied to ANN: both codebooks and the cell-partitioned codes
     * round-trip parquet bit-exactly, so the top-k is identical to the
     * inline composition and the SAME oracle adjudicates both. */
-  val simIvfPqServed: Q = (s, dir) => {
-    val emb = Tables(s, dir).embeddings
-    val corpus = emb.filter(col("vec_id") >= 5)
-      .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"))
-    val queries = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    // per-application path: concurrent harness runs must not race on a
-    // shared index dir (the bpeTokenizeServed convention)
+  val simIvfPqServed: Q = (s, dir) =>
+    operators.Ann.searchIvfPqIndex(s, servedIvfPqStore(s, dir),
+        annQueries(s, dir), k = 5, nprobe = 2)
+      .select(col("query_id"), col("cell"), col("corpus_id"), col("dist_q"),
+        col("rnk").cast("long").as("rnk"))
+
+  /** Build-once path for the persisted IVF-PQ index — per-application
+    * (concurrent harness runs must not race on a shared index dir, the
+    * bpeTokenizeServed convention), shared by the served search and its
+    * recall row so one invocation's build serves both. */
+  private def servedIvfPqStore(s: SparkSession, dir: String): String = {
     val store = "/tmp/graft_ivfpq_index/" + s.sparkContext.applicationId + "/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     // coarse is written LAST by the builder, so its marker implies the
     // codes and pq stores are complete (partitionBy leaves no _SUCCESS)
     if (!new java.io.File(store + "/coarse/_SUCCESS").isFile)
-      operators.Ann.buildIvfPqIndex(corpus, store, kCells = 4, iters = 2)
-    operators.Ann.searchIvfPqIndex(s, store, queries, k = 5, nprobe = 2)
-      .select(col("query_id"), col("cell"), col("corpus_id"), col("dist_q"),
-        col("rnk").cast("long").as("rnk"))
+      operators.Ann.buildIvfPqIndex(
+        Tables(s, dir).embeddings.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("corpus_id"), col("embedding").as("ce")),
+        store, kCells = 4, iters = 2)
+    store
+  }
+
+  /** Recall@5 of the PQ ADC rung against the exact top-5 (r12,
+    * completing the quality ladder the r11 verdict left at the IVF
+    * rung): [[simRecall]]'s composition with the brute ground truth at
+    * k=5 and the PQ codes as the candidate set. Integer-exact
+    * (n_hits, recall_pct = n_hits·20), so it hash-matches an oracle
+    * that unrolls the identical PQ training. */
+  val simRecallPq: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"))
+    val cb = operators.Ann.pqCodebook(corpus, iters = 2).localCheckpoint()
+    val pq = operators.Ann.pqTopK(cb, operators.Ann.pqEncode(cb, corpus),
+        annQueries(s, dir), k = 5)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    val brute = operators.Ann.bruteForceTopK(annQueries(s, dir),
+        annCorpus(s, dir).drop("cell"), k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    brute.join(pq, Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        (count(col("hit")) * 20).as("recall_pct"))
+  }
+
+  /** Recall@5 of the SERVED IVF-PQ index (the deployment path, r12):
+    * the persisted composed index's top-5 against the exact top-5 —
+    * the quality row for the rung whose 56×/341× serving speed is the
+    * headline, so the probe/recall trade of the path users actually
+    * run is measured, not assumed. Same store as [[simIvfPqServed]]
+    * (built once per application), same shared oracle lineage. */
+  val simRecallIvfPq: Q = (s, dir) => {
+    val served = operators.Ann.searchIvfPqIndex(s, servedIvfPqStore(s, dir),
+        annQueries(s, dir), k = 5, nprobe = 2)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    val brute = operators.Ann.bruteForceTopK(annQueries(s, dir),
+        annCorpus(s, dir).drop("cell"), k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    brute.join(served, Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        (count(col("hit")) * 20).as("recall_pct"))
   }
 
   /** Snapshot diff between the corpus and a synthetic next version
@@ -765,6 +811,8 @@ object QueriesLlm {
     "q_sim_pq"              -> simPq,
     "q_sim_ivfpq"           -> simIvfPq,
     "q_sim_ivfpq_served"    -> simIvfPqServed,
+    "q_sim_recall_pq"       -> simRecallPq,
+    "q_sim_recall_ivfpq"    -> simRecallIvfPq,
     "q_pipeline_prep"       -> pipelinePrep,
     "q_sample_stratified"   -> sampleStratified,
     "q_sample_quota"        -> sampleQuota,
@@ -1077,6 +1125,81 @@ sym AS (
        |       unnest(generate_series(0, 63)) t(i)
        |  GROUP BY 1, 2) m GROUP BY 1""".stripMargin
 
+  /** The unrolled PQ train+ADC oracle — shared by q_sim_pq and its
+    * recall row so candidate set and graded set can never train apart. */
+  private lazy val oraclePq: String =
+    s"""WITH c AS (
+       |  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS ce
+       |  FROM embeddings WHERE vec_id >= 5
+       |), q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id < 5
+       |), sv AS MATERIALIZED (
+       |  SELECT corpus_id, s.sub, ce[s.sub*8+1 : s.sub*8+8] AS sv
+       |  FROM c, (SELECT unnest(generate_series(0, 7)) AS sub) s
+       |), a0 AS (
+       |  SELECT corpus_id, sub,
+       |    CAST(strpos('0123456789abcdef',
+       |      substr(md5('pq|' || CAST(sub AS VARCHAR) || '|'
+       |                 || CAST(corpus_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS cell,
+       |    sv
+       |  FROM sv
+       |), k0 AS MATERIALIZED (${pqMeansSql("SELECT * FROM a0")}
+       |), a1 AS (${pqAssignSql("k0")}
+       |), k1 AS MATERIALIZED (${pqMeansSql("SELECT * FROM a1")}
+       |), a2 AS (${pqAssignSql("k1")}
+       |), k2 AS MATERIALIZED (${pqMeansSql("SELECT * FROM a2")}
+       |), af AS MATERIALIZED (${pqAssignSql("k2")}
+       |), qs AS (
+       |  SELECT query_id, s.sub, qe[s.sub*8+1 : s.sub*8+8] AS qsv
+       |  FROM q, (SELECT unnest(generate_series(0, 7)) AS sub) s
+       |), lq AS (
+       |  SELECT g.query_id, k.sub, k.cell, ${pqDqSql("g.qsv", "k.sc")} AS lq
+       |  FROM qs g JOIN k2 k ON k.sub = g.sub
+       |), d AS (
+       |  SELECT l.query_id, a.corpus_id, CAST(SUM(l.lq) AS BIGINT) AS dist_q
+       |  FROM af a JOIN lq l ON l.sub = a.sub AND l.cell = a.cell
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, corpus_id, dist_q, rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY dist_q ASC, corpus_id ASC) AS rnk
+       |  FROM d) t
+       |WHERE rnk <= 5""".stripMargin
+
+  /** Recall@5 oracle shape shared by the PQ and served-IVF-PQ quality
+    * rows: brute exact top-5 (the q_sim_topk cosine at k=5) left-joined
+    * with the candidate rung's top-5, embedded as a nested subquery the
+    * way q_sim_recall embeds ivfOracle. */
+  private def recall5Oracle(candidate: String): String =
+    // the candidate body substitutes in AFTER stripMargin: its lines can
+    // start with whitespace + `||` (string concat), and a second margin
+    // strip would eat the first pipe and corrupt the SQL
+    s"""WITH brute AS (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT query_id, corpus_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY score_q DESC, corpus_id ASC) AS rnk
+       |    FROM (
+       |      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |        ${cosSql("CAST(q.embedding AS DOUBLE[])", "CAST(c.embedding AS DOUBLE[])")} AS score_q
+       |      FROM embeddings q, embeddings c
+       |      WHERE q.vec_id < 5 AND c.vec_id >= 5) s) t
+       |  WHERE rnk <= 5
+       |), cand AS (
+       |  SELECT query_id, corpus_id, 1 AS hit FROM (
+       |@@CANDIDATE@@
+       |  ) cd
+       |)
+       |SELECT b.query_id,
+       |  CAST(COUNT(i.hit) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(i.hit) * 20 AS BIGINT) AS recall_pct
+       |FROM brute b
+       |LEFT JOIN cand i ON i.query_id = b.query_id AND i.corpus_id = b.corpus_id
+       |GROUP BY 1""".stripMargin
+      .replace("@@CANDIDATE@@",
+        candidate.linesIterator.map("    " + _).mkString("\n"))
+
   /** The unrolled IVF-PQ train+probe oracle — shared by the inline
     * (q_sim_ivfpq) and served (q_sim_ivfpq_served) formulations so
     * the two can never train apart. */
@@ -1164,45 +1287,13 @@ sym AS (
     // PQ: identical hash-seeded per-subspace Lloyd training, then ADC
     // scoring via a (sub, cell) join — the packed-code lut lookup and
     // this join are the same Σ of assigned-cell subspace distances
-    "q_sim_pq" ->
-      s"""WITH c AS (
-         |  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS ce
-         |  FROM embeddings WHERE vec_id >= 5
-         |), q AS (
-         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-         |  FROM embeddings WHERE vec_id < 5
-         |), sv AS MATERIALIZED (
-         |  SELECT corpus_id, s.sub, ce[s.sub*8+1 : s.sub*8+8] AS sv
-         |  FROM c, (SELECT unnest(generate_series(0, 7)) AS sub) s
-         |), a0 AS (
-         |  SELECT corpus_id, sub,
-         |    CAST(strpos('0123456789abcdef',
-         |      substr(md5('pq|' || CAST(sub AS VARCHAR) || '|'
-         |                 || CAST(corpus_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS cell,
-         |    sv
-         |  FROM sv
-         |), k0 AS MATERIALIZED (${pqMeansSql("SELECT * FROM a0")}
-         |), a1 AS (${pqAssignSql("k0")}
-         |), k1 AS MATERIALIZED (${pqMeansSql("SELECT * FROM a1")}
-         |), a2 AS (${pqAssignSql("k1")}
-         |), k2 AS MATERIALIZED (${pqMeansSql("SELECT * FROM a2")}
-         |), af AS MATERIALIZED (${pqAssignSql("k2")}
-         |), qs AS (
-         |  SELECT query_id, s.sub, qe[s.sub*8+1 : s.sub*8+8] AS qsv
-         |  FROM q, (SELECT unnest(generate_series(0, 7)) AS sub) s
-         |), lq AS (
-         |  SELECT g.query_id, k.sub, k.cell, ${pqDqSql("g.qsv", "k.sc")} AS lq
-         |  FROM qs g JOIN k2 k ON k.sub = g.sub
-         |), d AS (
-         |  SELECT l.query_id, a.corpus_id, CAST(SUM(l.lq) AS BIGINT) AS dist_q
-         |  FROM af a JOIN lq l ON l.sub = a.sub AND l.cell = a.cell
-         |  GROUP BY 1, 2
-         |)
-         |SELECT query_id, corpus_id, dist_q, rnk FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |                               ORDER BY dist_q ASC, corpus_id ASC) AS rnk
-         |  FROM d) t
-         |WHERE rnk <= 5""".stripMargin,
+    "q_sim_pq" -> oraclePq,
+
+    // recall rows for the lossy rungs that actually serve (r12): the
+    // candidate top-5 sets are the full oraclePq / oracleIvfPq chains
+    // nested, so the graded set can never drift from the graded query
+    "q_sim_recall_pq" -> recall5Oracle(oraclePq),
+    "q_sim_recall_ivfpq" -> recall5Oracle(oracleIvfPq),
 
     // IVF-PQ composition: the kmeans chain (c/seeds/k0..k2 — identical
     // to q_sim_kmeans's) trains the coarse cells, the PQ chain (sv/pa0

@@ -43,7 +43,10 @@ object SparkEntry {
       // round-11 tier: baseline JPEG decode (the last decode rung), the
       // real AVI frame demux (raw frame bytes + exact pts), exact
       // substring dedup over overlapping grams, and the ANN recall eval
-      "q_image_jpeg", "q_video_demux", "q_dedup_substrings", "q_sim_recall")
+      "q_image_jpeg", "q_video_demux", "q_dedup_substrings", "q_sim_recall",
+      // round-12 tier: recall rows for the lossy rungs that actually
+      // serve (PQ ADC, persisted IVF-PQ) — quality next to their speed
+      "q_sim_recall_pq", "q_sim_recall_ivfpq")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs
