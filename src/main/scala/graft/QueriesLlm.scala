@@ -700,6 +700,26 @@ object QueriesLlm {
         octet_length(col("_fr.frame_bytes")).cast("long").as("frame_len"),
         md5(hex(col("_fr.frame_bytes"))).as("frame_md5"))
 
+  /** REAL MP4 sample demux (r12): every 2nd sample's RAW BYTES and
+    * exact floor-µs presentation time extracted via the ISO-BMFF sample
+    * tables (`graft_mp4_demux`, plans/Mp4Exprs.scala — stts/stsc/stsz/
+    * stco walk, no codec touched), closing the frame-extraction ladder:
+    * AVI got exact-pts demux in r11, MP4 gets it here. The synthetic
+    * container has TWO stts runs and TWO chunks, so constant-rate or
+    * single-chunk shortcuts cannot hash-match; the oracle re-derives
+    * every sample byte arithmetically from the synthesis formula and
+    * every pts from the stts run arithmetic, never touching a blob. */
+  val videoDemuxMp4: Q = (s, dir) =>
+    docs(s, dir).filter(col("doc_id") % 5 === 3)
+      .select(col("doc_id"),
+        call_function("graft_mp4_synth", col("doc_id")).as("bytes"))
+      .select(col("doc_id"),
+        explode(call_function("graft_mp4_demux", col("bytes"), lit(2))).as("_fr"))
+      .select(col("doc_id"), col("_fr.frame_idx").as("frame_idx"),
+        col("_fr.pts_us").as("pts_us"),
+        octet_length(col("_fr.frame_bytes")).cast("long").as("frame_len"),
+        md5(hex(col("_fr.frame_bytes"))).as("frame_md5"))
+
   /** REAL JPEG decode (r11): the last decode rung — baseline JFIF over
     * the media lake's jpeg arm (doc_id%5=0), decoded by
     * `graft_jpeg_pixels` (plans/JpegExprs.scala): marker walk, DHT
@@ -826,6 +846,7 @@ object QueriesLlm {
     "q_image_resize"        -> imageResize,
     "q_video_frames"        -> videoFrames,
     "q_video_demux"         -> videoDemux,
+    "q_video_demux_mp4"     -> videoDemuxMp4,
     "q_image_jpeg"          -> imageJpeg)
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -2226,6 +2247,35 @@ FROM c GROUP BY 1, 2"""),
         |  GROUP BY 1, 2, 3
         |)
         |SELECT doc_id, f AS frame_idx, CAST(f * usf AS BIGINT) AS pts_us,
+        |       CAST(flen AS BIGINT) AS frame_len, md5(fhex) AS frame_md5
+        |FROM hx""".stripMargin,
+
+    // MP4 demux twin: sample bytes re-derived arithmetically from the
+    // synthesis formula, pts from the two-run stts arithmetic (run 1 of
+    // ceil(ns/2) samples at delta d1, the rest at d1+25), reduced to the
+    // same md5-of-uppercase-hex as the Spark side's actual demuxed blob;
+    // the floor µs division matches Java integer / for nonnegatives
+    "q_video_demux_mp4" ->
+      """WITH m AS (
+        |  SELECT doc_id, 600 + (doc_id % 4) * 300 AS ts, 2 + doc_id % 5 AS ns,
+        |         (2 + doc_id % 5 + 1) // 2 AS n1, 100 + doc_id % 50 AS d1
+        |  FROM documents WHERE doc_id % 5 = 3
+        |), s AS (
+        |  SELECT doc_id, ts, i, 9 + (doc_id + 3 * i) % 14 AS slen,
+        |         CASE WHEN i <= n1 THEN i * d1
+        |              ELSE n1 * d1 + (i - n1) * (d1 + 25) END AS ticks
+        |  FROM m, LATERAL unnest(generate_series(0, CAST(ns - 1 AS BIGINT))) t(i)
+        |  WHERE i % 2 = 0
+        |), hx AS (
+        |  SELECT doc_id, i, ts, ticks,
+        |         string_agg(lpad(upper(to_hex((doc_id * 41 + i * 13 + j * 7) % 256)),
+        |                    2, '0'), '' ORDER BY j) AS fhex,
+        |         COUNT(*) AS flen
+        |  FROM s, LATERAL unnest(generate_series(0, CAST(slen - 1 AS BIGINT))) tj(j)
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT doc_id, i AS frame_idx,
+        |       CAST(ticks * 1000000 // ts AS BIGINT) AS pts_us,
         |       CAST(flen AS BIGINT) AS frame_len, md5(fhex) AS frame_md5
         |FROM hx""".stripMargin,
 

@@ -45,8 +45,9 @@ object SparkEntry {
       // substring dedup over overlapping grams, and the ANN recall eval
       "q_image_jpeg", "q_video_demux", "q_dedup_substrings", "q_sim_recall",
       // round-12 tier: recall rows for the lossy rungs that actually
-      // serve (PQ ADC, persisted IVF-PQ) — quality next to their speed
-      "q_sim_recall_pq", "q_sim_recall_ivfpq")
+      // serve (PQ ADC, persisted IVF-PQ) — quality next to their speed —
+      // and the MP4 sample-table demux closing the frame-extraction ladder
+      "q_sim_recall_pq", "q_sim_recall_ivfpq", "q_video_demux_mp4")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs

@@ -398,29 +398,37 @@ object Multimodal {
     * (frame_idx, pts_sec, frame_bytes) — no shuffle, downstream
     * operators see one row per frame.
     *
-    * r11: the AVI arm is REAL — `graft_avi_demux` (plans/AviExprs.scala)
-    * walks the validated container and emits every `sampleEvery`-th
-    * frame's raw DIB bytes with its exact presentation time
-    * (frame_idx · dwMicroSecPerFrame). The decoder is the sniff: rows it
-    * returns null for (JPEG/MP4/plain text — the codec-bound containers
-    * this environment cannot decode) fall back to the STUBBED
-    * even-byte-slice fan-out with its fake 25 fps pts, kept as the
-    * documented plug-in point a real codec would replace. Both arms are
-    * row-local; the union is of two filters of the same scan — with
-    * media laid out by container (the [[withMeta]] partitioning), each
-    * arm's scan prunes to its own modality instead. `n` bounds the fake
-    * arm's fan-out and sets the real arm's stride via the frame count. */
+    * BOTH video container arms are REAL: AVI via `graft_avi_demux`
+    * (r11, plans/AviExprs.scala — raw DIB frames, pts =
+    * frame_idx · dwMicroSecPerFrame) and MP4 via `graft_mp4_demux`
+    * (r12, plans/Mp4Exprs.scala — the stts/stsc/stsz/stco sample-table
+    * walk, pts = floor(ticks·10⁶/timescale)); frame EXTRACTION never
+    * needs a codec, only box arithmetic. The demuxers are the sniffs:
+    * rows neither accepts (still images, audio, plain text — inputs
+    * with no frame structure at all) fall back to the even-byte-slice
+    * fan-out, kept as the documented plug-in point for containers
+    * outside both accepted profiles. All arms are row-local; the union
+    * is of filters of the same scan — with media laid out by container
+    * (the [[withMeta]] partitioning), each arm's scan prunes to its own
+    * modality instead. `n` bounds the fallback's fan-out and sets the
+    * real arms' stride via the frame count. */
   def frameSample(withBytes: DataFrame, n: Int): DataFrame = {
-    val demux = call_function("graft_avi_demux", col("bytes"), lit(1))
-    // Cheap validity probe (r11 ADVICE): an astronomically large stride
+    // Cheap validity probes (r11 ADVICE): an astronomically large stride
     // still walks+validates the container but copies only frame 0's
-    // bytes, so the stub arm's routing predicate never pays a full
-    // every-frame demux. Null ⇔ not a decodable DIB-AVI; empty array ⇔
-    // valid container with zero 00db frames — BOTH route to the stub so
-    // every input row fans out to ≥1 frame row (the frameSample
-    // contract; a bare explode would silently drop zero-frame AVIs).
-    val probe = call_function("graft_avi_demux", col("bytes"), lit(1000000000))
-    val real = withBytes.withColumn("_frames", demux)
+    // bytes, so no routing predicate pays a full every-frame demux.
+    // Null ⇔ not that container; empty array ⇔ valid container with
+    // zero frames — BOTH route to the stub so every input row fans out
+    // to ≥1 frame row (the frameSample contract; a bare explode would
+    // silently drop zero-frame containers).
+    def probe(fn: String) = {
+      val p = call_function(fn, col("bytes"), lit(1000000000))
+      p.isNotNull && size(p) > 0
+    }
+    // Real demux arms share one shape: both AVI (r11) and MP4 (r12)
+    // emit (frame_idx, pts_us, frame_bytes) with exact integer pts.
+    def realArm(fn: String, gate: Column) = withBytes
+      .filter(gate)
+      .withColumn("_frames", call_function(fn, col("bytes"), lit(1)))
       .filter(col("_frames").isNotNull && size(col("_frames")) > 0)
       // n evenly-spaced of the nf real frames: stride = ceil(nf / n)
       .withColumn("_fr", explode(filter(col("_frames"),
@@ -430,14 +438,18 @@ object Multimodal {
       .withColumn("pts_sec", col("_fr.pts_us").cast("double") / 1e6)
       .withColumn("frame_bytes", col("_fr.frame_bytes"))
       .drop("_frames", "_fr")
-    val stub = withBytes.filter(probe.isNull || size(probe) === 0)
+    val avi = realArm("graft_avi_demux", probe("graft_avi_demux"))
+    val mp4 = realArm("graft_mp4_demux",
+      !probe("graft_avi_demux") && probe("graft_mp4_demux"))
+    val stub = withBytes
+      .filter(!probe("graft_avi_demux") && !probe("graft_mp4_demux"))
       .withColumn("frame_idx", explode(sequence(lit(0L), lit(n - 1L))))
       .withColumn("pts_sec",
         col("frame_idx").cast("double") * octet_length(col("bytes")) / n / 25.0)
       .withColumn("frame_bytes",
         expr(s"substring(bytes, CAST(frame_idx * octet_length(bytes) / $n AS INT) + 1, " +
           s"greatest(CAST(octet_length(bytes) / $n AS INT), 1))"))
-    real.unionByName(stub)
+    avi.unionByName(mp4).unionByName(stub)
   }
 
   /** Feature-extraction schema: input rows + fixed-width float vector. */
@@ -451,14 +463,18 @@ object Multimodal {
     * DIB-AVI frames via `graft_avi_frames` — each arm's
     * `featureDim`-float descriptor is derived from ACTUAL decoded
     * pixels/samples (arm tag, geometry, normalized channel means /
-    * signal statistics). The decoders are the sniffs (null for anything
-    * they don't support), so no separate container predicate exists to
-    * drift from the decode reality; rows no real rung decodes (MP4,
-    * out-of-profile images, plain text) fall back to [[decodeStub]],
-    * the documented codec plug-in point. All four real arms are fused
-    * codegen expressions — row-local, shuffle-free; the residual split
-    * is two filters of the same scan (with media laid out by container,
-    * each arm prunes to its modality instead of rescanning). */
+    * signal statistics) — plus the MP4 arm (r12): `graft_mp4_demux`'s
+    * sample-table walk proves real stream structure (sample count,
+    * byte totals, exact duration), which is the honest descriptor for
+    * a container whose PIXELS are codec-bound. The decoders are the
+    * sniffs (null for anything they don't support), so no separate
+    * container predicate exists to drift from the decode reality; rows
+    * no real rung handles (out-of-profile containers, plain text) fall
+    * back to [[decodeStub]], the documented codec plug-in point. All
+    * five real arms are fused codegen expressions — row-local,
+    * shuffle-free; the residual split is two filters of the same scan
+    * (with media laid out by container, each arm prunes to its
+    * modality instead of rescanning). */
   def decodeFeatures(withBytes: DataFrame): DataFrame = {
     val png = call_function("graft_png_pixels", col("bytes"))
     val jpg = call_function("graft_jpeg_pixels", col("bytes"))
@@ -492,11 +508,25 @@ object Multimodal {
       f(element_at(avi, 1).getField("width")), f(element_at(avi, 1).getField("height")),
       f(aviSum("sum_r") / aviPix / 255.0), f(aviSum("sum_g") / aviPix / 255.0),
       f(aviSum("sum_b") / aviPix / 255.0), f(lit(0)))
+    // MP4 (r12): the sample-table demux yields REAL sample boundaries
+    // and exact times, so the descriptor is real stream structure —
+    // [5, n_samples, total_bytes, mean_sample_len, span_sec, 0, 0, 0].
+    // Pixel-level stats stay codec-bound by documented contract; these
+    // five numbers are what the container actually proves.
+    val mp4 = call_function("graft_mp4_demux", col("bytes"), lit(1))
+    val mn = size(mp4).cast("long")
+    val mp4Len = aggregate(mp4, lit(0L),
+      (acc, fr) => acc + octet_length(fr.getField("frame_bytes")))
+    val mp4Feat = array(f(lit(5)), f(mn), f(mp4Len),
+      f(mp4Len / greatest(mn, lit(1L))),
+      f(element_at(mp4, size(mp4)).getField("pts_us") / 1e6),
+      f(lit(0)), f(lit(0)), f(lit(0)))
     val routed = withBytes.withColumn("features",
       when(png.isNotNull, pngFeat)
         .when(jpg.isNotNull, jpgFeat)
         .when(wav.isNotNull, wavFeat)
-        .when(avi.isNotNull && nf > 0, aviFeat))
+        .when(avi.isNotNull && nf > 0, aviFeat)
+        .when(mp4.isNotNull && mn > 0, mp4Feat))
     routed.filter(col("features").isNotNull)
       .unionByName(decodeStub(routed.filter(col("features").isNull).drop("features")))
   }
@@ -505,13 +535,14 @@ object Multimodal {
     * mapPartitions (the Spark-side shape a real decoder plugs into — one
     * model/codec instance per partition, rows streamed through it).
     *
-    * A real implementation would decode `bytes` (JPEG/MP4) and run a
-    * feature extractor here; this container has no such codecs, so
-    * features are a DETERMINISTIC FAKE: byte-position-weighted sums
-    * folded into `featureDim` buckets. The schema, batching and
-    * partition behavior are the real contract. Media with codec-free
-    * containers never reach this stub — [[decodeFeatures]] routes
-    * PNG/WAV/AVI rows through their real decode rungs first. */
+    * Every container modality now has a real rung (PNG/JPEG pixels, WAV
+    * PCM, AVI frames, MP4 sample tables — r12 closed the last one), so
+    * the only rows reaching this stub are OUT-OF-PROFILE containers and
+    * plain text: inputs with nothing to decode, for which the
+    * byte-position-weighted bucket sums below are an honest byte-level
+    * fingerprint rather than a stand-in for decoded media. The schema,
+    * batching and partition behavior remain the real codec plug-in
+    * contract. */
   def decodeStub(withBytes: DataFrame): DataFrame = {
     val inSchema = withBytes.schema
     val outSchema = featureSchema(inSchema)

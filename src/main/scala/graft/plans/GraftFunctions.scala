@@ -113,6 +113,14 @@ object GraftFunctions {
       "every Nth (frame_idx, pts_us, frame_bytes) of a DIB-frame AVI; NULL if not one", 2) {
       case Seq(b, n) => AviDemux(b, n)
     },
+    fn("graft_mp4_synth",
+      "deterministic sample-table ISO-BMFF MP4 for a doc id (the demux tier's test signal)", 1) {
+      case Seq(id) => Mp4Synth(id)
+    },
+    fn("graft_mp4_demux",
+      "every Nth (frame_idx, pts_us, frame_bytes) via the MP4 sample tables; NULL if not one", 2) {
+      case Seq(b, n) => Mp4Demux(b, n)
+    },
     fn("graft_jpeg_pixels",
       "[width, height, sum_r, sum_g, sum_b] of a baseline 4:4:4 JFIF; NULL if not one", 1) {
       case Seq(b) => JpegPixelStats(b)

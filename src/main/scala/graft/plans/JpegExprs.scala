@@ -371,6 +371,7 @@ object JpegPixelStats {
             val o = seg + 6 + 3 * ci
             if ((b(o + 1) & 0xff) != 0x11) return null // 1×1 sampling only
             compQ(ci) = b(o + 2) & 0x0f
+            if (compQ(ci) > 3) return null // Tq is 0–3; qt has 4 slots
             ci += 1
           }
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
@@ -388,6 +389,9 @@ object JpegPixelStats {
           while (ci < ns) {
             compDc(ci) = (b(seg + 2 + 2 * ci) & 0xf0) >> 4
             compAc(ci) = b(seg + 2 + 2 * ci) & 0x0f
+            // table ids are 0–3 (the table arrays have 4 slots); a
+            // crafted nibble above 3 must reject, not index OOB
+            if (compDc(ci) > 3 || compAc(ci) > 3) return null
             ci += 1
           }
           // Ss=0, Se=63, AhAl=0 for baseline

@@ -232,6 +232,55 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(AviFrameStats.decode(good).numElements() == 5)
   }
 
+  test("frameSample: MP4 rows demux REAL sample bytes via the sample tables; AVI keeps its arm") {
+    import spark.implicits._
+    import graft.plans.{Mp4Synth, AviSynth}
+    // doc 3: sample-table MP4 (ns = 2 + 3%5 = 5; two stts runs, two
+    // chunks); doc 8: DIB AVI; doc 9: plain text → even-slice fallback
+    val media = Seq(3L, 8L, 9L).toDF("doc_id")
+      .withColumn("bytes",
+        when(col("doc_id") === 3, expr("graft_mp4_synth(doc_id)"))
+          .when(col("doc_id") === 8, expr("graft_avi_synth(doc_id)"))
+          .otherwise(expr("encode('nothing to demux here', 'UTF-8')")))
+    val out = Multimodal.frameSample(media, n = 3)
+      .select("doc_id", "frame_idx", "pts_sec", "frame_bytes").collect()
+    val mp4 = out.filter(_.getLong(0) == 3L).sortBy(_.getLong(1))
+    // ns = 5, n = 3 ⇒ stride = ceil(5/3) = 2 ⇒ samples 0, 2, 4
+    assert(mp4.map(_.getLong(1)).toSeq == Seq(0L, 2L, 4L), mp4.mkString(","))
+    // exact pts through the TWO stts runs: floor(ticks·10⁶/ts)/10⁶
+    assert(mp4(1).getDouble(2) ==
+      Mp4Synth.ptsTicks(3L, 2L) * 1000000L / Mp4Synth.timescale(3L) / 1e6)
+    // the sample BYTES are the real mdat payload at the stco/stsc offsets
+    val sb = mp4(1).getAs[Array[Byte]](3) // sample 2 (chunk 1's last: n1 = 3)
+    assert(sb.length == Mp4Synth.sampleSize(3L, 2L))
+    assert(sb.zipWithIndex.forall { case (b, j) =>
+      (b & 0xff) == Mp4Synth.storedByte(3L, 2L, j.toLong) })
+    // sample 4 sits in CHUNK 2 — its bytes prove the stsc/stco mapping
+    val sb4 = mp4(2).getAs[Array[Byte]](3)
+    assert(sb4.zipWithIndex.forall { case (b, j) =>
+      (b & 0xff) == Mp4Synth.storedByte(3L, 4L, j.toLong) })
+    // AVI arm still demuxes (nf = 2 + 8%5 = 5 ⇒ frames 0, 2, 4)
+    assert(out.count(_.getLong(0) == 8L) == 3)
+    // plain text keeps the documented fallback fan-out
+    assert(out.count(_.getLong(0) == 9L) == 3)
+  }
+
+  test("decodeFeatures: MP4 rows carry REAL sample-table descriptors, not stub sums") {
+    import spark.implicits._
+    import graft.plans.Mp4Synth
+    val media = Seq(3L).toDF("doc_id")
+      .withColumn("bytes", expr("graft_mp4_synth(doc_id)"))
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 1)
+    val fv = feats(0).getAs[scala.collection.Seq[Float]]("features")
+    val ns = Mp4Synth.samples(3L)
+    val total = (0L until ns).map(Mp4Synth.sampleSize(3L, _)).sum
+    assert(fv(0) == 5f, "arm tag 5 = MP4 sample tables")
+    assert(fv(1) == ns.toFloat && fv(2) == total.toFloat)
+    assert(fv(4) ==
+      (Mp4Synth.ptsTicks(3L, ns - 1) * 1000000L / Mp4Synth.timescale(3L) / 1e6).toFloat)
+  }
+
   test("frameSample: a valid AVI with ZERO frames routes to the stub arm, not silently dropped") {
     import spark.implicits._
     import graft.plans.{AviSynth, AviDemux}
@@ -1249,9 +1298,11 @@ class LlmOpsSpec extends AnyFunSuite {
       "png_pixels" -> (b => PngPixelStats.decode(b)),
       "avi_frames" -> (b => AviFrameStats.decode(b)),
       "avi_demux" -> (b => AviDemux.demux(b, 2)),
+      "mp4_demux" -> (b => Mp4Demux.demux(b, 2)),
       "jpeg_pixels" -> (b => JpegPixelStats.decode(b)))
     val seeds: Seq[Array[Byte]] = Seq(
       PngSynth.synth(7L), AviSynth.synth(7L), JpegSynth.synth(7L),
+      Mp4Synth.synth(7L),
       Multimodal.synthMedia(Seq((7L, "payload words for the wav arm"))
         .toDF("doc_id", "text")).collect()(0).getAs[Array[Byte]]("bytes"))
     var runs = 0
