@@ -211,13 +211,22 @@ object Dedup {
         col("h.h1").as("h1"), col("h.h2").as("h2"))
 
   /** Shared tail of the substring-dedup family: join the per-doc sorted
-    * flagged-start arrays back, cut covered words, and account removed
-    * words / maximal runs with one linear fold. `words` must carry `w`
-    * (the split word array) plus the original columns. */
+    * flagged-start arrays back, then [[cutColumns]]. `words` must carry
+    * `w` (the split word array) plus the original columns. */
   private def cutFlagged(words: DataFrame, flagged: DataFrame,
-      spanWords: Int): DataFrame = {
+      spanWords: Int): DataFrame =
+    cutColumns(words.join(flagged, Seq("doc_id"), "left"), spanWords)
+
+  /** Row-local cut + accounting over a frame already carrying `w` (the
+    * split word array) and `rm` (sorted flagged starts; null or empty ⇒
+    * nothing flagged): cut covered words, account removed words /
+    * maximal runs with one linear fold. Factored out of [[cutFlagged]]
+    * (r12) so the STREAMING gram probe — whose aggregate emits (doc,
+    * rm, text) in one row with no join to come back through — applies
+    * the identical cut semantics. */
+  private[graft] def cutColumns(joined: DataFrame, spanWords: Int): DataFrame = {
     val L = lit(spanWords)
-    words.join(flagged, Seq("doc_id"), "left")
+    joined
       .withColumn("clean_text", coalesce(
         array_join(filter(col("w"), (wd, p) =>
           col("rm").isNull ||

@@ -32,7 +32,12 @@ import org.apache.spark.sql.types._
   * cannot contain the separator (same assumption, now structural).
   *
   * Returns one struct (h1, h2) per window start (length − L + 1
-  * entries); null for a null array, empty array when length < L. */
+  * entries); null for a null array, empty array when length < L.
+  *
+  * CONTRACT (pinned by LlmOpsSpec): a NULL array element hashes as the
+  * empty string — both contribute only the lane offset bases. split()
+  * never yields null elements, but this expression is registered SQL
+  * surface; a caller needing null ≠ "" must pre-encode nulls. */
 case class GramHashes(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
@@ -49,14 +54,14 @@ case class GramHashes(left: Expression, right: Expression)
   override def prettyName: String = "graft_gram_hashes"
 
   override def nullSafeEval(words: Any, l: Any): Any =
-    GramHashes.eval(words.asInstanceOf[ArrayData], l.asInstanceOf[Int])
+    GramHashes.hashAll(words.asInstanceOf[ArrayData], l.asInstanceOf[Int])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (w, l) => {
       val res = ctx.freshName("grams")
       s"""
          |org.apache.spark.sql.catalyst.util.GenericArrayData $res =
-         |  graft.plans.GramHashes.eval($w, $l);
+         |  graft.plans.GramHashes.hashAll($w, $l);
          |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
        """.stripMargin
     })
@@ -77,7 +82,12 @@ object GramHashes {
   private final val P1 = 0x9e3779b97f4a7c15L
   private final val P2 = 0xc2b2ae3d27d4eb4fL
 
-  def eval(words: ArrayData, l: Int): GenericArrayData = {
+  /** NOT named `eval` (r12): the case class inherits eval(InternalRow)
+    * from Expression, and a companion method sharing that name gets NO
+    * static forwarder on the class — the generated Java then fails to
+    * compile and every caller silently falls back to interpreted mode
+    * (found via the codegen CompileException log in StreamingSpec). */
+  def hashAll(words: ArrayData, l: Int): GenericArrayData = {
     if (l <= 0) return null
     val n = words.numElements()
     if (n < l) return new GenericArrayData(new Array[Any](0))

@@ -251,6 +251,56 @@ object StreamingJobs {
         col("dup_of"), col("n_dups"))
   }
 
+  /** Streaming substring-dedup gate (r12) — the ingest face of
+    * [[graft.operators.Dedup.probeGramIndex]], completing the
+    * ingest-gate family (Bloom novelty, minhash band probe, and now the
+    * exact gram probe): every arriving doc's overlapping-L-gram digests
+    * probe the STANDING corpus's persisted gram index in-flight, and
+    * any gram the corpus already carries is cut from the arriving doc —
+    * clean text, removed-word count and maximal-run count identical to
+    * the batch probe (asserted row-for-row in StreamingSpec).
+    *
+    * Shape: the gram stream is a stateless projection (the codegen
+    * rolling hash), the index joins STREAM-STATIC on the flat digest
+    * lanes (bucketed-on-(h1,h2) in deployment — zero index-side
+    * exchange, the batch probe's layout), and the only stateful
+    * operator is the closing window aggregate. The doc's TEXT rides a
+    * single sentinel row (pos = −1) unioned around the join instead of
+    * through it — gram rows carry only (doc_id, ts, pos, 2×64-bit), so
+    * boilerplate-heavy docs never amplify text over the wire — and the
+    * flagged-start cut is the batch operator's own row-local fold
+    * ([[graft.operators.Dedup.cutColumns]]), not a reimplementation. */
+  def gramProbeStream(docs: DataFrame, index: DataFrame, spanWords: Int,
+      watermarkDelay: String, windowDur: String, minDf: Long = 1L): DataFrame = {
+    val wm = docs.withWatermark("ts", watermarkDelay)
+    val words = wm.withColumn("w", split(col("text"), " "))
+    val grams = words.filter(size(col("w")) >= spanWords)
+      .select(col("doc_id"), col("ts"), posexplode(
+        call_function("graft_gram_hashes", col("w"), lit(spanWords)))
+        .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("ts"), col("pos"),
+        col("h.h1").as("h1"), col("h.h2").as("h2"))
+    val hits = grams
+      .join(index.filter(col("df") >= minDf).select(col("h1"), col("h2")),
+        Seq("h1", "h2"))
+      .select(col("doc_id"), col("ts"), col("pos"),
+        lit(null).cast("string").as("text"))
+    // one sentinel row per doc carries the text (and keeps zero-hit and
+    // short docs in the output — the every-doc-comes-back contract)
+    val carrier = wm.select(col("doc_id"), col("ts"),
+      lit(-1).as("pos"), col("text"))
+    val agg = hits.unionByName(carrier)
+      .groupBy(window(col("ts"), windowDur), col("doc_id"))
+      .agg(sort_array(collect_list(when(col("pos") >= 0, col("pos")))).as("rm"),
+        first(col("text"), ignoreNulls = true).as("text"))
+      .select(col("window.start").as("w_start"), col("doc_id"),
+        col("rm"), col("text"))
+    graft.operators.Dedup.cutColumns(
+        agg.withColumn("w", split(col("text"), " ")), spanWords)
+      .select(col("w_start"), col("doc_id"), col("clean_text"),
+        col("n_removed"), col("n_spans"))
+  }
+
   /** Streaming twin of the curation pipeline (QueriesLlm.pipelinePrep):
     * language-ID and the quality gate run as STATELESS projections at
     * ingest rate; dedup keys on the normalized-content fingerprint with

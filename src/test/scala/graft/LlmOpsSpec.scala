@@ -372,7 +372,7 @@ class LlmOpsSpec extends AnyFunSuite {
     def arr(ws: String*) =
       new GenericArrayData(ws.map(w => UTF8String.fromString(w)).toArray[Any])
     def hashes(l: Int, ws: String*): Seq[(Long, Long)] = {
-      val g = GramHashes.eval(arr(ws: _*), l)
+      val g = GramHashes.hashAll(arr(ws: _*), l)
       (0 until g.numElements()).map { i =>
         val r = g.array(i).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
         (r.getLong(0), r.getLong(1))
@@ -391,6 +391,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hashes(2, "ab", "c").head != hashes(2, "a", "bc").head)
     // shorter-than-L input yields an empty gram list, not null
     assert(hashes(10, "one", "two").isEmpty)
+    // PINNED (r11 verdict #8): a NULL array element hashes as the empty
+    // string — the word contributes only its lane offsets, identically
+    // to "". Unreachable from split() today, but graft_gram_hashes is
+    // registered SQL surface, so the conflation is contract, not
+    // accident; a caller needing null≠"" must pre-encode nulls.
+    val withNull = new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), null, UTF8String.fromString("c")))
+    val gNull = GramHashes.hashAll(withNull, 3)
+    val r0 = gNull.array(0).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert((r0.getLong(0), r0.getLong(1)) == hashes(3, "a", "", "c").head,
+      "null element ≡ empty string by documented contract")
   }
 
   test("substring dedup: offset-independent removal, straddling runs merge whole") {

@@ -489,4 +489,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.nonEmpty, "planted near-dups should straddle the corpus/delta split")
     } finally q.stop()
   }
+
+  test("streaming gram probe cuts corpus boilerplate in-flight, equals the batch probe") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables(spark, sfDir).documents
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val delta = d.filter(col("doc_id") % 10 === 0)
+    val index = graft.operators.Dedup.gramIndex(corpus, 10).localCheckpoint()
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingJobs.gramProbeStream(df, index, spanWords = 10,
+        watermarkDelay = "10 minutes", windowDur = "1 hour")
+      .writeStream.format("memory").queryName("gramprobe_out").outputMode("append").start()
+    try {
+      val deltaRows = delta.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), ts(5), r.getString(1))).toSeq
+      feed(q)(in.addData(deltaRows: _*))
+      // far-future flush row: the watermark sits at the SOURCE, so a
+      // batch with zero index hits still closes the hour-0 window
+      feed(q)(in.addData((999999L, ts(1000), "flush")))
+      val got = spark.table("gramprobe_out")
+        .filter($"doc_id" =!= 999999L)
+        .select("doc_id", "clean_text", "n_removed", "n_spans").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = graft.operators.Dedup.probeGramIndex(delta, index, 10)
+        .select("doc_id", "clean_text", "n_removed", "n_spans").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == batch)
+      assert(got.exists(_._3 > 0), "the synthetic corpus plants shared passages across the split")
+      assert(got.size == deltaRows.size, "every arriving doc comes back exactly once")
+    } finally q.stop()
+  }
 }
