@@ -127,6 +127,34 @@ object QueriesLlm {
       .select(col("doc_id"), col("clean_text"), col("n_removed"), col("n_spans"))
   }
 
+  /** DEDUP QUALITY evaluation (r12) — the q_sim_recall posture applied
+    * to the near-dup family: pair-level recall AND precision of the
+    * minhash-LSH candidate generator against the EXACT τ=0.8 Jaccard
+    * join (prefix filtering, lossless) as ground truth. An LSH rung
+    * whose speed wins are bought with silent pair loss is not done:
+    * the (perms=8, bands=4) geometry predicts P(candidate | s) =
+    * 1−(1−s²)⁴ ≈ 0.983 at s = 0.8, and this row MEASURES it — and
+    * measures precision too, the count of candidate pairs the verify
+    * pass will discard (LSH at 2-row bands fires well below τ=0.8 by
+    * design; the eval makes that cost visible instead of implied).
+    * Single-row integer-exact output (counts + DIV-floored pcts);
+    * the ground-truth side is the exact join — expensive by nature,
+    * which is exactly the argument for an OFFLINE eval query (the
+    * q_sim_recall rationale). */
+  val dedupRecall: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val truth = Dedup.prefixJaccardPairs(d, k = 3, minJaccardQ = 800000L)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+    val cand = Dedup.minhashCandidates(d, k = 3, perms = 8, bands = 4)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("c"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full")
+      .agg(count(col("t")).as("n_true"), count(col("c")).as("n_cand"),
+        count(when(col("t").isNotNull && col("c").isNotNull, 1)).as("n_caught"))
+      .select(col("n_true"), col("n_cand"), col("n_caught"),
+        expr("CASE WHEN n_true > 0 THEN n_caught * 100 DIV n_true END").as("recall_pct"),
+        expr("CASE WHEN n_cand > 0 THEN n_caught * 100 DIV n_cand END").as("precision_pct"))
+  }
+
   /** Exact heavy hitters (vocabulary items above 2% of the token stream)
     * via the Misra-Gries sketch + exact-verify two-pass: the corpus-wide
     * shuffle carries k=64 counters per partition, never the vocabulary. */
@@ -805,6 +833,7 @@ object QueriesLlm {
     "q_dedup_spans"         -> dedupSpans,
     "q_dedup_substrings"    -> dedupSubstrings,
     "q_dedup_substr_incremental" -> dedupSubstrIncremental,
+    "q_dedup_recall"        -> dedupRecall,
     "q_freq_heavyhitters"   -> freqHeavyHitters,
     "q_freq_hh_grouped"     -> freqHeavyHittersGrouped,
     "q_freq_cms"            -> freqCms,
@@ -1645,6 +1674,40 @@ WHERE CAST(n_common AS DOUBLE) / (na.nsh + nb.nsh - n_common) >= 0.3"""),
 
     "q_dedup_minhash" -> (
       "WITH " + minhashPairsChain + "\nSELECT doc_a, doc_b, n_bands FROM mh_pairs"),
+
+    // dedup quality eval (r12): the LSH candidate chain (mh_pairs —
+    // q_dedup_minhash's verbatim) full-joined against the exact τ=0.8
+    // inverted-index truth (q_simjoin_prefix's CTEs, reusing the chain's
+    // sh0) — the two graded sets are nested so the eval can never drift
+    // from the graded queries
+    "q_dedup_recall" -> (
+      "WITH " + minhashPairsChain + """,
+sizes AS (
+  SELECT doc_id, count(*) AS nsh FROM sh0 GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh0 a JOIN sh0 b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes na ON doc_a = na.doc_id
+  JOIN sizes nb ON doc_b = nb.doc_id
+  WHERE n_common * 1000000 >= 800000 * (na.nsh + nb.nsh - n_common)
+), u AS (
+  SELECT t.doc_a IS NOT NULL AS is_t, m.doc_a IS NOT NULL AS is_c
+  FROM truth t
+  FULL JOIN (SELECT doc_a, doc_b FROM mh_pairs) m
+    ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b
+), agg AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN is_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true,
+         CAST(COALESCE(SUM(CASE WHEN is_c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cand,
+         CAST(COALESCE(SUM(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught
+  FROM u
+)
+SELECT n_true, n_cand, n_caught,
+  CASE WHEN n_true > 0 THEN n_caught * 100 // n_true END AS recall_pct,
+  CASE WHEN n_cand > 0 THEN n_caught * 100 // n_cand END AS precision_pct
+FROM agg"""),
 
     // transitive closure of the SAME candidate pairs (shared CTE chain):
     // component = minimum doc reachable over the pair graph. The

@@ -33,7 +33,19 @@ object ScaleUp {
     // structure is preserved while cross-replica pairs fall below the
     // τ=0.8 threshold — the corpus an exact similarity join can be
     // benched on at scale.
+    // "mixed" (r12) is the realistic regime for SUBSTRING dedup: docs
+    // with doc_id % 5 = 0 replicate byte-identical (every 10-word gram
+    // duplicated, df = reps) while the other 80% get the interleave
+    // marking (a mark at least every 8 words → every 10-word window
+    // contains one → cross-replica grams unique). The suffix-mode bench
+    // corpus is the adversarial 100%-duplication worst case (every gram
+    // flagged, dup set corpus-sized); mixed bounds the typical ~20%
+    // boilerplate regime a production dedup pass actually sees.
     val textMode = args.lift(3).getOrElse("suffix")
+    // optional table subset (comma list) — the mixed-regime corpora only
+    // need documents.parquet; skip the 10 GB of facts they'd never read
+    val only = args.lift(4).map(_.split(",").map(_.trim).toSet)
+    def wanted(n: String) = only.forall(_.contains(n))
     val spark = GraftSession.get("graft-scaleup")
 
     def raw(n: String) = spark.read.parquet(s"$src/$n.parquet")
@@ -52,39 +64,45 @@ object ScaleUp {
       (if (fanOut) df.repartition(32) else df)
         .write.mode("overwrite").parquet(s"$out/$n.parquet")
 
-    for (d <- Seq("region", "nation", "customer", "supplier", "part"))
+    for (d <- Seq("region", "nation", "customer", "supplier", "part") if wanted(d))
       write(raw(d), d, fanOut = false)
-    write(scaled(raw("lineitem"),
+    if (wanted("lineitem")) write(scaled(raw("lineitem"),
       "l_orderkey" -> "l_orderkey + rep * 1000000000"), "lineitem")
-    write(scaled(raw("orders"),
+    if (wanted("orders")) write(scaled(raw("orders"),
       "o_orderkey" -> "o_orderkey + rep * 1000000000"), "orders")
     // second-truncated TIMESTAMP on the way out (micros parquet both
     // engines read natively; Tables.events passes through). Source
     // encoding varies by driver round — nanos-as-long or native
     // timestamp — so branch on the schema exactly like Tables.events.
-    val tsExpr = raw("events").schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => "timestamp_seconds(ts div 1000000000)"
-      case _ => "date_trunc('second', ts)"
+    if (wanted("events")) {
+      val tsExpr = raw("events").schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => "timestamp_seconds(ts div 1000000000)"
+        case _ => "date_trunc('second', ts)"
+      }
+      write(scaled(raw("events"),
+        "event_id" -> "event_id + rep * 1000000000",
+        "user_id"  -> "user_id + rep * 1000000",
+        "ts"       -> tsExpr), "events")
     }
-    write(scaled(raw("events"),
-      "event_id" -> "event_id + rep * 1000000000",
-      "user_id"  -> "user_id + rep * 1000000",
-      "ts"       -> tsExpr), "events")
+    val interleaveExpr =
+      """array_join(
+        |  transform(split(text, ' '),
+        |    (w, i) -> CASE WHEN i % 8 = 7 THEN concat(w, 'r', CAST(rep AS STRING)) ELSE w END),
+        |  ' ')""".stripMargin.linesIterator.mkString(" ")
     val textExpr = textMode match {
       case "suffix" =>
         "CASE WHEN rep = 0 THEN text ELSE concat(text, ' r', CAST(rep AS STRING)) END"
       case "interleave" =>
-        """CASE WHEN rep = 0 THEN text ELSE array_join(
-          |  transform(split(text, ' '),
-          |    (w, i) -> CASE WHEN i % 8 = 7 THEN concat(w, 'r', CAST(rep AS STRING)) ELSE w END),
-          |  ' ') END""".stripMargin.linesIterator.mkString(" ")
+        s"CASE WHEN rep = 0 THEN text ELSE $interleaveExpr END"
+      case "mixed" =>
+        s"CASE WHEN rep = 0 OR doc_id % 5 = 0 THEN text ELSE $interleaveExpr END"
       case other => sys.error(s"unknown text mode: $other")
     }
-    write(scaled(raw("documents"),
+    if (wanted("documents")) write(scaled(raw("documents"),
       "doc_id" -> "doc_id + rep * 1000000",
       "text"   -> textExpr),
       "documents")
-    write(scaled(raw("embeddings"),
+    if (wanted("embeddings")) write(scaled(raw("embeddings"),
       "vec_id" -> "vec_id + rep * 1000000"), "embeddings")
     spark.stop()
   }

@@ -25,6 +25,23 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup recall eval: counts are consistent and pcts are floored ratios in [0,100]") {
+    val r = QueriesLlm.dedupRecall(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nTrue, nCand, nCaught) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    // the intersection can never exceed either side
+    assert(nCaught <= math.min(nTrue, nCand), row.toString)
+    // the eval is only meaningful if the fixture corpus HAS true pairs
+    // (the driver testdata plants near-dup docs; a zero here means the
+    // ground-truth join silently broke, not that the corpus is clean)
+    assert(nTrue > 0, "exact τ=0.8 join found no pairs in the fixture corpus")
+    val recall = row.getLong(3); val precision = row.getLong(4)
+    assert(recall == nCaught * 100 / nTrue && recall >= 0 && recall <= 100)
+    assert(precision == nCaught * 100 / nCand && precision >= 0 && precision <= 100)
+  }
+
   test("jaccard's final adaptive plan reuses the bucket exchange and broadcasts sizes") {
     val df = Dedup.jaccardPairs(docs, 3, 50, 2, 0.3)
     df.collect() // finalize AQE on THIS QueryExecution
