@@ -127,6 +127,46 @@ object QueriesLlm {
       .select(col("doc_id"), col("clean_text"), col("n_removed"), col("n_spans"))
   }
 
+  /** DEPLOYMENT form of incremental substring dedup (r12): the delta
+    * probes a PERSISTED BUCKETED gram index — built once per
+    * (application, corpus) via [[graft.sources.Sinks.saveBucketed]] on
+    * the flat digest lanes (h1, h2), so the probe join reads the index
+    * side pre-partitioned with ZERO exchange (asserted in LlmOpsSpec)
+    * and every per-invocation cost is delta-sized. This is the query a
+    * user runs nightly against a standing 100 TB corpus; the inline
+    * q_dedup_substr_incremental stays registered as the honest
+    * build+probe total, the q_sim_ivfpq / q_sim_ivfpq_served split.
+    * Oracle: identical SQL to the inline form — parquet round-trips the
+    * 64-bit digest lanes exactly, so served ≡ inline by construction
+    * and the hash gate proves it. */
+  val dedupSubstrServed: Q = (s, dir) => {
+    val d = docs(s, dir)
+    Dedup.probeGramIndex(d.filter(col("doc_id") % 10 === 0),
+        s.table(servedGramIndexTable(s, dir)), spanWords = 10)
+      .select(col("doc_id"), col("clean_text"), col("n_removed"), col("n_spans"))
+  }
+
+  /** Build-once gate for the bucketed gram index table. Table name keys
+    * on (applicationId, md5 of the RAW dir string) — concurrent harness
+    * runs must not race one warehouse table, and a sanitizing
+    * replaceAll would collide distinct corpora (the round-11 ADVICE on
+    * the user-stats store). Serialized per JVM for the same reason the
+    * stats build is. */
+  private def servedGramIndexTable(s: SparkSession, dir: String): String = {
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val appKey = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_gram_idx_${appKey}_$dirKey"
+    gramIndexBuildLock.synchronized {
+      if (!s.catalog.tableExists(table))
+        graft.sources.Sinks.saveBucketed(
+          Dedup.gramIndex(docs(s, dir).filter(col("doc_id") % 10 =!= 0), 10),
+          table, Seq("h1", "h2"), 32)
+    }
+    table
+  }
+  private val gramIndexBuildLock = new Object
+
   /** DEDUP QUALITY evaluation (r12) — the q_sim_recall posture applied
     * to the near-dup family: pair-level recall AND precision of the
     * minhash-LSH candidate generator against the EXACT τ=0.8 Jaccard
@@ -833,6 +873,7 @@ object QueriesLlm {
     "q_dedup_spans"         -> dedupSpans,
     "q_dedup_substrings"    -> dedupSubstrings,
     "q_dedup_substr_incremental" -> dedupSubstrIncremental,
+    "q_dedup_substr_served" -> dedupSubstrServed,
     "q_dedup_recall"        -> dedupRecall,
     "q_freq_heavyhitters"   -> freqHeavyHitters,
     "q_freq_hh_grouped"     -> freqHeavyHittersGrouped,
@@ -1314,6 +1355,48 @@ sym AS (
          |  FROM d) t
          |WHERE rnk <= 5""".stripMargin
 
+  /** The inline build+probe oracle — shared verbatim by
+    * q_dedup_substr_incremental and q_dedup_substr_served. */
+  private lazy val substrIncrementalOracle: String =
+    """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |cg AS (
+        |  SELECT DISTINCT array_to_string(a[i+1 : i+10], ' ') AS g
+        |  FROM arr, LATERAL unnest(generate_series(0, CAST(len(a) - 10 AS BIGINT))) t(i)
+        |  WHERE len(a) >= 10 AND doc_id % 10 <> 0),
+        |dg AS (
+        |  SELECT doc_id, i, array_to_string(a[i+1 : i+10], ' ') AS g
+        |  FROM arr, LATERAL unnest(generate_series(0, CAST(len(a) - 10 AS BIGINT))) t(i)
+        |  WHERE len(a) >= 10 AND doc_id % 10 = 0),
+        |flagged AS (SELECT doc_id, i FROM dg JOIN cg USING (g)),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, i + d AS p
+        |  FROM flagged, LATERAL unnest(generate_series(0, 9)) t(d)),
+        |runs AS (
+        |  SELECT doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_removed,
+        |         CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+        |  FROM (SELECT doc_id, p,
+        |          COALESCE(p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p), 2) > 1 AS is_new
+        |        FROM covered)
+        |  GROUP BY 1),
+        |wordrows AS (
+        |  SELECT arr.doc_id, q - 1 AS p, a[CAST(q AS INT)] AS word
+        |  FROM arr, LATERAL unnest(generate_series(1, CAST(len(a) AS BIGINT))) t(q)
+        |  WHERE doc_id % 10 = 0),
+        |clean AS (
+        |  SELECT w.doc_id,
+        |         string_agg(CASE WHEN c.p IS NULL THEN w.word END, ' ' ORDER BY w.p)
+        |           AS clean_text
+        |  FROM wordrows w LEFT JOIN covered c ON c.doc_id = w.doc_id AND c.p = w.p
+        |  GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(cl.clean_text, '') AS clean_text,
+        |       COALESCE(r.n_removed, 0) AS n_removed,
+        |       COALESCE(r.n_spans, 0) AS n_spans
+        |FROM documents d
+        |LEFT JOIN clean cl USING (doc_id)
+        |LEFT JOIN runs r USING (doc_id)
+        |WHERE d.doc_id % 10 = 0""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_sim_kmeans" ->
       s"""WITH c AS (
@@ -1409,45 +1492,12 @@ sym AS (
     // incremental-substring twin: corpus grams as a DISTINCT text set,
     // delta grams joined against it, then the same covered/runs/reassembly
     // pipeline restricted to the delta docs
-    "q_dedup_substr_incremental" ->
-      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-        |cg AS (
-        |  SELECT DISTINCT array_to_string(a[i+1 : i+10], ' ') AS g
-        |  FROM arr, LATERAL unnest(generate_series(0, CAST(len(a) - 10 AS BIGINT))) t(i)
-        |  WHERE len(a) >= 10 AND doc_id % 10 <> 0),
-        |dg AS (
-        |  SELECT doc_id, i, array_to_string(a[i+1 : i+10], ' ') AS g
-        |  FROM arr, LATERAL unnest(generate_series(0, CAST(len(a) - 10 AS BIGINT))) t(i)
-        |  WHERE len(a) >= 10 AND doc_id % 10 = 0),
-        |flagged AS (SELECT doc_id, i FROM dg JOIN cg USING (g)),
-        |covered AS (
-        |  SELECT DISTINCT doc_id, i + d AS p
-        |  FROM flagged, LATERAL unnest(generate_series(0, 9)) t(d)),
-        |runs AS (
-        |  SELECT doc_id,
-        |         CAST(COUNT(*) AS BIGINT) AS n_removed,
-        |         CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
-        |  FROM (SELECT doc_id, p,
-        |          COALESCE(p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p), 2) > 1 AS is_new
-        |        FROM covered)
-        |  GROUP BY 1),
-        |wordrows AS (
-        |  SELECT arr.doc_id, q - 1 AS p, a[CAST(q AS INT)] AS word
-        |  FROM arr, LATERAL unnest(generate_series(1, CAST(len(a) AS BIGINT))) t(q)
-        |  WHERE doc_id % 10 = 0),
-        |clean AS (
-        |  SELECT w.doc_id,
-        |         string_agg(CASE WHEN c.p IS NULL THEN w.word END, ' ' ORDER BY w.p)
-        |           AS clean_text
-        |  FROM wordrows w LEFT JOIN covered c ON c.doc_id = w.doc_id AND c.p = w.p
-        |  GROUP BY 1)
-        |SELECT d.doc_id, COALESCE(cl.clean_text, '') AS clean_text,
-        |       COALESCE(r.n_removed, 0) AS n_removed,
-        |       COALESCE(r.n_spans, 0) AS n_spans
-        |FROM documents d
-        |LEFT JOIN clean cl USING (doc_id)
-        |LEFT JOIN runs r USING (doc_id)
-        |WHERE d.doc_id % 10 = 0""".stripMargin,
+    // shared verbatim with the served form below: the persisted bucketed
+    // index round-trips the 64-bit digest lanes exactly, so served ≡
+    // inline is a checked property, not an assumption
+    "q_dedup_substr_incremental" -> substrIncrementalOracle,
+    "q_dedup_substr_served" -> substrIncrementalOracle,
+
 
     "q_freq_heavyhitters" ->
       """WITH w AS (

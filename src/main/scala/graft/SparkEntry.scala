@@ -46,8 +46,14 @@ object SparkEntry {
       "q_image_jpeg", "q_video_demux", "q_dedup_substrings", "q_sim_recall",
       // round-12 tier: recall rows for the lossy rungs that actually
       // serve (PQ ADC, persisted IVF-PQ) — quality next to their speed —
-      // and the MP4 sample-table demux closing the frame-extraction ladder
-      "q_sim_recall_pq", "q_sim_recall_ivfpq", "q_video_demux_mp4")
+      // the MP4 sample-table demux closing the frame-extraction ladder,
+      // the served gram-index probe (the nightly deployment form of
+      // substring dedup: build paid once in the cold run, steady runs
+      // price the delta-sized probe like a real standing corpus), and
+      // the dedup-quality eval (LSH pair recall/precision vs the exact
+      // τ=0.8 join — the q_sim_recall posture for the dedup family)
+      "q_sim_recall_pq", "q_sim_recall_ivfpq", "q_video_demux_mp4",
+      "q_dedup_substr_served", "q_dedup_recall")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs
