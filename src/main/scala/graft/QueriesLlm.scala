@@ -376,6 +376,37 @@ object QueriesLlm {
         (count(col("hit")) * 10).as("recall_pct"))
   }
 
+  /** The recall-vs-nprobe CURVE in one table (r12): recall@10 of the
+    * IVF probe at nprobe ∈ {1, 2, 4, 8, 10} (the corpus labels give 10
+    * cells, so nprobe=10 probes everything — the exhaustive endpoint
+    * pins whether the probe union converges to the brute ranking)
+    * against one shared brute-force ground truth. The
+    * single-point eval (q_sim_recall, nprobe=1) prices the lossiest
+    * rung; this emits the whole trade — the table an operator actually
+    * reads to pick nprobe for a recall target. Ground truth computes
+    * once (localCheckpoint — an eval query, the simRecallPq
+    * convention); each arm's join is query-sized. Integer-exact
+    * (nprobe, query_id, n_hits, recall_pct), hash-matched against an
+    * oracle that unions the four unrolled IVF chains over one brute
+    * CTE. */
+  val simRecallSweep: Q = (s, dir) => {
+    val brute = operators.Ann.bruteForceTopK(annQueries(s, dir),
+        annCorpus(s, dir).drop("cell"), k = 10)
+      .select(col("query_id"), col("corpus_id"))
+      .localCheckpoint()
+    Seq(1, 2, 4, 8, 10).map { np =>
+      val ivf = operators.Ann.ivfTopK(annQueries(s, dir), annCorpus(s, dir),
+          k = 10, nprobe = np)
+        .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+      brute.join(ivf, Seq("query_id", "corpus_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("hit")).as("n_hits"),
+          (count(col("hit")) * 10).as("recall_pct"))
+        .select(lit(np).cast("long").as("nprobe"), col("query_id"),
+          col("n_hits"), col("recall_pct"))
+    }.reduce(_ unionByName _)
+  }
+
   /** k-means-TRAINED IVF assignment: learn a 4-cell codebook from the
     * corpus vectors alone (2 Lloyd iterations, deterministic md5 seeds —
     * no given labels anywhere), then assign every corpus vector to its
@@ -897,6 +928,7 @@ object QueriesLlm {
     "q_sim_ivf"             -> simIvf,
     "q_sim_ivf_probe2"      -> simIvfProbe2,
     "q_sim_recall"          -> simRecall,
+    "q_sim_recall_sweep"    -> simRecallSweep,
     "q_sim_kmeans"          -> simKmeans,
     "q_sim_pq"              -> simPq,
     "q_sim_ivfpq"           -> simIvfPq,
@@ -2080,6 +2112,35 @@ FROM c GROUP BY 1, 2"""),
          |FROM brute b
          |LEFT JOIN ivf i ON i.query_id = b.query_id AND i.corpus_id = b.corpus_id
          |GROUP BY 1""".stripMargin,
+
+    // the nprobe sweep (r12): four arms over ONE brute CTE, each arm
+    // nesting the unrolled IVF chain at its nprobe — the same chain the
+    // single-point eval nests, so the curve and the point cannot drift
+    "q_sim_recall_sweep" ->
+      s"""WITH brute AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY score_q DESC, corpus_id ASC) AS rnk
+         |    FROM (
+         |      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |        ${cosSql("CAST(q.embedding AS DOUBLE[])", "CAST(c.embedding AS DOUBLE[])")} AS score_q
+         |      FROM embeddings q, embeddings c
+         |      WHERE q.vec_id < 5 AND c.vec_id >= 5) s) t
+         |  WHERE rnk <= 10
+         |)
+         |${Seq(1, 2, 4, 8, 10).map { np =>
+             s"""SELECT CAST($np AS BIGINT) AS nprobe, b.query_id,
+                |  CAST(COUNT(i$np.hit) AS BIGINT) AS n_hits,
+                |  CAST(COUNT(i$np.hit) * 10 AS BIGINT) AS recall_pct
+                |FROM brute b
+                |LEFT JOIN (
+                |  SELECT query_id, corpus_id, 1 AS hit FROM (
+                |${ivfOracle(nprobe = np).linesIterator.map("    " + _).mkString("\n")}
+                |  ) iv$np
+                |) i$np ON i$np.query_id = b.query_id AND i$np.corpus_id = b.corpus_id
+                |GROUP BY 1, 2""".stripMargin
+           }.mkString("\nUNION ALL\n")}""".stripMargin,
 
     // identical top-k rank semantics as q_sim_topk, then the majority
     // vote with ties to the smallest label — integer end to end
