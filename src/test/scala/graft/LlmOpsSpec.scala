@@ -25,6 +25,20 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("eval queries plan clean: no cartesian; dedup recall's joins all keyed") {
+    // the ANN sweep's ground truth IS a broadcast nested-loop by design
+    // (bounded query side broadcast against the streaming corpus — the
+    // brute-force contract); what must never appear is an UNbroadcast
+    // cartesian, which would shuffle-materialize the product
+    for (df <- Seq(QueriesLlm.dedupRecall(spark, sfDir),
+        QueriesLlm.simRecallSweep(spark, sfDir)))
+      assert(!physicalPlan(df).contains("CartesianProduct"))
+    // the dedup eval has no product anywhere: truth, candidates, and the
+    // full outer join are all keyed equi-joins
+    assert(!physicalPlan(QueriesLlm.dedupRecall(spark, sfDir))
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
   test("dedup recall eval: counts are consistent and pcts are floored ratios in [0,100]") {
     val r = QueriesLlm.dedupRecall(spark, sfDir).collect()
     assert(r.length == 1)
