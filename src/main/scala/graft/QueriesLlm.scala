@@ -181,12 +181,29 @@ object QueriesLlm {
     * the ground-truth side is the exact join — expensive by nature,
     * which is exactly the argument for an OFFLINE eval query (the
     * q_sim_recall rationale). */
-  val dedupRecall: Q = (s, dir) => {
-    val d = docs(s, dir)
-    val truth = Dedup.prefixJaccardPairs(d, k = 3, minJaccardQ = 800000L)
-      .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
-    val cand = Dedup.minhashCandidates(d, k = 3, perms = 8, bands = 4)
-      .select(col("doc_a"), col("doc_b"), lit(1).as("c"))
+  val dedupRecall: Q = (s, dir) =>
+    pairEvalMetrics(
+      Dedup.prefixJaccardPairs(docs(s, dir), k = 3, minJaccardQ = 800000L),
+      Dedup.minhashCandidates(docs(s, dir), k = 3, perms = 8, bands = 4))
+
+  /** The simhash rung's quality row (r12): same exact τ=0.8 ground
+    * truth, candidates from the 64-bit SimHash hamming-≤8 pipeline.
+    * SimHash approximates tf-weighted COSINE, not Jaccard, so its
+    * recall against a Jaccard truth set measures the rung's fitness
+    * for the end task (catching true near-dup pairs), not its fidelity
+    * to its own metric — exactly the number an operator choosing
+    * between the rungs needs. */
+  val dedupRecallSimhash: Q = (s, dir) =>
+    pairEvalMetrics(
+      Dedup.prefixJaccardPairs(docs(s, dir), k = 3, minJaccardQ = 800000L),
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 8))
+
+  /** Shared pair-eval tail: full outer join on the (doc_a, doc_b) key,
+    * one global aggregate, DIV-floored integer percentages. */
+  private def pairEvalMetrics(truthPairs: DataFrame,
+      candPairs: DataFrame): DataFrame = {
+    val truth = truthPairs.select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+    val cand = candPairs.select(col("doc_a"), col("doc_b"), lit(1).as("c"))
     truth.join(cand, Seq("doc_a", "doc_b"), "full")
       .agg(count(col("t")).as("n_true"), count(col("c")).as("n_cand"),
         count(when(col("t").isNotNull && col("c").isNotNull, 1)).as("n_caught"))
@@ -906,6 +923,7 @@ object QueriesLlm {
     "q_dedup_substr_incremental" -> dedupSubstrIncremental,
     "q_dedup_substr_served" -> dedupSubstrServed,
     "q_dedup_recall"        -> dedupRecall,
+    "q_dedup_recall_simhash" -> dedupRecallSimhash,
     "q_freq_heavyhitters"   -> freqHeavyHitters,
     "q_freq_hh_grouped"     -> freqHeavyHittersGrouped,
     "q_freq_cms"            -> freqCms,
@@ -1387,6 +1405,37 @@ sym AS (
          |  FROM d) t
          |WHERE rnk <= 5""".stripMargin
 
+  /** The SimHash candidate chain, ending in `sh_cand` (pairs with both
+    * sigs; hamming filtered by the consumer) — shared by the pair row
+    * and its quality row so the two cannot drift. */
+  private lazy val simhashChain: String =
+    """wc AS (
+      |  SELECT doc_id, w AS word, count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1, 2
+      |), votes AS (
+      |  SELECT doc_id, i,
+      |    SUM(cnt * (2 * (((strpos('0123456789abcdef', substr(md5(word), (i // 4) + 1, 1)) - 1)
+      |                     >> (3 - i % 4)) & 1) - 1)) AS v
+      |  FROM wc, unnest(generate_series(0, 63)) t(i)
+      |  GROUP BY 1, 2
+      |), sigs AS (
+      |  SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+      |  FROM votes GROUP BY 1
+      |), chunks AS (
+      |  SELECT doc_id, sig, j, chunk, count(*) OVER (PARTITION BY j, chunk) AS bsz FROM (
+      |    SELECT doc_id, sig, j, substr(sig, j*16 + 1, 16) AS chunk
+      |    FROM sigs, unnest(generate_series(0, 3)) t(j))
+      |), sh_cand AS (
+      |  -- candidate iff the FIRST shared chunk's bucket is uncapped
+      |  -- (Dedup.firstMatch twin)
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+      |  FROM chunks a JOIN chunks b
+      |    ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |  HAVING arg_min(a.bsz, a.j) <= 10000
+      |)""".stripMargin
+
   /** The inline build+probe oracle — shared verbatim by
     * q_dedup_substr_incremental and q_dedup_substr_served. */
   private lazy val substrIncrementalOracle: String =
@@ -1828,35 +1877,43 @@ hits AS (
 SELECT doc_id, CAST(min(dup_of) AS BIGINT) AS dup_of, COUNT(*) AS n_dups
 FROM hits GROUP BY 1"""),
 
-    "q_dedup_simhash" ->
-      """WITH wc AS (
-        |  SELECT doc_id, w AS word, count(*) AS cnt
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-        |  GROUP BY 1, 2
-        |), votes AS (
-        |  SELECT doc_id, i,
-        |    SUM(cnt * (2 * (((strpos('0123456789abcdef', substr(md5(word), (i // 4) + 1, 1)) - 1)
-        |                     >> (3 - i % 4)) & 1) - 1)) AS v
-        |  FROM wc, unnest(generate_series(0, 63)) t(i)
-        |  GROUP BY 1, 2
-        |), sigs AS (
-        |  SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
-        |  FROM votes GROUP BY 1
-        |), chunks AS (
-        |  SELECT doc_id, sig, j, chunk, count(*) OVER (PARTITION BY j, chunk) AS bsz FROM (
-        |    SELECT doc_id, sig, j, substr(sig, j*16 + 1, 16) AS chunk
-        |    FROM sigs, unnest(generate_series(0, 3)) t(j))
-        |), cand AS (
-        |  -- candidate iff the FIRST shared chunk's bucket is uncapped
-        |  -- (Dedup.firstMatch twin)
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
-        |  FROM chunks a JOIN chunks b
-        |    ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4
-        |  HAVING arg_min(a.bsz, a.j) <= 10000
-        |)
-        |SELECT doc_a, doc_b, hamming(sig_a, sig_b) AS hamming
-        |FROM cand WHERE hamming(sig_a, sig_b) <= 8""".stripMargin,
+    "q_dedup_simhash" -> (
+      "WITH " + simhashChain + """
+SELECT doc_a, doc_b, hamming(sig_a, sig_b) AS hamming
+FROM sh_cand WHERE hamming(sig_a, sig_b) <= 8"""),
+
+    // simhash quality row (r12): the SAME candidate chain full-joined
+    // against the SAME exact-truth CTEs q_dedup_recall uses — all three
+    // graded sets are nested, none can drift
+    "q_dedup_recall_simhash" -> (
+      "WITH " + shinglesCte + ",\n" + simhashChain + """,
+sizes AS (
+  SELECT doc_id, count(*) AS nsh FROM sh0 GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh0 a JOIN sh0 b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes na ON doc_a = na.doc_id
+  JOIN sizes nb ON doc_b = nb.doc_id
+  WHERE n_common * 1000000 >= 800000 * (na.nsh + nb.nsh - n_common)
+), u AS (
+  SELECT t.doc_a IS NOT NULL AS is_t, m.doc_a IS NOT NULL AS is_c
+  FROM truth t
+  FULL JOIN (SELECT doc_a, doc_b FROM sh_cand
+             WHERE hamming(sig_a, sig_b) <= 8) m
+    ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b
+), agg AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN is_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true,
+         CAST(COALESCE(SUM(CASE WHEN is_c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cand,
+         CAST(COALESCE(SUM(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught
+  FROM u
+)
+SELECT n_true, n_cand, n_caught,
+  CASE WHEN n_true > 0 THEN n_caught * 100 // n_true END AS recall_pct,
+  CASE WHEN n_cand > 0 THEN n_caught * 100 // n_cand END AS precision_pct
+FROM agg"""),
 
     "q_dedup_embcos" ->
       """WITH hp AS (
