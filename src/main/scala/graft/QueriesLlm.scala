@@ -198,6 +198,29 @@ object QueriesLlm {
       Dedup.prefixJaccardPairs(docs(s, dir), k = 3, minJaccardQ = 800000L),
       Dedup.simhashPairs(docs(s, dir), maxHamming = 8))
 
+  /** The embedding rung's quality row (r12), completing the set — every
+    * approximate dedup rung (minhash-LSH, SimHash, hyperplane-LSH) now
+    * carries measured recall AND precision: candidates from the banded
+    * random-hyperplane pipeline, truth from the exact all-pairs
+    * quantized cosine at the same τ (0.45). The truth side broadcasts
+    * one copy of the vectors and streams the other — O(n²) compute by
+    * definition; an eval runs on the benchmark corpus, and at 100 TB
+    * you grade on a sample, never the corpus (the q_sim_recall
+    * posture). */
+  val dedupRecallEmbcos: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings
+      .select(col("vec_id"), col("embedding").as("ce"))
+    val truth = e.select(col("vec_id").as("doc_a"), col("ce").as("ca"))
+      .join(broadcast(e.select(col("vec_id").as("doc_b"), col("ce").as("cb"))),
+        col("doc_a") < col("doc_b"))
+      .filter(floor(call_function("graft_cosine", col("ca"), col("cb"))
+        * lit(1000000.0)).cast("long") >= 450000L)
+    val cand = Dedup.embeddingCosPairs(e, tables = 8, bitsPerTable = 4,
+        minCosQ = 450000L)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    pairEvalMetrics(truth, cand)
+  }
+
   /** Shared pair-eval tail: full outer join on the (doc_a, doc_b) key,
     * one global aggregate, DIV-floored integer percentages. */
   private def pairEvalMetrics(truthPairs: DataFrame,
@@ -924,6 +947,7 @@ object QueriesLlm {
     "q_dedup_substr_served" -> dedupSubstrServed,
     "q_dedup_recall"        -> dedupRecall,
     "q_dedup_recall_simhash" -> dedupRecallSimhash,
+    "q_dedup_recall_embcos" -> dedupRecallEmbcos,
     "q_freq_heavyhitters"   -> freqHeavyHitters,
     "q_freq_hh_grouped"     -> freqHeavyHittersGrouped,
     "q_freq_cms"            -> freqCms,
@@ -1404,6 +1428,43 @@ sym AS (
          |                               ORDER BY dist_q ASC, corpus_id ASC) AS rnk
          |  FROM d) t
          |WHERE rnk <= 5""".stripMargin
+
+  /** Exact quantized-cosine SQL fragment (1e-6 floor ticks) — the ONE
+    * formula shared by the embcos pair row and its quality row. */
+  private def embCosQSql(a: String, b: String): String =
+    s""" CAST(floor(list_dot_product($a, $b)
+       |      / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+       |      * 1000000) AS BIGINT)""".stripMargin.linesIterator.mkString("\n")
+
+  /** The embedding-LSH candidate chain, ending in `ec_cand` (+ `e`, the
+    * cast embeddings) — shared by the pair row and its quality row. */
+  private lazy val embcosChain: String =
+    """hp AS (
+      |  SELECT p,
+      |    list((strpos('0123456789abcdef',
+      |            substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 7.5
+      |         ORDER BY i) AS r
+      |  FROM range(0, 32) t1(p), unnest(generate_series(0, 63)) t2(i)
+      |  GROUP BY p
+      |), e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), bits AS (
+      |  SELECT vec_id, p // 4 AS t, p,
+      |    CASE WHEN list_dot_product(v, r) >= 0 THEN '1' ELSE '0' END AS b
+      |  FROM e, hp
+      |), buckets AS (
+      |  SELECT vec_id, t, bucket, count(*) OVER (PARTITION BY t, bucket) AS bsz FROM (
+      |    SELECT vec_id, t, string_agg(b, '' ORDER BY p) AS bucket
+      |    FROM bits GROUP BY 1, 2)
+      |), ec_cand AS (
+      |  -- candidate iff the FIRST co-bucketing table is uncapped
+      |  -- (Dedup.firstMatch twin)
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM buckets a JOIN buckets b
+      |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2
+      |  HAVING arg_min(a.bsz, a.t) <= 10000
+      |)""".stripMargin
 
   /** The SimHash candidate chain, ending in `sh_cand` (pairs with both
     * sigs; hamming filtered by the consumer) — shared by the pair row
@@ -1915,40 +1976,42 @@ SELECT n_true, n_cand, n_caught,
   CASE WHEN n_cand > 0 THEN n_caught * 100 // n_cand END AS precision_pct
 FROM agg"""),
 
-    "q_dedup_embcos" ->
-      """WITH hp AS (
-        |  SELECT p,
-        |    list((strpos('0123456789abcdef',
-        |            substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 7.5
-        |         ORDER BY i) AS r
-        |  FROM range(0, 32) t1(p), unnest(generate_series(0, 63)) t2(i)
-        |  GROUP BY p
-        |), e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |), bits AS (
-        |  SELECT vec_id, p // 4 AS t, p,
-        |    CASE WHEN list_dot_product(v, r) >= 0 THEN '1' ELSE '0' END AS b
-        |  FROM e, hp
-        |), buckets AS (
-        |  SELECT vec_id, t, bucket, count(*) OVER (PARTITION BY t, bucket) AS bsz FROM (
-        |    SELECT vec_id, t, string_agg(b, '' ORDER BY p) AS bucket
-        |    FROM bits GROUP BY 1, 2)
-        |), cand AS (
-        |  -- candidate iff the FIRST co-bucketing table is uncapped
-        |  -- (Dedup.firstMatch twin)
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM buckets a JOIN buckets b
-        |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |  GROUP BY 1, 2
-        |  HAVING arg_min(a.bsz, a.t) <= 10000
-        |)
-        |SELECT vec_a, vec_b, cos_q FROM (
-        |  SELECT vec_a, vec_b,
-        |    CAST(floor(list_dot_product(ea.v, eb.v)
-        |          / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
-        |          * 1000000) AS BIGINT) AS cos_q
-        |  FROM cand JOIN e ea ON vec_a = ea.vec_id JOIN e eb ON vec_b = eb.vec_id) t
-        |WHERE cos_q >= 450000""".stripMargin,
+    "q_dedup_embcos" -> (
+      "WITH " + embcosChain + """
+SELECT vec_a, vec_b, cos_q FROM (
+  SELECT vec_a, vec_b,""" + embCosQSql("ea.v", "eb.v") + """ AS cos_q
+  FROM ec_cand JOIN e ea ON vec_a = ea.vec_id JOIN e eb ON vec_b = eb.vec_id) t
+WHERE cos_q >= 450000"""),
+
+    // embedding-rung quality row (r12): the SAME candidate chain
+    // full-joined against the exact all-pairs cosine truth at the same
+    // tau - nothing can drift between the rung and its grade
+    "q_dedup_recall_embcos" -> (
+      "WITH " + embcosChain + """,
+truth AS (
+  SELECT ea.vec_id AS doc_a, eb.vec_id AS doc_b
+  FROM e ea, e eb
+  WHERE ea.vec_id < eb.vec_id
+    AND""" + embCosQSql("ea.v", "eb.v") + """ >= 450000
+), u AS (
+  SELECT t.doc_a IS NOT NULL AS is_t, m.doc_a IS NOT NULL AS is_c
+  FROM truth t
+  FULL JOIN (
+    SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+      SELECT vec_a, vec_b,""" + embCosQSql("ea.v", "eb.v") + """ AS cos_q
+      FROM ec_cand JOIN e ea ON vec_a = ea.vec_id JOIN e eb ON vec_b = eb.vec_id) cq
+    WHERE cos_q >= 450000
+  ) m ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b
+), agg AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN is_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true,
+         CAST(COALESCE(SUM(CASE WHEN is_c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cand,
+         CAST(COALESCE(SUM(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught
+  FROM u
+)
+SELECT n_true, n_cand, n_caught,
+  CASE WHEN n_true > 0 THEN n_caught * 100 // n_true END AS recall_pct,
+  CASE WHEN n_cand > 0 THEN n_caught * 100 // n_cand END AS precision_pct
+FROM agg"""),
 
     "q_text_langid" -> (
       """WITH words AS (
