@@ -31,12 +31,17 @@ class LlmOpsSpec extends AnyFunSuite {
     // brute-force contract); what must never appear is an UNbroadcast
     // cartesian, which would shuffle-materialize the product
     for (df <- Seq(QueriesLlm.dedupRecall(spark, sfDir),
-        QueriesLlm.simRecallSweep(spark, sfDir)))
+        QueriesLlm.simRecallSweep(spark, sfDir),
+        QueriesLlm.dedupRecallSimhash(spark, sfDir),
+        QueriesLlm.dedupRecallEmbcos(spark, sfDir)))
       assert(!physicalPlan(df).contains("CartesianProduct"))
-    // the dedup eval has no product anywhere: truth, candidates, and the
-    // full outer join are all keyed equi-joins
-    assert(!physicalPlan(QueriesLlm.dedupRecall(spark, sfDir))
-      .contains("BroadcastNestedLoopJoin"))
+    // the text-side evals have no product anywhere: truth, candidates,
+    // and the full outer join are all keyed equi-joins (the embcos eval
+    // is exempt — its all-pairs cosine TRUTH is a broadcast nested-loop
+    // by contract, like the ANN sweep's brute ground truth)
+    for (df <- Seq(QueriesLlm.dedupRecall(spark, sfDir),
+        QueriesLlm.dedupRecallSimhash(spark, sfDir)))
+      assert(!physicalPlan(df).contains("BroadcastNestedLoopJoin"))
   }
 
   test("dedup recall eval: counts are consistent and pcts are floored ratios in [0,100]") {
