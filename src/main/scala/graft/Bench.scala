@@ -32,6 +32,28 @@ object Bench {
     l
   }
 
+  /** (machine busy jiffies across all cores, this JVM's jiffies).
+    * The PER-QUERY contention signal (r13): the start-of-run load gate
+    * cannot see a neighbor arriving MID-run (r12's artifact carried one
+    * such row, q_audio_pcm 3.42 s vs 0.31 s idle), and re-reading
+    * loadavg between queries is useless — by then the load is dominated
+    * by the bench's own 32-thread work. Machine-busy minus self is
+    * self-load-free: on an idle host it is ~0 regardless of what the
+    * bench itself burns, and any neighbor's CPU shows up in it
+    * core-for-core. (-1, -1) where /proc is unavailable. */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val cpu = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat"))).linesIterator.next().split("\\s+")
+      val busy = cpu.slice(1, 4).map(_.toLong).sum // user + nice + system
+      val st = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")))
+      // comm (field 2) may contain spaces: fields 3.. start after the
+      // last ')'; utime/stime are fields 14/15 -> offsets 11/12 there
+      val rest = st.substring(st.lastIndexOf(')') + 2).split(" ")
+      (busy, rest(11).toLong + rest(12).toLong)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -41,22 +63,39 @@ object Bench {
     // load of 2 is genuinely idle; anything above it is the neighbors.
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
     val maxWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WAIT_SEC", "1800").toInt
+    // per-query contention gate: average CPU cores burned by OTHER
+    // processes during the timed run. 1.0 core on a 32-core host is the
+    // noise floor of system daemons; a neighbor build or bench shows as
+    // many cores. A steady run above the gate is re-tried (bounded).
+    val maxOthers = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_OTHERS_CORES", "1.0").toDouble
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RETRIES", "3").toInt
     val loadStart = awaitIdle(maxLoad, maxWait)
     val spark = GraftSession.builder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     var errors = List.empty[(String, String)]
-    def once(name: String): Double = {
+    /** One timed execution: (wall sec, others-cores during the run). */
+    def once(name: String): (Double, Double) = {
+      val (b0, s0) = cpuJiffies()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (b1, s1) = cpuJiffies()
+      val others =
+        if (b0 < 0 || b1 < 0 || wall <= 0) -1.0
+        else ((b1 - b0) - (s1 - s0)) / 100.0 / wall // USER_HZ = 100
+      (wall, others)
     }
     // Three executions per query: the first ("cold") pays JVM/codegen/JIT
-    // warmup; the min of the remaining two is steady-state engine
+    // warmup; the min of the remaining runs is steady-state engine
     // throughput — the number comparable across rounds and against
     // BASELINE.md (whose DuckDB timings use the same best-of policy).
     // Min, not mean: this host shows 10x wall-clock noise spikes, and
     // min-of-k is the standard noise-robust estimator for that regime.
+    // r13: runs whose others-cores exceeds the gate are discarded and
+    // re-tried (bounded); if no clean run materializes the global min is
+    // reported WITH its contention annotation — a contended window can
+    // no longer silently poison a row of the committed artifact.
     // Optional env override of the headline set (dev loop / scale
     // profiling of specific operators); unknown names fail loudly.
     val names = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -66,33 +105,46 @@ object Bench {
     require(unknown.isEmpty, s"unknown bench queries: $unknown")
     val timed = names.map { name =>
       try {
-        val cold = once(name)
-        // min-of-3 steady runs (was min-of-2 through round 10): one extra
-        // execution per query buys another sample against this host's
-        // 10× spike regime — cheap insurance for the graded artifact
-        val steady = Seq(once(name), once(name), once(name)).min
-        (name, cold, steady)
+        val (cold, _) = once(name)
+        var runs = List(once(name), once(name), once(name))
+        var retries = 0
+        while (!runs.exists { case (_, o) => o < maxOthers } && retries < maxRetries) {
+          System.err.println(f"bench: $name%s all steady runs contended " +
+            f"(best others ${runs.map(_._2).min}%.2f cores), retrying...")
+          retries += 1
+          runs ::= once(name)
+        }
+        val clean = runs.filter { case (_, o) => o < maxOthers }
+        val (steady, others) = (if (clean.nonEmpty) clean else runs).minBy(_._1)
+        (name, cold, steady, others)
       } catch {
         case e: Throwable =>
           errors ::= (name -> e.toString.take(200))
-          (name, -1.0, -1.0)
+          (name, -1.0, -1.0, -1.0)
       }
     }
-    val results = timed.map { case (n, _, s) => n -> s }
-    val colds = timed.map { case (n, c, _) => n -> c }
+    val results = timed.map { case (n, _, s, _) => n -> s }
+    val colds = timed.map { case (n, c, _, _) => n -> c }
+    val otherRows = timed.map { case (n, _, _, o) => n -> o }
 
     val qs = results.map { case (k, v) => s"${Jsons.str(k)}:$v" }.mkString("{", ",", "}")
     val cs = colds.map { case (k, v) => s"${Jsons.str(k)}:$v" }.mkString("{", ",", "}")
+    val os = otherRows.map { case (k, v) =>
+      s"${Jsons.str(k)}:${"%.2f".formatLocal(java.util.Locale.ROOT, v)}"
+    }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${Jsons.str(k)}:${Jsons.str(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val nContended = timed.count { case (_, _, s, o) => s >= 0 && o >= maxOthers }
     // load_start/load_end make a contended window visible IN the artifact:
     // a reader comparing rounds can reject a run whose load_start exceeded
     // the gate instead of grading a measurement of the neighbors' work.
     // (load_end includes the bench's own 32-thread work — read it only as
-    // a gross-contention flag, e.g. a value far above the thread count)
+    // a gross-contention flag; the per-query "others_cores" map is the
+    // self-load-free signal — any row at/above the gate after retries is
+    // counted in n_contended and must not be graded as engine throughput)
     val loadEnd = loadAvg()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"errors":$es,"n_failed":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"sf":${Jsons.str(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"others_cores":$os,"n_contended":$nContended,"errors":$es,"n_failed":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"sf":${Jsons.str(sfDir)}}"""
     println(line)
     // also land the line in a file, so the harness never has to scrape it
     // out of the sbt log tail (overridable for concurrent runs)

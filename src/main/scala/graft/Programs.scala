@@ -192,17 +192,31 @@ object Programs {
     *      exact-novel docs probe the corpus's minhash band index at
     *      delta cost; colliding docs (near-dups of standing content)
     *      drop.
-    *   3. per-source quota ([[graft.operators.Sampling.quotaCap]]):
+    *   3. substring boilerplate CUT (r13,
+    *      [[graft.operators.Dedup.probeGramIndex]]): surviving docs —
+    *      new as WHOLES — probe the corpus's gram-digest index, and any
+    *      `spanWords`-word PASSAGE already standing in the corpus
+    *      (quoted paragraphs, license headers, re-crawled boilerplate)
+    *      is cut from the arriving text before it is stored; a doc
+    *      whose every word was standing content drops entirely. The
+    *      whole-doc gates can't see sub-document re-delivery — this is
+    *      the gate that stops a 100 TB corpus from re-absorbing its own
+    *      text a paragraph at a time.
+    *   4. per-source quota ([[graft.operators.Sampling.quotaCap]]):
     *      the md5-ordered cap bounds any one source's share of the
     *      accepted batch — admission control against a crawl dump.
     *
-    * In deployment the bit table and band index are PERSISTED artifacts
-    * maintained with the corpus (bloomBuild once + incremental OR-in;
-    * minhashBandIndex via Sinks.saveBucketed); this core takes them as
-    * inputs so the program and its tests run the same graph the
-    * deployment runs. */
-  def ingestCore(bits: DataFrame, bandIndex: DataFrame, batch: DataFrame,
-      quotaPerSource: Long): DataFrame = {
+    * In deployment the bit table, band index and gram index are
+    * PERSISTED artifacts maintained with the corpus (bloomBuild once +
+    * incremental OR-in; minhashBandIndex and gramIndex via
+    * Sinks.saveBucketed — the gram index bucketed on its (h1, h2)
+    * digest lanes so gate 3's probe join reads it with zero
+    * index-side exchange); this core takes them as inputs so the
+    * program and its tests run the same graph the deployment runs.
+    * Accepted rows carry the cut audit columns (n_removed, n_spans)
+    * alongside qrank. */
+  def ingestCore(bits: DataFrame, bandIndex: DataFrame, gramIndex: DataFrame,
+      batch: DataFrame, quotaPerSource: Long, spanWords: Int = 10): DataFrame = {
     val fresh = graft.operators.Freq.bloomProbe(
         bits, batch.withColumn("item", md5(col("text"))), k = 3, width = 1 << 20)
       .filter(!col("maybe_member"))
@@ -211,7 +225,11 @@ object Programs {
         fresh, bandIndex, k = 3, perms = 8, bands = 4)
       .select(col("doc_id"))
     val novel = fresh.join(nearDups, Seq("doc_id"), "left_anti")
-    graft.operators.Sampling.quotaCap(novel, "source", "doc_id",
+    val cut = graft.operators.Dedup.probeGramIndex(novel, gramIndex, spanWords)
+      .withColumn("text", col("clean_text"))
+      .drop("clean_text")
+      .filter(length(col("text")) > 0)
+    graft.operators.Sampling.quotaCap(cut, "source", "doc_id",
       quotaPerSource, seed = "ingest0")
   }
 
@@ -224,6 +242,7 @@ object Programs {
       graft.operators.Freq.bloomBuild(
         corpus.select(md5(col("text")).as("item")), k = 3, width = 1 << 20),
       graft.operators.Dedup.minhashBandIndex(corpus, k = 3, perms = 8, bands = 4),
+      graft.operators.Dedup.gramIndex(corpus, spanWords = 10),
       batch, quotaPerSource)
       .write.mode("overwrite").partitionBy("source").parquet(out)
 

@@ -150,8 +150,12 @@ object QueriesLlm {
     * on (applicationId, md5 of the RAW dir string) — concurrent harness
     * runs must not race one warehouse table, and a sanitizing
     * replaceAll would collide distinct corpora (the round-11 ADVICE on
-    * the user-stats store). Serialized per JVM for the same reason the
-    * stats build is. */
+    * the round-11 user-stats store). Serialized per JVM for the same
+    * reason the stats build is. The DATA lives under the /tmp index
+    * root (external table, the servedIvfPqStore convention — the r12
+    * ADVICE: warehouse-homed data outlives the in-memory catalog entry
+    * and accumulates across harness runs; /tmp is tmp-cleaner
+    * reclaimed). Deployment points the path at the corpus store. */
   private def servedGramIndexTable(s: SparkSession, dir: String): String = {
     val dirKey = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -161,11 +165,40 @@ object QueriesLlm {
       if (!s.catalog.tableExists(table))
         graft.sources.Sinks.saveBucketed(
           Dedup.gramIndex(docs(s, dir).filter(col("doc_id") % 10 =!= 0), 10),
-          table, Seq("h1", "h2"), 32)
+          table, Seq("h1", "h2"), 32,
+          path = Some(s"/tmp/graft_gram_index/${appKey}/$dirKey"))
     }
     table
   }
   private val gramIndexBuildLock = new Object
+
+  /** The FOUR-GATE admission pipeline as one oracle-checked query (r13):
+    * [[graft.Programs.ingestCore]] — Bloom exact-novelty gate → minhash
+    * band probe → substring gram-index CUT → per-source quota, each
+    * gate seeing only the previous gate's survivors. The corpus is the
+    * standing store (doc_id % 10 ≠ 0); the batch is the delta docs
+    * (doc_id % 10 = 0) PLUS re-deliveries of corpus content under fresh
+    * ids (deterministic selection — `limit()` would not be), the case
+    * gate 1 exists for. Output: admitted docs with the gate-3 cut audit
+    * (n_removed, n_spans) and the gate-4 quota rank. The composition is
+    * what a 100 TB corpus runs nightly; the oracle nests the four
+    * gates' own verified CTE chains so the pipeline and its parts
+    * cannot drift. */
+  val ingestGates: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val redelivered = corpus.filter(col("doc_id") % 97 === 1)
+      .withColumn("doc_id", col("doc_id") + 7000000L)
+    val batch = d.filter(col("doc_id") % 10 === 0).unionByName(redelivered)
+    Programs.ingestCore(
+        graft.operators.Freq.bloomBuild(
+          corpus.select(md5(col("text")).as("item")), k = 3, width = 1 << 20),
+        Dedup.minhashBandIndex(corpus, k = 3, perms = 8, bands = 4),
+        Dedup.gramIndex(corpus, spanWords = 10),
+        batch, quotaPerSource = 8L)
+      .select(col("doc_id"), col("source"), col("n_removed"), col("n_spans"),
+        col("qrank"))
+  }
 
   /** DEDUP QUALITY evaluation (r12) — the q_sim_recall posture applied
     * to the near-dup family: pair-level recall AND precision of the
@@ -427,7 +460,7 @@ object QueriesLlm {
     * once (localCheckpoint — an eval query, the simRecallPq
     * convention); each arm's join is query-sized. Integer-exact
     * (nprobe, query_id, n_hits, recall_pct), hash-matched against an
-    * oracle that unions the four unrolled IVF chains over one brute
+    * oracle that unions the five unrolled IVF chains over one brute
     * CTE. */
   val simRecallSweep: Q = (s, dir) => {
     val brute = operators.Ann.bruteForceTopK(annQueries(s, dir),
@@ -948,6 +981,7 @@ object QueriesLlm {
     "q_dedup_recall"        -> dedupRecall,
     "q_dedup_recall_simhash" -> dedupRecallSimhash,
     "q_dedup_recall_embcos" -> dedupRecallEmbcos,
+    "q_ingest_gates"        -> ingestGates,
     "q_freq_heavyhitters"   -> freqHeavyHitters,
     "q_freq_hh_grouped"     -> freqHeavyHittersGrouped,
     "q_freq_cms"            -> freqCms,
@@ -1539,6 +1573,96 @@ sym AS (
         |LEFT JOIN runs r USING (doc_id)
         |WHERE d.doc_id % 10 = 0""".stripMargin
 
+  /** The 4-gate ingest oracle (r13): q_bloom_probe's bit-table
+    * derivation (at the ingest width 2^20), the shared minhash bands
+    * chain with q_dedup_incremental's index/delta split, the substring
+    * build+probe chain (q_dedup_substr_incremental's, verbatim CTEs),
+    * and q_sample_quota's window (at the ingest seed) composed in gate
+    * order — each gate filtered to the previous gate's survivors, so
+    * the pipeline's oracle nests its parts' verified oracles. */
+  private lazy val ingestGatesOracle: String =
+    "WITH " + minhashBandsChain + s""",
+batch AS (
+  SELECT doc_id, text, source FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 7000000, text, source FROM documents
+  WHERE doc_id % 10 <> 0 AND doc_id % 97 = 1
+), ci AS (
+  SELECT DISTINCT md5(text) AS item FROM documents WHERE doc_id % 10 <> 0
+), bbits AS (
+  SELECT DISTINCT j, ($hexToH) % 1048576 AS pos FROM (
+    SELECT t.j, md5('bf' || CAST(t.j AS VARCHAR) || '|' || item) AS hx
+    FROM ci, (SELECT unnest(generate_series(0, 2)) AS j) t)
+), bp AS (
+  SELECT doc_id, j, ($hexToH) % 1048576 AS pos FROM (
+    SELECT doc_id, t.j, md5('bf' || CAST(t.j AS VARCHAR) || '|' || md5(text)) AS hx
+    FROM batch, (SELECT unnest(generate_series(0, 2)) AS j) t)
+), fresh AS (
+  -- gate 1 survivors: NOT all three bloom bits set
+  SELECT b.doc_id FROM batch b
+  LEFT JOIN (SELECT doc_id FROM bp JOIN bbits ON bp.j = bbits.j AND bp.pos = bbits.pos
+             GROUP BY 1 HAVING COUNT(*) = 3) m ON b.doc_id = m.doc_id
+  WHERE m.doc_id IS NULL
+), ib AS (SELECT doc_id, b, bk FROM bands WHERE doc_id % 10 <> 0
+), ibs AS (SELECT b, bk, COUNT(*) AS ibsz FROM ib GROUP BY 1, 2
+), db AS (
+  SELECT doc_id, b, bk FROM bands
+  WHERE doc_id % 10 = 0 AND doc_id IN (SELECT doc_id FROM fresh)
+), novel AS (
+  -- gate 2 survivors: no uncapped band bucket shared with the corpus
+  SELECT doc_id FROM fresh WHERE doc_id NOT IN (
+    SELECT DISTINCT db.doc_id FROM db
+    JOIN ib ON db.b = ib.b AND db.bk = ib.bk
+    JOIN ibs ON ib.b = ibs.b AND ib.bk = ibs.bk
+    WHERE ibs.ibsz <= 10000)
+), arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents
+), cg AS (
+  SELECT DISTINCT array_to_string(a[i+1 : i+10], ' ') AS g
+  FROM arr, LATERAL unnest(generate_series(0, CAST(len(a) - 10 AS BIGINT))) t(i)
+  WHERE len(a) >= 10 AND doc_id % 10 <> 0
+), dg AS (
+  SELECT doc_id, i, array_to_string(a[i+1 : i+10], ' ') AS g
+  FROM arr, LATERAL unnest(generate_series(0, CAST(len(a) - 10 AS BIGINT))) t(i)
+  WHERE len(a) >= 10 AND doc_id % 10 = 0
+), flagged AS (SELECT doc_id, i FROM dg JOIN cg USING (g)
+), covered AS (
+  SELECT DISTINCT doc_id, i + d AS p
+  FROM flagged, LATERAL unnest(generate_series(0, 9)) t(d)
+), runs AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_removed,
+         CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+  FROM (SELECT doc_id, p,
+          COALESCE(p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p), 2) > 1 AS is_new
+        FROM covered)
+  GROUP BY 1
+), wordrows AS (
+  SELECT arr.doc_id, q - 1 AS p, a[CAST(q AS INT)] AS word
+  FROM arr, LATERAL unnest(generate_series(1, CAST(len(a) AS BIGINT))) t(q)
+  WHERE doc_id % 10 = 0
+), clean AS (
+  SELECT w.doc_id,
+         string_agg(CASE WHEN c.p IS NULL THEN w.word END, ' ' ORDER BY w.p) AS clean_text
+  FROM wordrows w LEFT JOIN covered c ON c.doc_id = w.doc_id AND c.p = w.p
+  GROUP BY 1
+), admitted AS (
+  -- gate 3 survivors: the gram-cut text is non-empty
+  SELECT n.doc_id, b.source,
+         COALESCE(r.n_removed, 0) AS n_removed,
+         COALESCE(r.n_spans, 0) AS n_spans
+  FROM novel n
+  JOIN batch b ON b.doc_id = n.doc_id
+  LEFT JOIN clean cl ON cl.doc_id = n.doc_id
+  LEFT JOIN runs r ON r.doc_id = n.doc_id
+  WHERE COALESCE(cl.clean_text, '') <> ''
+)
+SELECT doc_id, source, n_removed, n_spans, CAST(rk AS BIGINT) AS qrank FROM (
+  SELECT doc_id, source, n_removed, n_spans,
+    ROW_NUMBER() OVER (PARTITION BY source
+      ORDER BY md5('ingest0|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM admitted) t
+WHERE rk <= 8"""
+
   val oracle: Map[String, String] = Map(
     "q_sim_kmeans" ->
       s"""WITH c AS (
@@ -1639,6 +1763,10 @@ sym AS (
     // inline is a checked property, not an assumption
     "q_dedup_substr_incremental" -> substrIncrementalOracle,
     "q_dedup_substr_served" -> substrIncrementalOracle,
+
+    // the 4-gate admission pipeline (r13): bloom → band probe → gram
+    // cut → quota, each gate's CTE chain nested from its own oracle
+    "q_ingest_gates" -> ingestGatesOracle,
 
 
     "q_freq_heavyhitters" ->
@@ -2233,7 +2361,7 @@ FROM c GROUP BY 1, 2"""),
          |LEFT JOIN ivf i ON i.query_id = b.query_id AND i.corpus_id = b.corpus_id
          |GROUP BY 1""".stripMargin,
 
-    // the nprobe sweep (r12): four arms over ONE brute CTE, each arm
+    // the nprobe sweep (r12): five arms over ONE brute CTE, each arm
     // nesting the unrolled IVF chain at its nprobe — the same chain the
     // single-point eval nests, so the curve and the point cannot drift
     "q_sim_recall_sweep" ->

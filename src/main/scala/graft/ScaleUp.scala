@@ -102,8 +102,32 @@ object ScaleUp {
       "doc_id" -> "doc_id + rep * 1000000",
       "text"   -> textExpr),
       "documents")
+    // Embedding replication mode (r13). "copy" (default) keeps replica
+    // vectors byte-identical — the re-embedded-re-crawl regime, where a
+    // recall eval of any bucketed rung is trivially ~100% (identical
+    // vectors share every bucket by construction). "jitter" adds a
+    // deterministic per-(replica, coordinate) perturbation of ≤0.02 per
+    // coordinate (|Δ| ≈ 0.11 against unit-norm vectors → cos(v, v') ≈
+    // 0.994): replicas stay TRUE near-duplicates far above τ=0.45, but
+    // their hyperplane signs can flip near the margin — the NEAR-dup
+    // regime the LSH rung exists for, measurable at scale. Pure
+    // engine-shared arithmetic: the perturbed float32 lands in parquet,
+    // both engines read the same bytes, so the recall oracle still
+    // hash-matches.
+    val embMode = args.lift(5).getOrElse("copy")
+    val embExpr = embMode match {
+      case "copy" => "embedding"
+      case "jitter" =>
+        """CASE WHEN rep = 0 THEN embedding ELSE
+          |  transform(embedding, (x, i) ->
+          |    x + CAST(0.01 AS FLOAT) *
+          |        CAST((rep * 7 + i) % 5 - 2 AS FLOAT)) END"""
+          .stripMargin.linesIterator.mkString(" ")
+      case other => sys.error(s"unknown embeddings mode: $other")
+    }
     if (wanted("embeddings")) write(scaled(raw("embeddings"),
-      "vec_id" -> "vec_id + rep * 1000000"), "embeddings")
+      "vec_id" -> "vec_id + rep * 1000000",
+      "embedding" -> embExpr), "embeddings")
     spark.stop()
   }
 }

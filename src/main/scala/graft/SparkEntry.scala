@@ -53,7 +53,11 @@ object SparkEntry {
       // the dedup-quality eval (LSH pair recall/precision vs the exact
       // τ=0.8 join — the q_sim_recall posture for the dedup family)
       "q_sim_recall_pq", "q_sim_recall_ivfpq", "q_video_demux_mp4",
-      "q_dedup_substr_served", "q_dedup_recall")
+      "q_dedup_substr_served", "q_dedup_recall",
+      // round-13: the composed 4-gate admission pipeline (bloom →
+      // band probe → gram cut → quota) — the deployable form the
+      // r12 verdict asked for, benched as one end-to-end row
+      "q_ingest_gates")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs

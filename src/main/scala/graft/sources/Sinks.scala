@@ -56,12 +56,22 @@ object Sinks {
     saveBucketed(df, table, Seq(key), buckets)
 
   /** Multi-column bucket key (e.g. a band index on (band, bk)): a join
-    * on exactly these columns reads the table pre-partitioned. */
-  def saveBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
-    df.write
+    * on exactly these columns reads the table pre-partitioned.
+    *
+    * `path` (optional) makes the table EXTERNAL with its data at that
+    * location instead of under the warehouse dir. Bucketing metadata
+    * lives in the catalog either way (a path-only parquet read cannot
+    * carry a bucket spec), but an external /tmp location keeps
+    * harness-built throwaway indexes out of the repo-local warehouse —
+    * a per-application catalog entry dies with the session, while
+    * warehouse DATA would otherwise accumulate across runs forever. */
+  def saveBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

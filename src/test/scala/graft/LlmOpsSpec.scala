@@ -56,6 +56,9 @@ class LlmOpsSpec extends AnyFunSuite {
     // (the driver testdata plants near-dup docs; a zero here means the
     // ground-truth join silently broke, not that the corpus is clean)
     assert(nTrue > 0, "exact τ=0.8 join found no pairs in the fixture corpus")
+    // a zero candidate set means the LSH generator broke (and would make
+    // precision_pct NULL — getLong below would die with an opaque NPE)
+    assert(nCand > 0, "minhash-LSH generator produced no candidate pairs")
     val recall = row.getLong(3); val precision = row.getLong(4)
     assert(recall == nCaught * 100 / nTrue && recall >= 0 && recall <= 100)
     assert(precision == nCaught * 100 / nCand && precision >= 0 && precision <= 100)

@@ -119,7 +119,7 @@ class ProgramsSpec extends AnyFunSuite {
       graft.sources.Tables(spark, sfDir).documents.count())
   }
 
-  test("ingestProgram admits only novel, near-novel, quota-fitting docs") {
+  test("ingestProgram admits only novel, near-novel, passage-cut, quota-fitting docs") {
     import org.apache.spark.sql.functions._
     val dir = fresh("ingest")
     val docs = graft.sources.Tables(spark, sfDir).documents
@@ -128,7 +128,24 @@ class ProgramsSpec extends AnyFunSuite {
     // corpus content under fresh ids (the case gate 1 exists for)
     val redelivered = corpus.limit(5)
       .withColumn("doc_id", col("doc_id") + 7000000L)
-    val batch = docs.filter(col("doc_id") % 10 === 0).unionByName(redelivered)
+    // ...PLUS a genuinely-new doc QUOTING a standing corpus passage
+    // (15 contiguous corpus words mid-doc) — novel as a WHOLE, so
+    // gates 1-2 must admit it, but the quoted passage is exactly what
+    // gate 3 (the gram-index cut) exists to remove at admission
+    val corpusWords = corpus.orderBy(col("doc_id"))
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 25)
+      .first().getSeq[String](0)
+    val passage = corpusWords.slice(5, 20).mkString(" ")
+    val fresh60 = (1 to 60).map(i => s"zqfresh$i").mkString(" ")
+    val quoter = spark.range(1).select(
+      lit(8000001L).as("doc_id"),
+      concat_ws(" ", lit(fresh60), lit(passage), lit("zqtail1 zqtail2"))
+        .as("text"),
+      lit("en").as("lang"), lit("srcquote").as("source"),
+      lit(0L).as("n_chars"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .unionByName(redelivered).unionByName(quoter)
     Programs.ingestProgram(spark, corpus, batch, s"$dir/out", quotaPerSource = 3L)
     val accepted = spark.read.parquet(s"$dir/out")
     assert(accepted.count() > 0)
@@ -140,7 +157,19 @@ class ProgramsSpec extends AnyFunSuite {
     val stillColliding = graft.operators.Dedup.probeBandIndex(
       accepted, graft.operators.Dedup.minhashBandIndex(corpus, 3, 8, 4), 3, 8, 4)
     assert(stillColliding.count() == 0, "a near-dup of the corpus was admitted")
-    // gate 3: the per-source cap holds, and the store partitions by
+    // gate 3: the quoting doc was ADMITTED (it is new as a whole) but
+    // its corpus PASSAGE was cut at admission — stored text keeps the
+    // fresh words, drops the quote, and carries the cut audit
+    val storedQuoter = accepted.filter(col("doc_id") === 8000001L).collect()
+    assert(storedQuoter.length == 1, "the passage-quoting doc must be admitted")
+    val qRow = storedQuoter.head
+    val qText = qRow.getAs[String]("text")
+    assert(!qText.contains(passage), "a standing corpus passage survived admission")
+    assert(qText.contains("zqfresh1") && qText.contains("zqtail2"),
+      "gate 3 must cut the quoted passage, not the doc's own words")
+    assert(qRow.getAs[Long]("n_removed") == 15L && qRow.getAs[Long]("n_spans") == 1L,
+      s"cut audit wrong: $qRow")
+    // gate 4: the per-source cap holds, and the store partitions by
     // source (per-source audits prune)
     val perSource = accepted.groupBy(col("source")).count()
       .collect().map(_.getLong(1))
@@ -153,11 +182,12 @@ class ProgramsSpec extends AnyFunSuite {
       graft.operators.Freq.bloomBuild(
         corpus.select(md5(col("text")).as("item")), 3, 1 << 20),
       graft.operators.Dedup.minhashBandIndex(corpus, 3, 8, 4),
+      graft.operators.Dedup.gramIndex(corpus, spanWords = 10),
       batch, 3L)
-    val a = accepted.select(col("doc_id"), col("qrank")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val b = direct.select(col("doc_id"), col("qrank")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = accepted.select(col("doc_id"), col("qrank"), col("n_removed")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = direct.select(col("doc_id"), col("qrank"), col("n_removed")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(a == b && a.nonEmpty)
   }
 
