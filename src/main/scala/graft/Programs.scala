@@ -216,7 +216,20 @@ object Programs {
     * Accepted rows carry the cut audit columns (n_removed, n_spans)
     * alongside qrank. */
   def ingestCore(bits: DataFrame, bandIndex: DataFrame, gramIndex: DataFrame,
-      batch: DataFrame, quotaPerSource: Long, spanWords: Int = 10): DataFrame = {
+      batch: DataFrame, quotaPerSource: Long, spanWords: Int = 10): DataFrame =
+    graft.operators.Sampling.quotaCap(
+      admissionCut(bits, bandIndex, gramIndex, batch, spanWords),
+      "source", "doc_id", quotaPerSource, seed = "ingest0")
+
+  /** Gates 1–3 of [[ingestCore]] — the admission CUT (everything up to
+    * but excluding the per-source quota), factored out (r13) so the
+    * STREAMING pipeline ([[graft.streaming.StreamingJobs
+    * .ingestGateStream]]) twins exactly this transform: the quota is
+    * the one gate whose batch/stream semantics legitimately differ
+    * (md5-ordered sample vs first-arrivals — the 44g asymmetry), so the
+    * shared surface ends here. */
+  def admissionCut(bits: DataFrame, bandIndex: DataFrame, gramIndex: DataFrame,
+      batch: DataFrame, spanWords: Int = 10): DataFrame = {
     val fresh = graft.operators.Freq.bloomProbe(
         bits, batch.withColumn("item", md5(col("text"))), k = 3, width = 1 << 20)
       .filter(!col("maybe_member"))
@@ -225,12 +238,10 @@ object Programs {
         fresh, bandIndex, k = 3, perms = 8, bands = 4)
       .select(col("doc_id"))
     val novel = fresh.join(nearDups, Seq("doc_id"), "left_anti")
-    val cut = graft.operators.Dedup.probeGramIndex(novel, gramIndex, spanWords)
+    graft.operators.Dedup.probeGramIndex(novel, gramIndex, spanWords)
       .withColumn("text", col("clean_text"))
       .drop("clean_text")
       .filter(length(col("text")) > 0)
-    graft.operators.Sampling.quotaCap(cut, "source", "doc_id",
-      quotaPerSource, seed = "ingest0")
   }
 
   /** Batch ingest program: build the corpus artifacts, admit the batch

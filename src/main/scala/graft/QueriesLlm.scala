@@ -157,16 +157,14 @@ object QueriesLlm {
     * and accumulates across harness runs; /tmp is tmp-cleaner
     * reclaimed). Deployment points the path at the corpus store. */
   private def servedGramIndexTable(s: SparkSession, dir: String): String = {
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val appKey = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val table = s"graft_gram_idx_${appKey}_$dirKey"
+    val key = servedKey(s, dir)
+    val table = s"graft_gram_idx_${key.replace('/', '_')}"
     gramIndexBuildLock.synchronized {
       if (!s.catalog.tableExists(table))
         graft.sources.Sinks.saveBucketed(
           Dedup.gramIndex(docs(s, dir).filter(col("doc_id") % 10 =!= 0), 10),
           table, Seq("h1", "h2"), 32,
-          path = Some(s"/tmp/graft_gram_index/${appKey}/$dirKey"))
+          path = Some(s"/tmp/graft_gram_index/$key"))
     }
     table
   }
@@ -184,20 +182,89 @@ object QueriesLlm {
     * what a 100 TB corpus runs nightly; the oracle nests the four
     * gates' own verified CTE chains so the pipeline and its parts
     * cannot drift. */
-  val ingestGates: Q = (s, dir) => {
-    val d = docs(s, dir)
-    val corpus = d.filter(col("doc_id") % 10 =!= 0)
-    val redelivered = corpus.filter(col("doc_id") % 97 === 1)
-      .withColumn("doc_id", col("doc_id") + 7000000L)
-    val batch = d.filter(col("doc_id") % 10 === 0).unionByName(redelivered)
+  val ingestGates: Q = (s, dir) =>
     Programs.ingestCore(
         graft.operators.Freq.bloomBuild(
-          corpus.select(md5(col("text")).as("item")), k = 3, width = 1 << 20),
-        Dedup.minhashBandIndex(corpus, k = 3, perms = 8, bands = 4),
-        Dedup.gramIndex(corpus, spanWords = 10),
-        batch, quotaPerSource = 8L)
+          ingestCorpus(s, dir).select(md5(col("text")).as("item")),
+          k = 3, width = 1 << 20),
+        Dedup.minhashBandIndex(ingestCorpus(s, dir), k = 3, perms = 8, bands = 4),
+        Dedup.gramIndex(ingestCorpus(s, dir), spanWords = 10),
+        ingestBatch(s, dir), quotaPerSource = 8L)
       .select(col("doc_id"), col("source"), col("n_removed"), col("n_spans"),
         col("qrank"))
+
+  /** DEPLOYMENT form of the 4-gate pipeline (r13): the same admission
+    * graph probing PERSISTED corpus artifacts — the bloom bit table
+    * (KB parquet), the band index (bucketed on (band, bk)) and the
+    * gram index (bucketed on (h1, h2), SHARED with
+    * q_dedup_substr_served — one build serves both, the
+    * servedIvfPqStore convention). The inline q_ingest_gates stays
+    * registered as the honest build+probe total; THIS is the query a
+    * standing corpus runs nightly, where every per-invocation cost is
+    * delta-sized and both index joins read pre-partitioned sides.
+    * Oracle: identical SQL to the inline form — parquet round-trips
+    * the bit positions, band keys and digest lanes exactly, so
+    * served ≡ inline is hash-checked, not assumed. */
+  val ingestGatesServed: Q = (s, dir) =>
+    Programs.ingestCore(
+        s.read.parquet(servedBloomBitsPath(s, dir)),
+        s.table(servedBandIndexTable(s, dir)),
+        s.table(servedGramIndexTable(s, dir)),
+        ingestBatch(s, dir), quotaPerSource = 8L)
+      .select(col("doc_id"), col("source"), col("n_removed"), col("n_spans"),
+        col("qrank"))
+
+  /** The standing-corpus split shared by the ingest-pipeline forms. */
+  private def ingestCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("doc_id") % 10 =!= 0)
+
+  /** The arriving batch shared by the ingest-pipeline forms: delta docs
+    * PLUS deterministic re-deliveries of corpus content under fresh ids
+    * (the case gate 1 exists for; `limit()` would not be engine-stable). */
+  private def ingestBatch(s: SparkSession, dir: String): DataFrame = {
+    val redelivered = ingestCorpus(s, dir).filter(col("doc_id") % 97 === 1)
+      .withColumn("doc_id", col("doc_id") + 7000000L)
+    docs(s, dir).filter(col("doc_id") % 10 === 0).unionByName(redelivered)
+  }
+
+  /** Build-once path for the persisted bloom bit table (KB-scale
+    * (j, pos) parquet; _SUCCESS is the build-complete marker). Keyed
+    * (applicationId, corpus md5) like every served artifact here. */
+  private def servedBloomBitsPath(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/graft_bloom_bits/${servedKey(s, dir)}"
+    gramIndexBuildLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").isFile)
+        graft.operators.Freq.bloomBuild(
+            ingestCorpus(s, dir).select(md5(col("text")).as("item")),
+            k = 3, width = 1 << 20)
+          .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Build-once gate for the bucketed minhash band index table —
+    * the servedGramIndexTable pattern on the (band, bk) lanes, so the
+    * probe join reads the index side with zero exchange. */
+  private def servedBandIndexTable(s: SparkSession, dir: String): String = {
+    val key = servedKey(s, dir)
+    val table = s"graft_band_idx_${key.replace('/', '_')}"
+    gramIndexBuildLock.synchronized {
+      if (!s.catalog.tableExists(table))
+        graft.sources.Sinks.saveBucketed(
+          Dedup.minhashBandIndex(ingestCorpus(s, dir), k = 3, perms = 8, bands = 4),
+          table, Seq("band", "bk"), 32,
+          path = Some(s"/tmp/graft_band_index/$key"))
+    }
+    table
+  }
+
+  /** (applicationId, corpus-dir md5) key shared by the served ingest
+    * artifacts — concurrent harness runs must not race one store, and
+    * a sanitizing replaceAll would collide distinct corpora. */
+  private def servedKey(s: SparkSession, dir: String): String = {
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") + "/" + dirKey
   }
 
   /** DEDUP QUALITY evaluation (r12) — the q_sim_recall posture applied
@@ -982,6 +1049,7 @@ object QueriesLlm {
     "q_dedup_recall_simhash" -> dedupRecallSimhash,
     "q_dedup_recall_embcos" -> dedupRecallEmbcos,
     "q_ingest_gates"        -> ingestGates,
+    "q_ingest_gates_served" -> ingestGatesServed,
     "q_freq_heavyhitters"   -> freqHeavyHitters,
     "q_freq_hh_grouped"     -> freqHeavyHittersGrouped,
     "q_freq_cms"            -> freqCms,
@@ -1765,8 +1833,12 @@ WHERE rk <= 8"""
     "q_dedup_substr_served" -> substrIncrementalOracle,
 
     // the 4-gate admission pipeline (r13): bloom → band probe → gram
-    // cut → quota, each gate's CTE chain nested from its own oracle
+    // cut → quota, each gate's CTE chain nested from its own oracle;
+    // the served form shares the SQL verbatim — parquet round-trips the
+    // persisted bit/band/gram artifacts exactly, so served ≡ inline is
+    // hash-checked (the q_dedup_substr_served convention)
     "q_ingest_gates" -> ingestGatesOracle,
+    "q_ingest_gates_served" -> ingestGatesOracle,
 
 
     "q_freq_heavyhitters" ->

@@ -56,8 +56,11 @@ object SparkEntry {
       "q_dedup_substr_served", "q_dedup_recall",
       // round-13: the composed 4-gate admission pipeline (bloom →
       // band probe → gram cut → quota) — the deployable form the
-      // r12 verdict asked for, benched as one end-to-end row
-      "q_ingest_gates")
+      // r12 verdict asked for, benched as one end-to-end row; the
+      // served sibling probes PERSISTED artifacts (build paid once in
+      // the cold run, steady runs price the delta-sized probes — the
+      // q_sim_ivfpq / q_sim_ivfpq_served convention)
+      "q_ingest_gates", "q_ingest_gates_served")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs

@@ -271,7 +271,8 @@ object StreamingJobs {
     * flagged-start cut is the batch operator's own row-local fold
     * ([[graft.operators.Dedup.cutColumns]]), not a reimplementation. */
   def gramProbeStream(docs: DataFrame, index: DataFrame, spanWords: Int,
-      watermarkDelay: String, windowDur: String, minDf: Long = 1L): DataFrame = {
+      watermarkDelay: String, windowDur: String, minDf: Long = 1L,
+      carry: Seq[String] = Nil): DataFrame = {
     val wm = docs.withWatermark("ts", watermarkDelay)
     val words = wm.withColumn("w", split(col("text"), " "))
     val grams = words.filter(size(col("w")) >= spanWords)
@@ -283,22 +284,90 @@ object StreamingJobs {
     val hits = grams
       .join(index.filter(col("df") >= minDf).select(col("h1"), col("h2")),
         Seq("h1", "h2"))
-      .select(col("doc_id"), col("ts"), col("pos"),
-        lit(null).cast("string").as("text"))
-    // one sentinel row per doc carries the text (and keeps zero-hit and
-    // short docs in the output — the every-doc-comes-back contract)
-    val carrier = wm.select(col("doc_id"), col("ts"),
-      lit(-1).as("pos"), col("text"))
+      .select(col("doc_id") +: col("ts") +: col("pos") +:
+        lit(null).cast("string").as("text") +:
+        carry.map(c => lit(null).cast("string").as(c)): _*)
+    // one sentinel row per doc carries the text — and any `carry`
+    // STRING columns the caller needs downstream (r13: the composed
+    // ingest pipeline rides `source` through to its quota stage) —
+    // keeping zero-hit and short docs in the output (the
+    // every-doc-comes-back contract)
+    val carrier = wm.select(col("doc_id") +: col("ts") +:
+      lit(-1).as("pos") +: col("text") +: carry.map(col): _*)
     val agg = hits.unionByName(carrier)
       .groupBy(window(col("ts"), windowDur), col("doc_id"))
       .agg(sort_array(collect_list(when(col("pos") >= 0, col("pos")))).as("rm"),
-        first(col("text"), ignoreNulls = true).as("text"))
-      .select(col("window.start").as("w_start"), col("doc_id"),
-        col("rm"), col("text"))
+        first(col("text"), ignoreNulls = true).as("text") +:
+          carry.map(c => first(col(c), ignoreNulls = true).as(c)): _*)
+      .select(col("window.start").as("w_start") +: col("doc_id") +:
+        col("rm") +: col("text") +: carry.map(col): _*)
     graft.operators.Dedup.cutColumns(
         agg.withColumn("w", split(col("text"), " ")), spanWords)
-      .select(col("w_start"), col("doc_id"), col("clean_text"),
-        col("n_removed"), col("n_spans"))
+      .select(col("w_start") +: col("doc_id") +: col("clean_text") +:
+        col("n_removed") +: col("n_spans") +: carry.map(col): _*)
+  }
+
+  /** STREAMING 4-gate ingest admission (r13) — the composed ONLINE
+    * form of [[graft.Programs.admissionCut]]: every arriving doc runs
+    * the whole admission ladder in ONE streaming query.
+    *
+    *   gate 1 — Bloom novelty ([[bloomNovelStream]]'s transform on the
+    *   batch contract's md5(text) digest): stateless broadcast probe.
+    *   gate 2 — minhash band anti-probe: the doc's `bands` band keys
+    *   are row-local columns (the 44d scalar-signature projection) and
+    *   the capped index anti-joins STREAM-STATIC once per band — LEFT
+    *   ANTI is stateless against a static side, so the whole gate adds
+    *   zero state where the 44d collision REPORT needs a window agg
+    *   (here only survival matters, and anti-join semantics ARE the
+    *   batch predicate: drop iff any uncapped bucket is shared).
+    *   gate 3 — the substring gram cut ([[gramProbeStream]], `source`
+    *   carried on the sentinel row): its closing window aggregate is
+    *   the query's ONLY stateful operator (asserted in StreamingSpec).
+    *
+    * Gate 4 — the per-source quota — deliberately does NOT compose into
+    * this query: an online quota is a flatMapGroupsWithState
+    * ([[StatefulSessions.quotaFirstN]], 44g), and chaining it after a
+    * windowed aggregate is outside Spark's supported multi-stateful
+    * combinations; a deployment chains it as the next query stage over
+    * this one's sink, which is also where the batch/stream quota
+    * asymmetry (md5-ordered sample vs first-arrivals) is documented.
+    * Emits (w_start, doc_id, source, text = cut text, n_removed,
+    * n_spans) for admitted docs; a doc that was all standing content
+    * drops here like in batch. */
+  def ingestGateStream(docs: DataFrame, bits: DataFrame, bandIndex: DataFrame,
+      gramIndex: DataFrame, k: Int, perms: Int, bands: Int, spanWords: Int,
+      watermarkDelay: String, windowDur: String, maxBucket: Int = 10000,
+      bloomK: Int = 3, bloomWidth: Int = 1 << 20): DataFrame = {
+    require(perms % bands == 0, s"perms ($perms) must be a multiple of bands ($bands)")
+    val rows = perms / bands
+    import graft.functions.Similarity
+    val fresh = graft.operators.Freq.bloomProbe(
+        bits, docs.withColumn("item", md5(col("text"))), bloomK, bloomWidth)
+      .filter(!col("maybe_member"))
+      .drop("item", "n_hits", "maybe_member")
+    // gate 2: per-band key columns (null for sub-k-word docs — a null
+    // key never matches an anti-join, so short docs survive, matching
+    // the batch probe's size(w) >= k filter)
+    val keyed = fresh.withColumn("_sig",
+      when(size(split(col("text"), " ")) >= k,
+        Similarity.minhashFromHashes(
+          Similarity.shingleHashes(split(col("text"), " "), k), perms)))
+    val withKeys = (0 until bands).foldLeft(keyed) { (df, b) =>
+      df.withColumn(s"_bk$b", when(col("_sig").isNotNull,
+        md5(concat_ws("|", (0 until rows).map(r =>
+          element_at(col("_sig"), b * rows + r + 1)): _*))))
+    }
+    val capped = bandIndex.filter(col("bsz") <= maxBucket)
+    val novel = (0 until bands).foldLeft(withKeys) { (df, b) =>
+      df.join(capped.filter(col("band") === b)
+          .select(col("bk").as(s"_bk$b")).distinct(),
+        Seq(s"_bk$b"), "left_anti")
+    }.drop("_sig" +: (0 until bands).map(b => s"_bk$b"): _*)
+    gramProbeStream(novel, gramIndex, spanWords, watermarkDelay, windowDur,
+        carry = Seq("source"))
+      .withColumn("text", col("clean_text"))
+      .drop("clean_text")
+      .filter(length(col("text")) > 0)
   }
 
   /** Streaming twin of the curation pipeline (QueriesLlm.pipelinePrep):

@@ -511,6 +511,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("served ingest pipeline equals the inline 4-gate form, rows and audits") {
+    // the q_dedup_substr_served posture applied to the whole admission
+    // pipeline: the served form probes PERSISTED bloom/band/gram
+    // artifacts, and parquet must round-trip them so exactly that the
+    // two forms agree row-for-row (doc_id, source, cut audit, qrank)
+    val inline = QueriesLlm.queries("q_ingest_gates")(spark, sfDir)
+      .collect().map(_.toSeq.toVector).toSet
+    val served = QueriesLlm.queries("q_ingest_gates_served")(spark, sfDir)
+      .collect().map(_.toSeq.toVector).toSet
+    assert(inline.nonEmpty, "the 4-gate pipeline admitted nothing")
+    assert(inline == served)
+  }
+
   test("a persisted bucketed gram index probes with zero index-side shuffle") {
     import spark.implicits._
     import graft.sources.Sinks

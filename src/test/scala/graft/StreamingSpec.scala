@@ -490,6 +490,78 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming 4-gate ingest admission equals the batch admission cut, one stateful op") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables(spark, sfDir).documents
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    // the arriving stream: delta docs PLUS re-deliveries of corpus
+    // content under fresh ids (gate 1's case) — the q_ingest_gates batch
+    val redelivered = corpus.filter(col("doc_id") % 97 === 1)
+      .withColumn("doc_id", col("doc_id") + 7000000L)
+    // ...PLUS a genuinely-new doc quoting a 15-word corpus passage: the
+    // fixture's natural cross-split passage carriers are near-dups that
+    // gate 2 drops, so gate 3's in-flight cut needs a planted witness
+    // (the ProgramsSpec passage-cut construction)
+    val passage = corpus.orderBy(col("doc_id"))
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 25)
+      .first().getSeq[String](0).slice(5, 20).mkString(" ")
+    val quoter = spark.range(1).select(
+      lit(8000001L).as("doc_id"),
+      concat_ws(" ", lit((1 to 60).map(i => s"zqs$i").mkString(" ")),
+        lit(passage), lit("zqt1 zqt2")).as("text"),
+      lit("en").as("lang"), lit("srcquote").as("source"),
+      lit(0L).as("n_chars"))
+    val batchDocs = d.filter(col("doc_id") % 10 === 0)
+      .unionByName(redelivered).unionByName(quoter)
+    val bits = graft.operators.Freq.bloomBuild(
+      corpus.select(md5(col("text")).as("item")), 3, 1 << 20).localCheckpoint()
+    val bandIndex = graft.operators.Dedup.minhashBandIndex(corpus, 3, 8, 4)
+      .localCheckpoint()
+    val gramIndex = graft.operators.Dedup.gramIndex(corpus, 10).localCheckpoint()
+    val in = MemoryStream[(Long, Timestamp, String, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text", "source")
+    val q = StreamingJobs.ingestGateStream(df, bits, bandIndex, gramIndex,
+        k = 3, perms = 8, bands = 4, spanWords = 10,
+        watermarkDelay = "10 minutes", windowDur = "1 hour")
+      .writeStream.format("memory").queryName("ingest_gate_out")
+      .outputMode("append").start()
+    try {
+      val rows = batchDocs.select("doc_id", "text", "source").collect()
+        .map(r => (r.getLong(0), ts(5), r.getString(1), r.getString(2))).toSeq
+      feed(q)(in.addData(rows: _*))
+      // far-future flush row closes the hour-0 window (source watermark)
+      feed(q)(in.addData((999999L, ts(1000), "flush", "srcf")))
+      val got = spark.table("ingest_gate_out")
+        .filter($"doc_id" =!= 999999L)
+        .select("doc_id", "source", "text", "n_removed", "n_spans").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val batch = Programs.admissionCut(bits, bandIndex, gramIndex, batchDocs)
+        .select("doc_id", "source", "text", "n_removed", "n_spans").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == batch, s"stream admitted ${got.size}, batch ${batch.size}")
+      assert(got.nonEmpty, "the admission cut admitted nothing")
+      // every re-delivered doc was refused in-flight (gate 1)
+      assert(!got.exists(g => g._1 >= 7000000L && g._1 < 8000000L),
+        "a re-delivered corpus doc passed")
+      // gate 3 cut the planted corpus passage IN-FLIGHT: the quoting doc
+      // is admitted (new as a whole) minus exactly the 15 quoted words
+      val q8 = got.find(_._1 == 8000001L)
+      assert(q8.isDefined, "the passage-quoting doc must be admitted")
+      assert(q8.get._4 == 15L && q8.get._5 == 1L, s"cut audit wrong: $q8")
+      assert(!q8.get._3.contains(passage) && q8.get._3.contains("zqs1"),
+        "gate 3 must cut the quoted passage, not the doc's own words")
+      // the whole 3-gate query holds exactly ONE stateful operator (the
+      // gram cut's closing window agg) — gates 1-2 are stateless
+      // broadcast/anti-join probes by construction
+      assert(q.lastProgress.stateOperators.size == 1,
+        s"expected one stateful operator: ${q.lastProgress.prettyJson}")
+    } finally q.stop()
+  }
+
   test("streaming gram probe cuts corpus boilerplate in-flight, equals the batch probe") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions._
