@@ -214,6 +214,29 @@ object QueriesLlm {
       .select(col("doc_id"), col("source"), col("n_removed"), col("n_spans"),
         col("qrank"))
 
+  /** INDEX MAINTENANCE as an oracle row (r13): after the admission cut
+    * (gates 1–3), the admitted docs' digests OR into the standing bit
+    * table ([[graft.operators.Freq.bloomAppend]]) — the pass that makes
+    * the NEXT batch's gate 1 refuse re-deliveries of what this batch
+    * admitted (the lifecycle ProgramsSpec proves end-to-end; append ≡
+    * rebuild is property-tested there for all three artifacts). The
+    * bloom table is the one artifact whose append is fully
+    * SQL-derivable (the band/gram lanes are 64-bit digest arithmetic
+    * the oracle replaces with text equality), so this row hash-checks
+    * the maintenance algebra: output = the appended (j, pos) bit set. */
+  val ingestIndexUpdate: Q = (s, dir) => {
+    val bits = graft.operators.Freq.bloomBuild(
+      ingestCorpus(s, dir).select(md5(col("text")).as("item")),
+      k = 3, width = 1 << 20)
+    val admitted = Programs.admissionCut(bits,
+      Dedup.minhashBandIndex(ingestCorpus(s, dir), k = 3, perms = 8, bands = 4),
+      Dedup.gramIndex(ingestCorpus(s, dir), spanWords = 10),
+      ingestBatch(s, dir))
+    graft.operators.Freq.bloomAppend(bits,
+        admitted.select(md5(col("text")).as("item")), k = 3, width = 1 << 20)
+      .select(col("j").cast("int").as("j"), col("pos").cast("long").as("pos"))
+  }
+
   /** The standing-corpus split shared by the ingest-pipeline forms. */
   private def ingestCorpus(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).filter(col("doc_id") % 10 =!= 0)
@@ -1050,6 +1073,7 @@ object QueriesLlm {
     "q_dedup_recall_embcos" -> dedupRecallEmbcos,
     "q_ingest_gates"        -> ingestGates,
     "q_ingest_gates_served" -> ingestGatesServed,
+    "q_ingest_index_update" -> ingestIndexUpdate,
     "q_freq_heavyhitters"   -> freqHeavyHitters,
     "q_freq_hh_grouped"     -> freqHeavyHittersGrouped,
     "q_freq_cms"            -> freqCms,
@@ -1648,7 +1672,9 @@ sym AS (
     * and q_sample_quota's window (at the ingest seed) composed in gate
     * order — each gate filtered to the previous gate's survivors, so
     * the pipeline's oracle nests its parts' verified oracles. */
-  private lazy val ingestGatesOracle: String =
+  /** The gates-1–3 CTE chain (through `clean`) shared by the pipeline
+    * oracle, its served twin, and the index-update oracle. */
+  private lazy val ingestCutCtes: String =
     "WITH " + minhashBandsChain + s""",
 batch AS (
   SELECT doc_id, text, source FROM documents WHERE doc_id % 10 = 0
@@ -1713,7 +1739,10 @@ batch AS (
          string_agg(CASE WHEN c.p IS NULL THEN w.word END, ' ' ORDER BY w.p) AS clean_text
   FROM wordrows w LEFT JOIN covered c ON c.doc_id = w.doc_id AND c.p = w.p
   GROUP BY 1
-), admitted AS (
+)"""
+
+  private lazy val ingestGatesOracle: String = ingestCutCtes + """,
+admitted AS (
   -- gate 3 survivors: the gram-cut text is non-empty
   SELECT n.doc_id, b.source,
          COALESCE(r.n_removed, 0) AS n_removed,
@@ -1730,6 +1759,26 @@ SELECT doc_id, source, n_removed, n_spans, CAST(rk AS BIGINT) AS qrank FROM (
       ORDER BY md5('ingest0|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
   FROM admitted) t
 WHERE rk <= 8"""
+
+  /** The index-update oracle: the appended bit table is the bit set of
+    * corpus items ∪ admitted CUT texts' items — set algebra the SQL
+    * derives from the same cut chain and the q_bloom_probe bit
+    * arithmetic at the ingest width. */
+  private lazy val ingestIndexUpdateOracle: String = ingestCutCtes + s""",
+admitted_items AS (
+  SELECT md5(cl.clean_text) AS item
+  FROM novel n
+  JOIN clean cl ON cl.doc_id = n.doc_id
+  WHERE COALESCE(cl.clean_text, '') <> ''
+), all_items AS (
+  SELECT DISTINCT md5(text) AS item FROM documents WHERE doc_id % 10 <> 0
+  UNION
+  SELECT item FROM admitted_items
+)
+SELECT DISTINCT CAST(j AS INT) AS j, CAST(($hexToH) % 1048576 AS BIGINT) AS pos
+FROM (
+  SELECT t.j, md5('bf' || CAST(t.j AS VARCHAR) || '|' || item) AS hx
+  FROM all_items, (SELECT unnest(generate_series(0, 2)) AS j) t)"""
 
   val oracle: Map[String, String] = Map(
     "q_sim_kmeans" ->
@@ -1839,6 +1888,8 @@ WHERE rk <= 8"""
     // hash-checked (the q_dedup_substr_served convention)
     "q_ingest_gates" -> ingestGatesOracle,
     "q_ingest_gates_served" -> ingestGatesOracle,
+    // maintenance row: the appended bloom bit set over the same cut chain
+    "q_ingest_index_update" -> ingestIndexUpdateOracle,
 
 
     "q_freq_heavyhitters" ->

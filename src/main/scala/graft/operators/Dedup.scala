@@ -156,6 +156,33 @@ object Dedup {
       .groupBy(col("h1"), col("h2"))
       .agg(countDistinct(col("doc_id")).as("df"))
 
+  /** APPEND an admitted batch into a standing gram index (r13 — the
+    * maintenance half of the ingest lifecycle the index docs promise):
+    * returns the index of `corpus ∪ admitted`, PROVIDED the two doc-id
+    * sets are disjoint (the admission pipeline guarantees it — gate 1
+    * refuses every standing doc). Exact equivalence
+    * `gramIndexAppend(gramIndex(c), b) ≡ gramIndex(c ∪ b)` is
+    * property-tested, not assumed.
+    *
+    * Scale shape: a FULL OUTER JOIN on the digest lanes, not a
+    * union+re-aggregate — the union form re-shuffles the whole
+    * corpus-sized index every nightly batch, while the join reads a
+    * bucketed-on-(h1,h2) index side with ZERO exchange (the
+    * probeGramIndex layout) and shuffles only the batch's own distinct
+    * digests; df adds because the doc sets are disjoint (no gram can
+    * count one doc twice). Writing the merged index back is the
+    * unavoidable index-sized I/O of any compaction pass — the
+    * Layout.compact posture, paid at maintenance cadence, never at
+    * probe time. */
+  def gramIndexAppend(index: DataFrame, admitted: DataFrame,
+      spanWords: Int): DataFrame =
+    index.withColumnRenamed("df", "df_old")
+      .join(gramIndex(admitted, spanWords).withColumnRenamed("df", "df_new")
+        .hint("merge"), Seq("h1", "h2"), "full")
+      .select(col("h1"), col("h2"),
+        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
+          .as("df"))
+
   /** Probe a gram index with a delta batch: any delta gram PRESENT in
     * the standing corpus (df ≥ `minDf`) is boilerplate relative to it
     * and is cut from the arriving doc — covered-position semantics and
@@ -606,6 +633,42 @@ object Dedup {
       bands: Int): DataFrame =
     minhashBandKeys(corpus, k, perms, bands)
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bk"))))
+
+  /** APPEND an admitted batch into a standing band index (r13, the
+    * [[gramIndexAppend]] posture): returns the index of
+    * `corpus ∪ admitted` for disjoint doc-id sets — equivalence
+    * property-tested. `bsz` is the build-time bucket population, so
+    * every EXISTING row of a touched bucket must also move: the delta's
+    * per-bucket counts are a batch-sized aggregate BROADCAST onto the
+    * standing rows (zero index-side shuffle, every old row updated
+    * row-locally), and the new rows take old-bucket-size + their own
+    * count. The index rewrite itself is maintenance-cadence I/O, as in
+    * [[gramIndexAppend]]. */
+  def bandIndexAppend(index: DataFrame, admitted: DataFrame, k: Int,
+      perms: Int, bands: Int): DataFrame = {
+    val newKeys = minhashBandKeys(admitted, k, perms, bands)
+      .withColumn("new_n", count(lit(1)).over(Window.partitionBy(col("band"), col("bk"))))
+    val newCounts = newKeys.groupBy(col("band"), col("bk"))
+      .agg(max(col("new_n")).as("new_n"))
+    // old sizes are needed only for TOUCHED buckets: semi-join the index
+    // scan against the broadcast batch buckets first, so the aggregate
+    // (and the broadcast back) is batch-bounded, never index-sized
+    val touchedOldSizes = index
+      .join(broadcast(newCounts.select(col("band"), col("bk"))),
+        Seq("band", "bk"), "left_semi")
+      .groupBy(col("band"), col("bk"))
+      .agg(max(col("bsz")).as("old_bsz"))
+    val bumpedOld = index
+      .join(broadcast(newCounts), Seq("band", "bk"), "left")
+      .withColumn("bsz", col("bsz") + coalesce(col("new_n"), lit(0L)))
+      .drop("new_n")
+    val newRows = newKeys
+      .join(broadcast(touchedOldSizes), Seq("band", "bk"), "left")
+      .withColumn("bsz", col("new_n") + coalesce(col("old_bsz"), lit(0L)))
+      .select(col("doc_id"), col("band"), col("bk"), col("bsz"))
+    bumpedOld.select(col("doc_id"), col("band"), col("bk"), col("bsz"))
+      .unionByName(newRows)
+  }
 
   /** Probe a band index with a delta batch: for each delta doc that
     * shares ANY uncapped band bucket with the corpus, emit (doc_id,

@@ -255,6 +255,16 @@ object Freq {
       .distinct()
   }
 
+  /** OR an admitted batch's items into a standing bit table (r13 — the
+    * "incremental OR-in" the ingest docs promise, made a real
+    * operator): a Bloom filter's state is a bit SET, so append is
+    * exactly set union of the (j, pos) rows. Equivalence
+    * `bloomAppend(bloomBuild(c), b) ≡ bloomBuild(c ∪ b)` is
+    * property-tested. Everything here is ≤ k×width rows (KBs) plus the
+    * batch's own bit derivation — maintenance is as cheap as the probe. */
+  def bloomAppend(bits: DataFrame, items: DataFrame, k: Int, width: Int): DataFrame =
+    bits.unionByName(bloomBuild(items, k, width)).distinct()
+
   // ---- HyperLogLog ---------------------------------------------------------
   //
   // The fourth sketch of the family, answering the remaining question:

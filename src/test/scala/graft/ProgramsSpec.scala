@@ -191,6 +191,51 @@ class ProgramsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("ingest index maintenance: append equals rebuild, updated indexes refuse re-delivery") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val bits = graft.operators.Freq.bloomBuild(
+      corpus.select(md5(col("text")).as("item")), 3, 1 << 20).localCheckpoint()
+    val bandIdx = graft.operators.Dedup.minhashBandIndex(corpus, 3, 8, 4)
+      .localCheckpoint()
+    val gramIdx = graft.operators.Dedup.gramIndex(corpus, 10).localCheckpoint()
+    // what the pipeline ADMITS (cut text — the text the store carries)
+    val admitted = Programs.admissionCut(bits, bandIdx, gramIdx, batch)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    assert(admitted.count() > 0)
+    val union = corpus.select(col("doc_id"), col("text")).unionByName(admitted)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toVector).toSet
+    // append ≡ rebuild, for each of the three standing artifacts — the
+    // "incremental OR-in / append-able index" claims as checked algebra
+    assert(rows(graft.operators.Freq.bloomAppend(
+        bits, admitted.select(md5(col("text")).as("item")), 3, 1 << 20)) ==
+      rows(graft.operators.Freq.bloomBuild(
+        union.select(md5(col("text")).as("item")), 3, 1 << 20)))
+    assert(rows(graft.operators.Dedup.gramIndexAppend(gramIdx, admitted, 10)) ==
+      rows(graft.operators.Dedup.gramIndex(union, 10)))
+    assert(rows(graft.operators.Dedup.bandIndexAppend(bandIdx, admitted, 3, 8, 4)) ==
+      rows(graft.operators.Dedup.minhashBandIndex(union, 3, 8, 4)))
+    // the lifecycle point: a re-delivery of an ADMITTED doc under a
+    // fresh id passes gate 1 against the STALE bit table but is refused
+    // by the APPENDED one — the update is what closes the loop
+    val redelivery = admitted.limit(3)
+      .withColumn("doc_id", col("doc_id") + 9000000L)
+      .withColumn("item", md5(col("text")))
+    val staleFresh = graft.operators.Freq.bloomProbe(
+        bits, redelivery, 3, 1 << 20)
+      .filter(!col("maybe_member")).count()
+    assert(staleFresh > 0, "stale bits should not know the admitted docs")
+    val updatedBits = graft.operators.Freq.bloomAppend(
+      bits, admitted.select(md5(col("text")).as("item")), 3, 1 << 20)
+    val updatedFresh = graft.operators.Freq.bloomProbe(
+        updatedBits, redelivery, 3, 1 << 20)
+      .filter(!col("maybe_member")).count()
+    assert(updatedFresh == 0, "appended bits must refuse re-delivered admitted docs")
+  }
+
   test("curationProgramStream emits closed per-language windows into the store") {
     val dir = fresh("curation_stream")
     new java.io.File(s"$dir/in").mkdirs()
