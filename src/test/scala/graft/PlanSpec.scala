@@ -96,6 +96,14 @@ class PlanSpec extends AnyFunSuite {
       // so its bucket shuffle is the whole plan
       "q_dedup_exact" -> 1, "q_dedup_ngram_jaccard" -> 6, "q_dedup_minhash" -> 2,
       "q_dedup_simhash" -> 2, "q_dedup_embcos" -> 1,
+      // 4-gate ingest pipeline, audited (plan read 2026-08-15): the
+      // INLINE form pays three corpus-artifact builds (band index's
+      // signature/window chain, gram index's digest agg, bloom's distinct
+      // bits) + the three delta-sized probes + the bounded quota window;
+      // the SERVED form drops the build-side exchanges (persisted
+      // bucketed indexes read pre-partitioned) and keeps the delta work
+      "q_ingest_gates" -> 27, "q_ingest_gates_served" -> 15,
+      "q_ingest_index_update" -> 14,
       "q_sim_topk" -> 1, "q_sim_ivf" -> 3, "q_sim_ivf_probe2" -> 3,
       "q_text_langid" -> 0, "q_text_quality" -> 0, "q_text_tokens" -> 1,
       "q_text_fingerprint" -> 1, "q_multimodal_meta" -> 0,
@@ -247,6 +255,21 @@ class PlanSpec extends AnyFunSuite {
       if (n > max) Some(s"$name: $n > $max") else None
     }
     assert(over.isEmpty, s"shuffle budget exceeded: ${over.mkString("; ")}")
+  }
+
+  test("scale-killer sweep: no query in the registry plans a cartesian product") {
+    // the whole-registry guard (r13): every registered query's physical
+    // plan is scanned for CartesianProduct — the one join shape with no
+    // 100 TB story. The deliberate O(n²) ground truths (q_sim_* brute
+    // force, the embcos eval) plan as BroadcastNestedLoopJoin, which is
+    // a different operator and stays exempt BY CONSTRUCTION here; a
+    // future query that degrades to a real cartesian fails this sweep
+    // instead of waiting for a round-end plan audit to catch it.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = physicalPlan(SparkEntry.queries(name)(spark, sfDir))
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
   test("as-of join plans one window shuffle and NO join operator") {
