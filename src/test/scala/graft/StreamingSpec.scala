@@ -562,6 +562,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest stage 2: the online quota chains over stage 1's sink, cap holds per source") {
+    // the deployment chaining the ingestGateStream scaladoc commits to:
+    // gates 1-3 land admitted docs in a parquet sink (stage 1), and the
+    // online per-source quota (44g, a flatMapGroupsWithState that cannot
+    // legally follow stage 1's window agg INSIDE one query) runs as the
+    // next streaming query over that sink. This test runs the chain
+    // end-to-end: admitted rows flow through a real file sink into
+    // quotaFirstN, the cap holds per source, ranks are continuous, and
+    // nothing outside stage 1's output is ever admitted.
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_ingest_chain/${System.nanoTime()}"
+    val d = graft.sources.Tables(spark, sfDir).documents
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val batchDocs = d.filter(col("doc_id") % 10 === 0)
+    val bits = graft.operators.Freq.bloomBuild(
+      corpus.select(md5(col("text")).as("item")), 3, 1 << 20).localCheckpoint()
+    val bandIndex = graft.operators.Dedup.minhashBandIndex(corpus, 3, 8, 4)
+      .localCheckpoint()
+    val gramIndex = graft.operators.Dedup.gramIndex(corpus, 10).localCheckpoint()
+    val in = MemoryStream[(Long, Timestamp, String, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text", "source")
+    val stage1 = StreamingJobs.ingestGateStream(df, bits, bandIndex, gramIndex,
+        k = 3, perms = 8, bands = 4, spanWords = 10,
+        watermarkDelay = "10 minutes", windowDur = "1 hour")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/admitted")
+      .option("checkpointLocation", s"$dir/cp1")
+      .outputMode("append").start()
+    try {
+      val rows = batchDocs.select("doc_id", "text", "source").collect()
+        .map(r => (r.getLong(0), ts(5), r.getString(1), r.getString(2))).toSeq
+      feed(stage1)(in.addData(rows: _*))
+      feed(stage1)(in.addData((999999L, ts(1000), "flush", "srcf")))
+    } finally stage1.stop()
+    val admitted = spark.read.parquet(s"$dir/admitted")
+      .filter(col("doc_id") =!= 999999L)
+    assert(admitted.count() > 2, "stage 1 should admit docs into the sink")
+    // stage 2: the sink replays as a file STREAM into the online quota
+    import spark.implicits._
+    val quota = 2
+    val stage2In = spark.readStream
+      .schema(spark.read.parquet(s"$dir/admitted").schema)
+      .parquet(s"$dir/admitted")
+      .select(col("source").as("key"),
+        col("w_start").cast("timestamp").as("ts"), col("doc_id"))
+      .as[graft.streaming.StatefulSessions.KeyedDoc]
+    val stage2 = graft.streaming.StatefulSessions.quotaFirstN(stage2In, quota)
+      .writeStream.format("memory").queryName("ingest_quota_out")
+      .outputMode("append").start()
+    try {
+      stage2.processAllAvailable()
+      val kept = spark.table("ingest_quota_out")
+        .filter($"doc_id" =!= 999999L).collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("qrank")))
+      assert(kept.nonEmpty)
+      // cap holds per source, ranks are 1..n continuous
+      kept.groupBy(_._1).foreach { case (src, rs) =>
+        assert(rs.length <= quota, s"$src over quota: ${rs.length}")
+        assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq, s"$src ranks: $rs")
+      }
+      // gate containment: stage 2 can only admit stage-1 survivors
+      val s1Ids = admitted.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept.map(_._2).toSet.subsetOf(s1Ids))
+    } finally stage2.stop()
+  }
+
   test("streaming gram probe cuts corpus boilerplate in-flight, equals the batch probe") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions._
