@@ -214,27 +214,120 @@ object QueriesLlm {
       .select(col("doc_id"), col("source"), col("n_removed"), col("n_spans"),
         col("qrank"))
 
-  /** INDEX MAINTENANCE as an oracle row (r13): after the admission cut
-    * (gates 1–3), the admitted docs' digests OR into the standing bit
-    * table ([[graft.operators.Freq.bloomAppend]]) — the pass that makes
-    * the NEXT batch's gate 1 refuse re-deliveries of what this batch
+  /** INDEX MAINTENANCE as an oracle row (r13, corrected r14): after the
+    * FULL pipeline — gates 1–3 AND the per-source quota — the STORED
+    * docs' digests OR into the standing bit table
+    * ([[graft.operators.Freq.bloomAppend]]) — the pass that makes the
+    * NEXT batch's gate 1 refuse re-deliveries of what this batch
     * admitted (the lifecycle ProgramsSpec proves end-to-end; append ≡
-    * rebuild is property-tested there for all three artifacts). The
-    * bloom table is the one artifact whose append is fully
-    * SQL-derivable (the band/gram lanes are 64-bit digest arithmetic
-    * the oracle replaces with text equality), so this row hash-checks
-    * the maintenance algebra: output = the appended (j, pos) bit set. */
+    * rebuild is property-tested there for all three artifacts).
+    * POST-QUOTA is the correctness point (r13 ADVICE): a quota-rejected
+    * doc is never stored, and marking its digest seen would tombstone
+    * it forever — every future re-delivery refused at gate 1 with no
+    * stored copy, even when quota room frees up. Appends derive from
+    * what the store actually carries, nothing else. The bloom table is
+    * the one artifact whose append is fully SQL-derivable (the
+    * band/gram lanes are 64-bit digest arithmetic the oracle replaces
+    * with text equality), so this row hash-checks the maintenance
+    * algebra: output = the appended (j, pos) bit set. */
   val ingestIndexUpdate: Q = (s, dir) => {
     val bits = graft.operators.Freq.bloomBuild(
       ingestCorpus(s, dir).select(md5(col("text")).as("item")),
       k = 3, width = 1 << 20)
-    val admitted = Programs.admissionCut(bits,
+    val stored = Programs.ingestCore(bits,
       Dedup.minhashBandIndex(ingestCorpus(s, dir), k = 3, perms = 8, bands = 4),
       Dedup.gramIndex(ingestCorpus(s, dir), spanWords = 10),
-      ingestBatch(s, dir))
+      ingestBatch(s, dir), quotaPerSource = 8L)
     graft.operators.Freq.bloomAppend(bits,
-        admitted.select(md5(col("text")).as("item")), k = 3, width = 1 << 20)
+        stored.select(md5(col("text")).as("item")), k = 3, width = 1 << 20)
       .select(col("j").cast("int").as("j"), col("pos").cast("long").as("pos"))
+  }
+
+  /** ADMISSION-PIPELINE QUALITY row (r14) — the pairEvalMetrics posture
+    * applied to the repo's flagship composition: the 4-gate pipeline's
+    * END-TO-END admission decisions graded against exact ground truth
+    * on the same batch the speed rows run (delta docs + exact
+    * re-deliveries of corpus content — novel docs, true near-dups,
+    * quoted passages all present by construction). Ground truth per
+    * batch doc: REFUSE iff it is an exact duplicate of standing content
+    * (md5), a true near-dup of standing content (the exact τ=0.8
+    * Jaccard join vs the corpus — [[Dedup.prefixJaccardPairs]], the
+    * lossless q_simjoin_prefix machinery), or entirely standing text
+    * (its exact substring cut is empty); ADMIT otherwise. The pipeline's
+    * decisions are the staged gate chain itself (admissionCut's body,
+    * kept visible so every refusal attributes to its gate). Errors by
+    * source: `n_fr_bloom` = truth-admit docs gate 1's Bloom FPs
+    * refused; `n_fr_band` = truth-admit docs gate 2's band collisions
+    * refused (LSH firing below τ — the precision cost the banded
+    * geometry implies); `n_false_admit` = true near-dups the band probe
+    * MISSED (LSH recall loss). Gate 3 contributes no cut error by
+    * construction — its gram probe IS the exact substring dedup the
+    * truth uses (digest ≡ text equality, hash-proven across the family)
+    * — so the whole quality story of the composition is gates 1–2,
+    * measured here instead of implied. The quota (gate 4) is admission
+    * POLICY, not approximation, and is deliberately outside the grade.
+    * Single-row integer-exact output (counts + DIV-floored pcts). */
+  val ingestRecall: Q = (s, dir) => {
+    val corpus = ingestCorpus(s, dir)
+    val batch = ingestBatch(s, dir)
+    val bits = graft.operators.Freq.bloomBuild(
+      corpus.select(md5(col("text")).as("item")), k = 3, width = 1 << 20)
+    val bandIdx = Dedup.minhashBandIndex(corpus, k = 3, perms = 8, bands = 4)
+    val gramIdx = Dedup.gramIndex(corpus, spanWords = 10)
+    val fresh = graft.operators.Freq.bloomProbe(
+        bits, batch.withColumn("item", md5(col("text"))), k = 3, width = 1 << 20)
+      .filter(!col("maybe_member"))
+      .drop("item", "n_hits", "maybe_member")
+    val collided = Dedup.probeBandIndex(fresh, bandIdx, k = 3, perms = 8,
+      bands = 4).select(col("doc_id"))
+    val novel = fresh.join(collided, Seq("doc_id"), "left_anti")
+    val admitted = Dedup.probeGramIndex(novel, gramIdx, spanWords = 10)
+      .filter(length(col("clean_text")) > 0)
+      .select(col("doc_id"))
+    val exactDup = batch.select(col("doc_id"), md5(col("text")).as("item"))
+      .join(corpus.select(md5(col("text")).as("item")).distinct(),
+        Seq("item"), "left_semi")
+      .select(col("doc_id"))
+    val nearIds = Dedup.prefixJaccardPairs(docs(s, dir), k = 3,
+        minJaccardQ = 800000L)
+      .filter((col("doc_a") % 10 === 0) =!= (col("doc_b") % 10 === 0))
+      .select(when(col("doc_a") % 10 === 0, col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    val truthCut = Dedup.probeGramIndex(
+        docs(s, dir).filter(col("doc_id") % 10 === 0), gramIdx, spanWords = 10)
+      .select(col("doc_id"), (length(col("clean_text")) === 0).as("cut_empty"))
+    val verdicts = batch.select(col("doc_id"))
+      .join(exactDup.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
+      .join(truthCut, Seq("doc_id"), "left")
+      .join(fresh.select(col("doc_id")).withColumn("in_fresh", lit(true)),
+        Seq("doc_id"), "left")
+      .join(admitted.withColumn("p_admit", lit(true)), Seq("doc_id"), "left")
+      .select(
+        (!coalesce(col("is_exact"), lit(false)) &&
+          !coalesce(col("is_near"), lit(false)) &&
+          !coalesce(col("cut_empty"), lit(true))).as("t_admit"),
+        coalesce(col("in_fresh"), lit(false)).as("in_fresh"),
+        coalesce(col("p_admit"), lit(false)).as("p_admit"))
+    verdicts.agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("t_admit"), 1L).otherwise(0L)).as("n_true_admit"),
+        sum(when(col("t_admit"), 0L).otherwise(1L)).as("n_true_refuse"),
+        sum(when(col("p_admit"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("t_admit") && !col("in_fresh"), 1L).otherwise(0L))
+          .as("n_fr_bloom"),
+        sum(when(col("t_admit") && col("in_fresh") && !col("p_admit"), 1L)
+          .otherwise(0L)).as("n_fr_band"),
+        sum(when(!col("t_admit") && col("p_admit"), 1L).otherwise(0L))
+          .as("n_false_admit"))
+      .select(col("n_batch"), col("n_true_admit"), col("n_true_refuse"),
+        col("n_admitted"), col("n_fr_bloom"), col("n_fr_band"),
+        col("n_false_admit"),
+        expr("CASE WHEN n_true_admit > 0 THEN (n_fr_bloom + n_fr_band) * 100" +
+          " DIV n_true_admit END").as("false_refuse_pct"),
+        expr("CASE WHEN n_true_refuse > 0 THEN n_false_admit * 100" +
+          " DIV n_true_refuse END").as("false_admit_pct"))
   }
 
   /** The standing-corpus split shared by the ingest-pipeline forms. */
@@ -1074,6 +1167,7 @@ object QueriesLlm {
     "q_ingest_gates"        -> ingestGates,
     "q_ingest_gates_served" -> ingestGatesServed,
     "q_ingest_index_update" -> ingestIndexUpdate,
+    "q_ingest_recall"       -> ingestRecall,
     "q_freq_heavyhitters"   -> freqHeavyHitters,
     "q_freq_hh_grouped"     -> freqHeavyHittersGrouped,
     "q_freq_cms"            -> freqCms,
@@ -1761,24 +1855,85 @@ SELECT doc_id, source, n_removed, n_spans, CAST(rk AS BIGINT) AS qrank FROM (
 WHERE rk <= 8"""
 
   /** The index-update oracle: the appended bit table is the bit set of
-    * corpus items ∪ admitted CUT texts' items — set algebra the SQL
-    * derives from the same cut chain and the q_bloom_probe bit
-    * arithmetic at the ingest width. */
+    * corpus items ∪ STORED (post-quota, r14) CUT texts' items — set
+    * algebra the SQL derives from the same cut chain, the q_sample_quota
+    * window at the ingest seed (nested verbatim from the pipeline
+    * oracle's tail), and the q_bloom_probe bit arithmetic at the ingest
+    * width. */
   private lazy val ingestIndexUpdateOracle: String = ingestCutCtes + s""",
-admitted_items AS (
-  SELECT md5(cl.clean_text) AS item
+adm AS (
+  SELECT n.doc_id, b.source, cl.clean_text
   FROM novel n
+  JOIN batch b ON b.doc_id = n.doc_id
   JOIN clean cl ON cl.doc_id = n.doc_id
   WHERE COALESCE(cl.clean_text, '') <> ''
+), stored AS (
+  SELECT doc_id, clean_text FROM (
+    SELECT doc_id, clean_text,
+      ROW_NUMBER() OVER (PARTITION BY source
+        ORDER BY md5('ingest0|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM adm) t
+  WHERE rk <= 8
 ), all_items AS (
   SELECT DISTINCT md5(text) AS item FROM documents WHERE doc_id % 10 <> 0
   UNION
-  SELECT item FROM admitted_items
+  SELECT md5(clean_text) AS item FROM stored
 )
 SELECT DISTINCT CAST(j AS INT) AS j, CAST(($hexToH) % 1048576 AS BIGINT) AS pos
 FROM (
   SELECT t.j, md5('bf' || CAST(t.j AS VARCHAR) || '|' || item) AS hx
   FROM all_items, (SELECT unnest(generate_series(0, 2)) AS j) t)"""
+
+  /** The admission-quality oracle (r14): the pipeline side is the cut
+    * chain's own CTEs (fresh / novel / clean — nothing re-derived), the
+    * truth side nests the exact τ=0.8 inverted-index join restricted to
+    * (delta, corpus) cross pairs (q_dedup_recall's truth CTEs over the
+    * shared sh0) plus the md5 exact-dup set and the exact substring cut
+    * the chain already computes — so the grade and the graded pipeline
+    * share every derivation and cannot drift. */
+  private lazy val ingestRecallOracle: String = ingestCutCtes + """,
+sizes AS (
+  SELECT doc_id, count(*) AS nsh FROM sh0 GROUP BY 1
+), xc AS (
+  SELECT a.doc_id AS d_doc, b.doc_id AS c_doc, count(*) AS n_common
+  FROM sh0 a JOIN sh0 b ON a.s = b.s
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+  GROUP BY 1, 2
+), near AS (
+  SELECT DISTINCT d_doc AS doc_id FROM xc
+  JOIN sizes na ON xc.d_doc = na.doc_id
+  JOIN sizes nb ON xc.c_doc = nb.doc_id
+  WHERE n_common * 1000000 >= 800000 * (na.nsh + nb.nsh - n_common)
+), adm3 AS (
+  SELECT n.doc_id FROM novel n
+  LEFT JOIN clean cl ON cl.doc_id = n.doc_id
+  WHERE COALESCE(cl.clean_text, '') <> ''
+), verdicts AS (
+  SELECT b.doc_id,
+    md5(b.text) NOT IN (SELECT item FROM ci)
+      AND b.doc_id NOT IN (SELECT doc_id FROM near)
+      AND COALESCE(cl.clean_text, '') <> '' AS t_admit,
+    b.doc_id IN (SELECT doc_id FROM fresh) AS in_fresh,
+    b.doc_id IN (SELECT doc_id FROM adm3) AS p_admit
+  FROM batch b LEFT JOIN clean cl ON cl.doc_id = b.doc_id
+), agg AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_batch,
+    CAST(COALESCE(SUM(CASE WHEN t_admit THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true_admit,
+    CAST(COALESCE(SUM(CASE WHEN t_admit THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_true_refuse,
+    CAST(COALESCE(SUM(CASE WHEN p_admit THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_admitted,
+    CAST(COALESCE(SUM(CASE WHEN t_admit AND NOT in_fresh THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_fr_bloom,
+    CAST(COALESCE(SUM(CASE WHEN t_admit AND in_fresh AND NOT p_admit THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_fr_band,
+    CAST(COALESCE(SUM(CASE WHEN NOT t_admit AND p_admit THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_false_admit
+  FROM verdicts
+)
+SELECT n_batch, n_true_admit, n_true_refuse, n_admitted, n_fr_bloom,
+  n_fr_band, n_false_admit,
+  CASE WHEN n_true_admit > 0
+    THEN (n_fr_bloom + n_fr_band) * 100 // n_true_admit END AS false_refuse_pct,
+  CASE WHEN n_true_refuse > 0
+    THEN n_false_admit * 100 // n_true_refuse END AS false_admit_pct
+FROM agg"""
 
   val oracle: Map[String, String] = Map(
     "q_sim_kmeans" ->
@@ -1890,6 +2045,8 @@ FROM (
     "q_ingest_gates_served" -> ingestGatesOracle,
     // maintenance row: the appended bloom bit set over the same cut chain
     "q_ingest_index_update" -> ingestIndexUpdateOracle,
+    // admission-quality row (r14): end-to-end decisions vs exact truth
+    "q_ingest_recall" -> ingestRecallOracle,
 
 
     "q_freq_heavyhitters" ->

@@ -60,7 +60,12 @@ object SparkEntry {
       // served sibling probes PERSISTED artifacts (build paid once in
       // the cold run, steady runs price the delta-sized probes — the
       // q_sim_ivfpq / q_sim_ivfpq_served convention)
-      "q_ingest_gates", "q_ingest_gates_served")
+      "q_ingest_gates", "q_ingest_gates_served",
+      // round-14: the admission pipeline's QUALITY row — end-to-end
+      // false-refusal / false-admission vs exact ground truth (the
+      // "speed wins bought with silent loss are not done" standard,
+      // applied to the flagship composition itself)
+      "q_ingest_recall")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs

@@ -64,6 +64,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(precision == nCaught * 100 / nCand && precision >= 0 && precision <= 100)
   }
 
+  test("ingest admission quality row: decision accounting closes exactly") {
+    // r14: the flagship composition's quality row. The confusion matrix
+    // must CLOSE — admitted = truth-admits − false refusals + false
+    // admits — and the fixture batch plants refusals by construction
+    // (exact re-deliveries of corpus content under fresh ids).
+    val row = QueriesLlm.queries("q_ingest_recall")(spark, sfDir).collect()
+    assert(row.length == 1)
+    val r = row.head
+    def v(n: String) = r.getAs[Long](n)
+    assert(v("n_batch") == v("n_true_admit") + v("n_true_refuse"))
+    assert(v("n_true_refuse") > 0, "the batch plants exact re-deliveries")
+    assert(v("n_true_admit") > 0, "the batch plants novel delta docs")
+    assert(v("n_admitted") ==
+      v("n_true_admit") - v("n_fr_bloom") - v("n_fr_band") + v("n_false_admit"),
+      s"decision accounting must close: $r")
+  }
+
   test("jaccard's final adaptive plan reuses the bucket exchange and broadcasts sizes") {
     val df = Dedup.jaccardPairs(docs, 3, 50, 2, 0.3)
     df.collect() // finalize AQE on THIS QueryExecution
@@ -509,6 +526,21 @@ class LlmOpsSpec extends AnyFunSuite {
     val plan = physicalPlan(Dedup.probeGramIndex(delta,
       Dedup.gramIndex(corpus, 10).localCheckpoint(), 10))
     assert(!plan.contains("CartesianProduct"))
+    // r14 (ADVICE): a probe/append at a DIFFERENT span width than the
+    // index was built with would silently cut nothing — the build width
+    // rides the schema and a mismatch fails loudly instead
+    val idx = Dedup.gramIndex(corpus, 10)
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.probeGramIndex(delta, idx, spanWords = 12))
+    assert(e1.getMessage.contains("spanWords=10"))
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.gramIndexAppend(idx, delta, spanWords = 8))
+    assert(e2.getMessage.contains("spanWords=10"))
+    // ...and the width survives the parquet round-trip deployment uses
+    val pdir = s"/tmp/graft_gramwidth/${System.nanoTime()}"
+    idx.write.parquet(pdir)
+    intercept[IllegalArgumentException](
+      Dedup.probeGramIndex(delta, spark.read.parquet(pdir), spanWords = 12))
   }
 
   test("served ingest pipeline equals the inline 4-gate form, rows and audits") {

@@ -103,7 +103,17 @@ class PlanSpec extends AnyFunSuite {
       // the SERVED form drops the build-side exchanges (persisted
       // bucketed indexes read pre-partitioned) and keeps the delta work
       "q_ingest_gates" -> 27, "q_ingest_gates_served" -> 15,
-      "q_ingest_index_update" -> 14,
+      // r14: the maintenance row now appends POST-QUOTA digests (the
+      // r13 ADVICE tombstone fix), so its plan nests the full ingestCore
+      // — quotaCap's offsets pass evaluates the cut chain a second time
+      // (the q_ingest_gates shape) — plus the bloom append's distinct;
+      // in deployment the admitted batch is a materialized store read,
+      // not a re-derivation (the Probe `maintain` cycle prices that)
+      "q_ingest_index_update" -> 29,
+      // r14 quality row (audited 32): the exact prefix-join truth
+      // (q_simjoin_prefix's chain) + the staged gate chain + the
+      // six per-doc decision joins of the confusion matrix
+      "q_ingest_recall" -> 32,
       "q_sim_topk" -> 1, "q_sim_ivf" -> 3, "q_sim_ivf_probe2" -> 3,
       "q_text_langid" -> 0, "q_text_quality" -> 0, "q_text_tokens" -> 1,
       "q_text_fingerprint" -> 1, "q_multimodal_meta" -> 0,

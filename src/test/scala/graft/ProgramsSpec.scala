@@ -201,8 +201,10 @@ class ProgramsSpec extends AnyFunSuite {
     val bandIdx = graft.operators.Dedup.minhashBandIndex(corpus, 3, 8, 4)
       .localCheckpoint()
     val gramIdx = graft.operators.Dedup.gramIndex(corpus, 10).localCheckpoint()
-    // what the pipeline ADMITS (cut text — the text the store carries)
-    val admitted = Programs.admissionCut(bits, bandIdx, gramIdx, batch)
+    // what the pipeline STORES (post-quota, cut text — r14: appends must
+    // derive from what the store actually carries; a quota-rejected doc
+    // whose digest were marked seen could never enter the corpus later)
+    val admitted = Programs.ingestCore(bits, bandIdx, gramIdx, batch, 8L)
       .select(col("doc_id"), col("text")).localCheckpoint()
     assert(admitted.count() > 0)
     val union = corpus.select(col("doc_id"), col("text")).unionByName(admitted)
@@ -234,6 +236,42 @@ class ProgramsSpec extends AnyFunSuite {
         updatedBits, redelivery, 3, 1 << 20)
       .filter(!col("maybe_member")).count()
     assert(updatedFresh == 0, "appended bits must refuse re-delivered admitted docs")
+  }
+
+  test("index maintenance is post-quota: a quota-rejected doc stays admissible") {
+    // r14 (r13 ADVICE): appends derive from what the store CARRIES.
+    // Two novel same-source docs under quota 1 — one stored, one
+    // rejected. The rejected doc's digest must NOT enter the appended
+    // bit table: when quota room frees up and it is re-delivered, it
+    // must still pass gate 1 (a pre-quota append would tombstone it as
+    // seen-but-unstored forever).
+    import spark.implicits._
+    val corpus = Seq((1L, "aa bb cc dd ee ff gg hh ii jj kk", "base"))
+      .toDF("doc_id", "text", "source")
+    val batch = Seq(
+      (100L, "wholly novel alpha content one", "s"),
+      (101L, "different fresh beta material two", "s"))
+      .toDF("doc_id", "text", "source")
+    val bits = graft.operators.Freq.bloomBuild(
+      corpus.select(md5(col("text")).as("item")), 3, 1 << 20).localCheckpoint()
+    val stored = Programs.ingestCore(bits,
+      graft.operators.Dedup.minhashBandIndex(corpus, 3, 8, 4),
+      graft.operators.Dedup.gramIndex(corpus, 10),
+      batch, quotaPerSource = 1L).localCheckpoint()
+    assert(stored.count() == 1, "quota 1 must store exactly one of the pair")
+    val rejected = batch.join(stored.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    assert(rejected.count() == 1)
+    val updated = graft.operators.Freq.bloomAppend(bits,
+      stored.select(md5(col("text")).as("item")), 3, 1 << 20).localCheckpoint()
+    val rejectedFresh = graft.operators.Freq.bloomProbe(
+        updated, rejected.withColumn("item", md5(col("text"))), 3, 1 << 20)
+      .filter(!col("maybe_member")).count()
+    assert(rejectedFresh == 1, "quota-rejected doc must NOT be tombstoned as seen")
+    val storedRefused = graft.operators.Freq.bloomProbe(
+        updated, stored.withColumn("item", md5(col("text"))), 3, 1 << 20)
+      .filter(!col("maybe_member")).count()
+    assert(storedRefused == 0, "stored doc's re-delivery must be refused")
   }
 
   test("curationProgramStream emits closed per-language windows into the store") {

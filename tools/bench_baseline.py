@@ -24,7 +24,7 @@ HEADLINE = ["q1_agg", "q_join_star", "q_component_activity", "q_dedup_minhash",
             "q_image_jpeg", "q_video_demux", "q_dedup_substrings", "q_sim_recall",
             "q_sim_recall_pq", "q_sim_recall_ivfpq", "q_video_demux_mp4",
             "q_dedup_substr_served", "q_dedup_recall", "q_ingest_gates",
-            "q_ingest_gates_served"]
+            "q_ingest_gates_served", "q_ingest_recall"]
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
