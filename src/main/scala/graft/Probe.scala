@@ -23,6 +23,109 @@ object Probe {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("maintain")) {
+      // r14: price the FULL nightly maintenance cycle at corpus scale —
+      // the admission probe over persisted artifacts PLUS all three
+      // appends INCLUDING the index rewrite I/O (the cost the r13
+      // gram/band append docs argued but never measured). Build is
+      // timed separately: it runs once per corpus, the cycle nightly.
+      import org.apache.spark.sql.functions._
+      val d = graft.sources.Tables(spark, dir).documents
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      val redelivered = corpus.filter(col("doc_id") % 97 === 1)
+        .withColumn("doc_id", col("doc_id") + 7000000L)
+      val batch = d.filter(col("doc_id") % 10 === 0).unionByName(redelivered)
+      val root = s"/tmp/graft_maint/${spark.sparkContext.applicationId}"
+      def timed[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[probe] maintain $tag%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        r
+      }
+      timed("build_artifacts") {
+        operators.Freq.bloomBuild(
+            corpus.select(md5(col("text")).as("item")), 3, 1 << 20)
+          .write.mode("overwrite").parquet(s"$root/bits")
+        operators.Dedup.minhashBandIndex(corpus, 3, 8, 4)
+          .write.mode("overwrite").parquet(s"$root/band")
+        operators.Dedup.gramIndex(corpus, 10)
+          .write.mode("overwrite").parquet(s"$root/gram")
+      }
+      for (i <- 1 to 3) {
+        val bits = spark.read.parquet(s"$root/bits")
+        val bandIdx = spark.read.parquet(s"$root/band")
+        val gramIdx = spark.read.parquet(s"$root/gram")
+        val stored = timed(s"run$i.cut+quota") {
+          val s = Programs.ingestCore(bits, bandIdx, gramIdx, batch, 1000000L)
+            .select(col("doc_id"), col("text")).localCheckpoint()
+          println(s"[probe] maintain run$i stored=${s.count()}")
+          s
+        }
+        timed(s"run$i.bloom_append") {
+          operators.Freq.bloomAppend(bits,
+              stored.select(md5(col("text")).as("item")), 3, 1 << 20)
+            .write.mode("overwrite").parquet(s"$root/bits_v$i")
+        }
+        timed(s"run$i.gram_append") {
+          operators.Dedup.gramIndexAppend(gramIdx, stored, 10)
+            .write.mode("overwrite").parquet(s"$root/gram_v$i")
+        }
+        timed(s"run$i.band_append") {
+          operators.Dedup.bandIndexAppend(bandIdx, stored, 3, 8, 4)
+            .write.mode("overwrite").parquet(s"$root/band_v$i")
+        }
+        stored.unpersist()
+        for (n <- Seq("bits", "gram", "band"))
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(s"$root/${n}_v$i"))
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("streamrate")) {
+      // r14: docs/s through the ONLINE gates 1-3 (ingestGateStream) at
+      // corpus-scale artifacts — the 44i composition was row-equal-
+      // proven in r13 but never rate-tested. File-replay source, N
+      // micro-batches, rate from the engine's own progress telemetry.
+      import org.apache.spark.sql.functions._
+      val nFiles = args.lift(1).map(_.toInt).getOrElse(8)
+      val d = graft.sources.Tables(spark, dir).documents
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      val batch = d.filter(col("doc_id") % 10 === 0)
+      val root = s"/tmp/graft_srate/${spark.sparkContext.applicationId}"
+      val bits = operators.Freq.bloomBuild(
+        corpus.select(md5(col("text")).as("item")), 3, 1 << 20).localCheckpoint()
+      val bandIdx = operators.Dedup.minhashBandIndex(corpus, 3, 8, 4)
+        .localCheckpoint()
+      val gramIdx = operators.Dedup.gramIndex(corpus, 10).localCheckpoint()
+      val nBatch = batch.count()
+      batch.select(col("doc_id"), lit(new java.sql.Timestamp(86400000L)).as("ts"),
+          col("text"), col("source"))
+        .repartition(nFiles).write.mode("overwrite").parquet(s"$root/in")
+      val docsIn = spark.readStream
+        .schema("doc_id bigint, ts timestamp, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/in")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamingJobs.ingestGateStream(docsIn, bits,
+          bandIdx, gramIdx, k = 3, perms = 8, bands = 4, spanWords = 10,
+          watermarkDelay = "10 minutes", windowDur = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/cp")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val admitted = spark.read.parquet(s"$root/out").count()
+      val rates = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0).map(_.processedRowsPerSecond)
+      q.stop()
+      val medianRate = if (rates.isEmpty) -1.0 else rates.sorted.apply(rates.size / 2)
+      println(f"[probe] streamrate docs=$nBatch batches=$nFiles wall=$wall%.2f s " +
+        f"docs_per_sec=${nBatch / wall}%.0f admitted=$admitted " +
+        f"engine_rows_per_sec_median=$medianRate%.0f")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      spark.stop(); return
+    }
     if (args.headOption.contains("explain")) {
       for (name <- args.drop(1)) {
         println(s"==== $name ====")

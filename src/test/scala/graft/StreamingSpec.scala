@@ -661,4 +661,99 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.size == deltaRows.size, "every arriving doc comes back exactly once")
     } finally q.stop()
   }
+
+  test("gram probe stream carries non-string columns (typed null placeholders)") {
+    // r14 (ADVICE): the hits branch's null placeholders are typed from
+    // the input schema, so a LONG carry column rides the sentinel row
+    // instead of dying at unionByName
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val corpus = Seq((1L, (1 to 12).map(i => s"cp$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.gramIndex(corpus, 10).localCheckpoint()
+    val in = MemoryStream[(Long, Timestamp, String, Long)]
+    val df = in.toDF().toDF("doc_id", "ts", "text", "prio")
+    val q = StreamingJobs.gramProbeStream(df, index, spanWords = 10,
+        watermarkDelay = "10 minutes", windowDur = "1 hour",
+        carry = Seq("prio"))
+      .writeStream.format("memory").queryName("gramcarry_out")
+      .outputMode("append").start()
+    try {
+      val quoted = "lead words here " + (1 to 10).map(i => s"cp$i").mkString(" ")
+      feed(q)(in.addData((10L, ts(5), quoted, 7L)))
+      feed(q)(in.addData((999999L, ts(1000), "flush", 0L)))
+      val got = spark.table("gramcarry_out").filter($"doc_id" === 10L)
+        .select("prio", "n_removed").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == Seq((7L, 10L)), got.mkString(","))
+    } finally q.stop()
+  }
+
+  test("online ingest closes the maintenance loop: same-stream re-delivery refused, quota rejects stay admissible, cadence folds the gram index") {
+    // r14 (the r13 verdict's open-loop gap): ingestProgramStream folds
+    // what it ADMITS back into the standing artifacts — the bloom arm
+    // every batch, the gram/band arms at cadence — so the store the
+    // gates probe is the store the stream is building.
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_ingest_online/${System.nanoTime()}"
+    val corpus = Seq((1L, (1 to 30).map(i => s"cw$i").mkString(" "), "base"))
+      .toDF("doc_id", "text", "source")
+    Programs.ingestStoreInit(corpus, dir)
+    val in = MemoryStream[(Long, String, String)]
+    val df = in.toDF().toDF("doc_id", "text", "source")
+    val q = Programs.ingestProgramStream(df, dir, s"$dir/cp",
+      quotaPerSource = 1L, maintainEvery = 2)
+    def batchRows(id: Long) = spark.read.parquet(s"$dir/admitted")
+      .filter(col("batch") === id)
+      .select("doc_id", "text", "n_removed", "n_spans").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    try {
+      // batch 0: two novel same-source docs under quota 1 → one stored
+      val tA = (1 to 12).map(i => s"aw$i").mkString(" ")
+      val tB = (1 to 12).map(i => s"bw$i").mkString(" ")
+      in.addData((100L, tA, "s"), (101L, tB, "s"))
+      q.processAllAvailable()
+      val b0 = batchRows(0)
+      assert(b0.length == 1, s"quota 1 must store exactly one: ${b0.toSeq}")
+      val keptText = b0.head._2
+      val rejText = if (keptText == tA) tB else tA
+      // batch 1: the STORED text re-delivered under a fresh id is
+      // refused IN-FLIGHT (the per-batch bloom fold — content admitted
+      // earlier in the SAME stream); the quota-REJECTED text is
+      // admitted (post-quota appends: no seen-but-unstored tombstone)
+      in.addData((200L, keptText, "s"), (201L, rejText, "s2"))
+      q.processAllAvailable()
+      val b1 = batchRows(1)
+      assert(b1.map(_._1).toSet == Set(201L),
+        s"batch 1 must admit exactly the quota-reject re-delivery: ${b1.toSeq}")
+      // after batch 1 (maintainEvery = 2) the gram/band arms folded
+      assert(new java.io.File(s"$dir/gram_index_v2/_SUCCESS").isFile,
+        "cadence fold must write a new gram index version")
+      assert(new java.io.File(s"$dir/band_index_v2/_SUCCESS").isFile)
+      assert(!new java.io.File(s"$dir/pending").exists,
+        "folded pending docs must be cleared")
+      // batch 2: a novel doc QUOTING 10 consecutive words of the
+      // batch-0 admission → the folded gram index cuts the passage
+      // in-flight; a re-delivery of batch-1's admission is refused
+      val passage = keptText.split(" ").take(10).mkString(" ")
+      val quoter = (1 to 40).map(i => s"qw$i").mkString(" ") +
+        s" $passage qz1 qz2"
+      in.addData((300L, quoter, "s3"), (301L, rejText, "s4"))
+      q.processAllAvailable()
+      val b2 = batchRows(2)
+      assert(b2.map(_._1).toSet == Set(300L),
+        s"batch 2 must refuse the re-delivered batch-1 admission: ${b2.toSeq}")
+      val (_, cutText, nRemoved, nSpans) = b2.head
+      assert(nRemoved == 10L && nSpans == 1L,
+        s"gram cut audit wrong: removed=$nRemoved spans=$nSpans")
+      assert(!cutText.contains(passage) && cutText.contains("qw1") &&
+        cutText.contains("qz2"),
+        "the quoted passage must be cut, the doc's own words kept")
+      // the bloom arm versioned every batch; gram/band only at cadence
+      assert(new java.io.File(s"$dir/bits_v3/_SUCCESS").isFile)
+      assert(!new java.io.File(s"$dir/gram_index_v3").exists,
+        "gram index must fold at cadence, not per batch")
+    } finally q.stop()
+  }
 }
