@@ -45,7 +45,14 @@ object Bench {
     try {
       val cpu = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/stat"))).linesIterator.next().split("\\s+")
-      val busy = cpu.slice(1, 4).map(_.toLong).sum // user + nice + system
+      // ALL non-idle fields (r14 ADVICE): user+nice+system alone is blind
+      // to neighbors landing in irq/softirq and especially steal (the
+      // shared-VM noisy-neighbor case this gate exists for). Fields after
+      // "cpu": user nice system idle iowait irq softirq steal [guest...] —
+      // sum 1-3 and 6-8; idle(4) is idle, iowait(5) stays out because the
+      // bench's own IO parks cores there (it would read as phantom
+      // neighbors), and guest time is already accounted inside user.
+      val busy = (cpu.slice(1, 4) ++ cpu.slice(6, 9)).map(_.toLong).sum
       val st = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/self/stat")))
       // comm (field 2) may contain spaces: fields 3.. start after the
@@ -108,13 +115,19 @@ object Bench {
         val (cold, _) = once(name)
         var runs = List(once(name), once(name), once(name))
         var retries = 0
-        while (!runs.exists { case (_, o) => o < maxOthers } && retries < maxRetries) {
+        // others == -1 means UNMEASURED (/proc unreadable), not clean
+        // (r14 ADVICE: -1 < gate made the whole mechanism self-disable
+        // silently); unmeasured runs neither satisfy the clean check nor
+        // trigger retries — they surface as others_unmeasured in the line
+        while (runs.exists(_._2 >= 0) &&
+            !runs.exists { case (_, o) => o >= 0 && o < maxOthers } &&
+            retries < maxRetries) {
           System.err.println(f"bench: $name%s all steady runs contended " +
             f"(best others ${runs.map(_._2).min}%.2f cores), retrying...")
           retries += 1
           runs ::= once(name)
         }
-        val clean = runs.filter { case (_, o) => o < maxOthers }
+        val clean = runs.filter { case (_, o) => o >= 0 && o < maxOthers }
         val (steady, others) = (if (clean.nonEmpty) clean else runs).minBy(_._1)
         (name, cold, steady, others)
       } catch {
@@ -135,6 +148,10 @@ object Bench {
     val es = errors.map { case (k, v) => s"${Jsons.str(k)}:${Jsons.str(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val nContended = timed.count { case (_, _, s, o) => s >= 0 && o >= maxOthers }
+    // a row whose contention could not be read is UNMEASURED, distinct
+    // from clean: n_contended 0 with others_unmeasured > 0 means the
+    // idle gate did not actually run for those rows (r14 ADVICE)
+    val nUnmeasured = timed.count { case (_, _, s, o) => s >= 0 && o < 0 }
     // load_start/load_end make a contended window visible IN the artifact:
     // a reader comparing rounds can reject a run whose load_start exceeded
     // the gate instead of grading a measurement of the neighbors' work.
@@ -143,8 +160,21 @@ object Bench {
     // self-load-free signal — any row at/above the gate after retries is
     // counted in n_contended and must not be graded as engine throughput)
     val loadEnd = loadAvg()
+    // /tmp served-store footprint (r13 verdict: 1.2 GB/round of
+    // unreclaimed graft_gram_index was invisible) — size the graft-owned
+    // /tmp stores into the artifact so growth is tracked per round
+    val tmpStoreBytes = try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get("/tmp")).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("graft_"))
+        .map { root =>
+          java.nio.file.Files.walk(root).iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+        }.sum
+    } catch { case _: Throwable => -1L }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"others_cores":$os,"n_contended":$nContended,"errors":$es,"n_failed":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"sf":${Jsons.str(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"others_cores":$os,"n_contended":$nContended,"others_unmeasured":$nUnmeasured,"tmp_store_bytes":$tmpStoreBytes,"errors":$es,"n_failed":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"sf":${Jsons.str(sfDir)}}"""
     println(line)
     // also land the line in a file, so the harness never has to scrape it
     // out of the sbt log tail (overridable for concurrent runs)

@@ -155,6 +155,30 @@ object Dedup {
     gramStream(corpus.withColumn("w", split(col("text"), " ")), spanWords)
       .groupBy(col("h1"), col("h2"))
       .agg(countDistinct(col("doc_id")).as("df"))
+      .select(col("h1").as("h1", spanWordsMeta(spanWords)), col("h2"), col("df"))
+
+  /** The build-time span width rides the index schema as column metadata
+    * on `h1` (parquet and `saveAsTable` both round-trip it), so a probe
+    * at a DIFFERENT width — whose digests would silently never match and
+    * cut nothing — fails loudly instead (r14 ADVICE on admissionCut's
+    * independent spanWords parameter). */
+  private def spanWordsMeta(spanWords: Int) =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.span_words", spanWords.toLong).build()
+
+  /** Loud-mismatch check: enforced only when the index schema still
+    * carries the build-time width (a hand-built frame without it probes
+    * unchecked, the pre-r14 contract). */
+  private[graft] def requireSpanWords(index: DataFrame, spanWords: Int, op: String): Unit = {
+    val meta = index.schema.fields.find(_.name == "h1").map(_.metadata)
+    meta.filter(_.contains("graft.span_words")).foreach { m =>
+      val built = m.getLong("graft.span_words")
+      require(built == spanWords,
+        s"$op: gram index was built with spanWords=$built but is being " +
+          s"probed/appended with spanWords=$spanWords — digests would never " +
+          "match and the cut would silently do nothing")
+    }
+  }
 
   /** APPEND an admitted batch into a standing gram index (r13 — the
     * maintenance half of the ingest lifecycle the index docs promise):
@@ -175,13 +199,15 @@ object Dedup {
     * Layout.compact posture, paid at maintenance cadence, never at
     * probe time. */
   def gramIndexAppend(index: DataFrame, admitted: DataFrame,
-      spanWords: Int): DataFrame =
+      spanWords: Int): DataFrame = {
+    requireSpanWords(index, spanWords, "gramIndexAppend")
     index.withColumnRenamed("df", "df_old")
       .join(gramIndex(admitted, spanWords).withColumnRenamed("df", "df_new")
         .hint("merge"), Seq("h1", "h2"), "full")
-      .select(col("h1"), col("h2"),
+      .select(col("h1").as("h1", spanWordsMeta(spanWords)), col("h2"),
         (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
           .as("df"))
+  }
 
   /** Probe a gram index with a delta batch: any delta gram PRESENT in
     * the standing corpus (df ≥ `minDf`) is boilerplate relative to it
@@ -198,6 +224,7 @@ object Dedup {
     * all delta-sized. */
   def probeGramIndex(delta: DataFrame, index: DataFrame, spanWords: Int,
       minDf: Long = 1L): DataFrame = {
+    requireSpanWords(index, spanWords, "probeGramIndex")
     val words = delta.withColumn("w", split(col("text"), " "))
     // the index side is pinned SORT-MERGE, never broadcast: a standing
     // corpus's gram index is corpus-sized, and a post-aggregate table's

@@ -273,6 +273,7 @@ object StreamingJobs {
   def gramProbeStream(docs: DataFrame, index: DataFrame, spanWords: Int,
       watermarkDelay: String, windowDur: String, minDf: Long = 1L,
       carry: Seq[String] = Nil): DataFrame = {
+    graft.operators.Dedup.requireSpanWords(index, spanWords, "gramProbeStream")
     val wm = docs.withWatermark("ts", watermarkDelay)
     val words = wm.withColumn("w", split(col("text"), " "))
     val grams = words.filter(size(col("w")) >= spanWords)
@@ -281,12 +282,17 @@ object StreamingJobs {
         .as(Seq("pos", "h")))
       .select(col("doc_id"), col("ts"), col("pos"),
         col("h.h1").as("h1"), col("h.h2").as("h2"))
+    // null placeholders typed from the INPUT schema (r14 ADVICE: a
+    // hard-coded string cast made any non-string carry column fail at
+    // unionByName with an opaque type-mismatch — the contract now
+    // follows whatever type the caller's column actually has)
+    val inType = wm.schema.fields.map(f => f.name -> f.dataType).toMap
     val hits = grams
       .join(index.filter(col("df") >= minDf).select(col("h1"), col("h2")),
         Seq("h1", "h2"))
       .select(col("doc_id") +: col("ts") +: col("pos") +:
-        lit(null).cast("string").as("text") +:
-        carry.map(c => lit(null).cast("string").as(c)): _*)
+        lit(null).cast(inType("text")).as("text") +:
+        carry.map(c => lit(null).cast(inType(c)).as(c)): _*)
     // one sentinel row per doc carries the text — and any `carry`
     // STRING columns the caller needs downstream (r13: the composed
     // ingest pipeline rides `source` through to its quota stage) —
