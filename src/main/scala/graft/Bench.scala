@@ -115,19 +115,24 @@ object Bench {
         val (cold, _) = once(name)
         var runs = List(once(name), once(name), once(name))
         var retries = 0
-        // others == -1 means UNMEASURED (/proc unreadable), not clean
-        // (r14 ADVICE: -1 < gate made the whole mechanism self-disable
-        // silently); unmeasured runs neither satisfy the clean check nor
-        // trigger retries — they surface as others_unmeasured in the line
-        while (runs.exists(_._2 >= 0) &&
-            !runs.exists { case (_, o) => o >= 0 && o < maxOthers } &&
+        // others == -1 exactly means UNMEASURED (/proc unreadable), not
+        // clean (r14 ADVICE: -1 < gate made the whole mechanism
+        // self-disable silently); unmeasured runs neither satisfy the
+        // clean check nor trigger retries — they surface as
+        // others_unmeasured in the line. Small NEGATIVE readings
+        // (±0.2 of tick rounding on an idle host) are measurements,
+        // not sentinels — the threshold is -1, not 0 (the first cut
+        // counted a -0.04 idle row as unmeasured and retried on it).
+        def measured(o: Double) = o > -1.0
+        while (runs.exists(r => measured(r._2)) &&
+            !runs.exists { case (_, o) => measured(o) && o < maxOthers } &&
             retries < maxRetries) {
           System.err.println(f"bench: $name%s all steady runs contended " +
             f"(best others ${runs.map(_._2).min}%.2f cores), retrying...")
           retries += 1
           runs ::= once(name)
         }
-        val clean = runs.filter { case (_, o) => o >= 0 && o < maxOthers }
+        val clean = runs.filter { case (_, o) => measured(o) && o < maxOthers }
         val (steady, others) = (if (clean.nonEmpty) clean else runs).minBy(_._1)
         (name, cold, steady, others)
       } catch {
@@ -151,7 +156,7 @@ object Bench {
     // a row whose contention could not be read is UNMEASURED, distinct
     // from clean: n_contended 0 with others_unmeasured > 0 means the
     // idle gate did not actually run for those rows (r14 ADVICE)
-    val nUnmeasured = timed.count { case (_, _, s, o) => s >= 0 && o < 0 }
+    val nUnmeasured = timed.count { case (_, _, s, o) => s >= 0 && o <= -1.0 }
     // load_start/load_end make a contended window visible IN the artifact:
     // a reader comparing rounds can reject a run whose load_start exceeded
     // the gate instead of grading a measurement of the neighbors' work.

@@ -103,12 +103,16 @@ class PlanSpec extends AnyFunSuite {
       // the SERVED form drops the build-side exchanges (persisted
       // bucketed indexes read pre-partitioned) and keeps the delta work
       "q_ingest_gates" -> 27, "q_ingest_gates_served" -> 15,
-      // r14: the maintenance row now appends POST-QUOTA digests (the
-      // r13 ADVICE tombstone fix), so its plan nests the full ingestCore
-      // — quotaCap's offsets pass evaluates the cut chain a second time
-      // (the q_ingest_gates shape) — plus the bloom append's distinct;
-      // in deployment the admitted batch is a materialized store read,
-      // not a re-derivation (the Probe `maintain` cycle prices that)
+      // r14: the maintenance row appends POST-QUOTA digests (the r13
+      // ADVICE tombstone fix), so its static plan nests the full
+      // ingestCore — quota's offsets pass derives the cut chain a
+      // second time — plus the append's distinct (audited 29). NOT
+      // double-paid at runtime: AQE's ReusedExchange serves the offsets
+      // pass from the main pass's exchanges (measured: an eager
+      // localCheckpoint of the cut output bought ZERO steady-state time
+      // at sf1m, 9.19 vs 9.31 s, while regressing the cold run 6×);
+      // deployment appends from the materialized store anyway (the
+      // Probe `maintain` cycle prices that shape)
       "q_ingest_index_update" -> 29,
       // r14 quality row (audited 32): the exact prefix-join truth
       // (q_simjoin_prefix's chain) + the staged gate chain + the
