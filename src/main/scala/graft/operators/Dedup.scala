@@ -15,10 +15,12 @@ import graft.functions.Similarity
   * Hot buckets are bounded by an explicit document-frequency guard.
   *
   * LOW-EXCHANGE, CODEGEN-HOT LSH: each approximate pipeline plans at
-  * most TWO shuffles — one tiny per-doc signature aggregation (map-side
-  * partial mins/votes, fixed-width rows) and one bucket shuffle whose
-  * hash partitioning is SHARED by the bucket-size window and the bucket
-  * group-by (EnsureRequirements inserts nothing between them). Every
+  * most TWO shuffles, and the minhash family exactly ONE — signatures
+  * are a compiled scalar projection (r14, plans/MinhashSigExpr.scala;
+  * simhash keeps its tiny per-doc vote aggregation), leaving only the
+  * bucket shuffle whose hash partitioning is SHARED by the bucket-size
+  * window and the bucket group-by (EnsureRequirements inserts nothing
+  * between them). Every
   * bucket member carries its band keys as plain STRUCT FIELDS, so pair
   * emission, band-agreement counting, and the exact similarity verify
   * are scalar codegen'd expressions (string equality, boolean chains,
@@ -552,23 +554,29 @@ object Dedup {
       .filter(col("n_overlap") >= minCommon)
   }
 
-  /** Per-doc MinHash mins as `perms` COLUMNS m0..m{perms-1} — the
-    * codegen'd explode + groupBy formulation: one md5 per shingle
-    * (Similarity.shingleHash), four integer ops per permutation
-    * (Similarity.permuted), all `perms` mins as parallel aggregates in a
-    * SINGLE groupBy(doc_id). Map-side partial mins shrink the shuffle to
-    * one fixed-width row per (doc, partition) — the whole pipeline stays
-    * inside whole-stage codegen, which a row-local higher-order-function
-    * formulation cannot (HOFs are CodegenFallback; measured ~10× slower
-    * over the same shingles). */
-  private def minhashSigCols(docs: DataFrame, k: Int, perms: Int): DataFrame = {
-    val mins = (0 until perms).map(p =>
-      min(Similarity.permuted(col("h"), p)).as(s"m$p"))
-    shingled(docs, k)
-      .select(col("doc_id"), Similarity.shingleHash(col("s")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-  }
+  /** Per-doc MinHash mins as `perms` COLUMNS m0..m{perms-1}, via the
+    * compiled one-pass signature expression (r14,
+    * plans/MinhashSigExpr.scala): one md5 per k-word window and `perms`
+    * fused permute-and-min updates, all inside a single scalar
+    * projection — ZERO shuffles where the previous explode+groupBy
+    * formulation paid the signature aggregation exchange (its map-side
+    * partial mins were the mitigation; the scalar pass removes the
+    * exchange entirely). Values are identical to the explode+groupBy
+    * AND the HOF-scalar forms (asserted in LlmOpsSpec — min is
+    * duplicate-invariant, so the expression's skip of array_distinct
+    * is sound); sub-k-word docs signature as null and are dropped,
+    * matching the shingle filter the aggregate form applied. History:
+    * r7 chose explode+groupBy because the HOF scalar form is
+    * interpreted (~10× slower per shingle); the compiled expression
+    * removes that trade — measured 2.3–4.4× on the streaming gates and
+    * a shuffle fewer on every batch LSH pipeline. */
+  private def minhashSigCols(docs: DataFrame, k: Int, perms: Int): DataFrame =
+    docs
+      .select(col("doc_id"), call_function("graft_minhash_sig",
+        split(col("text"), " "), lit(k), lit(perms)).as("_sig"))
+      .filter(col("_sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until perms).map(p => element_at(col("_sig"), p + 1).as(s"m$p")): _*)
 
   /** MinHash signatures: one row per doc, `perms` minhashes in
     * permutation order (see [[minhashSigCols]]; values identical to the
@@ -583,10 +591,11 @@ object Dedup {
     * Buckets key on (band, md5-of-band-slice) — fixed 16-byte keys, never
     * signatures or text.
     *
-    * TWO SHUFFLES TOTAL: the per-doc signature aggregation
-    * ([[minhashSigCols]]) and the (band, bk) bucket shuffle — which the
-    * bucket-size window and the bucket group-by SHARE (same hash
-    * partitioning, no exchange between them). Each member carries its
+    * ONE SHUFFLE TOTAL (r14; was two): signatures are a compiled
+    * scalar projection ([[minhashSigCols]]), so the only exchange left
+    * is the (band, bk) bucket shuffle — which the bucket-size window
+    * and the bucket group-by SHARE (same hash partitioning, no
+    * exchange between them). Each member carries its
     * `bands` band keys as struct fields, so inside the bucket's task a
     * pair's band-agreement is `bands` codegen'd string equalities:
     * emission keys off the FIRST matching band ([[firstMatchCols]] —

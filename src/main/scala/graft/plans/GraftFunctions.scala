@@ -133,6 +133,10 @@ object GraftFunctions {
       "rolling 128-bit digests of every L-word window of a word array, one pass", 2) {
       case Seq(w, l) => GramHashes(w, l)
     },
+    fn("graft_minhash_sig",
+      "per-row MinHash signature of a word array: perms mins over k-word windows, one compiled pass", 3) {
+      case Seq(w, k, p) => MinhashSig(w, k, p)
+    },
     // The reference ships FOUR ArrayListAggFunction variants (.java, 2, 3,
     // 4) solely to thread generic element types through Flink's type
     // inference tiers; Catalyst aggregates are natively generic, so ONE

@@ -223,18 +223,19 @@ object StreamingJobs {
       maxBucket: Int = 10000): DataFrame = {
     require(perms % bands == 0, s"perms ($perms) must be a multiple of bands ($bands)")
     val rows = perms / bands
-    import graft.functions.Similarity
     // watermark at the SOURCE, not post-join: every arriving doc
     // advances the event clock, so windows close even when a batch has
     // no collisions (an inner-joined watermark would stall on quiet
-    // batches) and short docs dropped by the k-word filter still count
+    // batches) and short docs dropped by the k-word filter still count.
+    // Signature = the compiled one-pass expression (r14,
+    // plans/MinhashSigExpr.scala) — value-identical to the HOF chain it
+    // replaces (asserted), minus the interpreted per-shingle lambdas
     val banded = docs
       .withWatermark("ts", watermarkDelay)
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= k)
-      .withColumn("hs", Similarity.shingleHashes(col("w"), k))
       .select(col("doc_id"), col("ts"),
-        Similarity.minhashFromHashes(col("hs"), perms).as("sig"))
+        call_function("graft_minhash_sig", col("w"), lit(k), lit(perms)).as("sig"))
       .select(col("doc_id"), col("ts"),
         posexplode(array((0 until bands).map(b =>
           md5(concat_ws("|", (0 until rows).map(r =>
@@ -346,18 +347,17 @@ object StreamingJobs {
       bloomK: Int = 3, bloomWidth: Int = 1 << 20): DataFrame = {
     require(perms % bands == 0, s"perms ($perms) must be a multiple of bands ($bands)")
     val rows = perms / bands
-    import graft.functions.Similarity
     val fresh = graft.operators.Freq.bloomProbe(
         bits, docs.withColumn("item", md5(col("text"))), bloomK, bloomWidth)
       .filter(!col("maybe_member"))
       .drop("item", "n_hits", "maybe_member")
-    // gate 2: per-band key columns (null for sub-k-word docs — a null
-    // key never matches an anti-join, so short docs survive, matching
-    // the batch probe's size(w) >= k filter)
+    // gate 2: per-band key columns via the compiled one-pass signature
+    // (r14, plans/MinhashSigExpr.scala — null for sub-k-word docs, and a
+    // null key never matches an anti-join, so short docs survive,
+    // matching the batch probe's size(w) >= k filter)
     val keyed = fresh.withColumn("_sig",
-      when(size(split(col("text"), " ")) >= k,
-        Similarity.minhashFromHashes(
-          Similarity.shingleHashes(split(col("text"), " "), k), perms)))
+      call_function("graft_minhash_sig", split(col("text"), " "),
+        lit(k), lit(perms)))
     val withKeys = (0 until bands).foldLeft(keyed) { (df, b) =>
       df.withColumn(s"_bk$b", when(col("_sig").isNotNull,
         md5(concat_ws("|", (0 until rows).map(r =>

@@ -894,12 +894,14 @@ class LlmOpsSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val persisted = Dedup.probeBandIndex(delta, spark.table("b_mh_index"), 3, 8, 4)
-      // every shuffle left is DELTA-sized: the delta signature aggregate,
-      // the delta side of the bucket join (the bucketed index side needs
-      // none), the pair distinct, and the per-doc min/count — the corpus
-      // moves zero bytes at probe time
+      // every shuffle left is DELTA-sized: the delta side of the bucket
+      // join (the bucketed index side needs none), the pair distinct,
+      // and the per-doc min/count — the corpus moves zero bytes at
+      // probe time. (r14: was 4 — the delta signature AGGREGATE
+      // exchange is gone, signatures are now a compiled scalar
+      // projection, plans/MinhashSigExpr.scala)
       val plan = physicalPlan(persisted)
-      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 4, plan)
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 3, plan)
       val inline = Dedup.incrementalDupes(corpus, delta, 3, 8, 4)
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -921,6 +923,21 @@ class LlmOpsSpec extends AnyFunSuite {
     val viaScalar = scalarDf.collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(viaScalar == viaAgg)
+    // r14: the compiled one-pass expression (plans/MinhashSigExpr) is
+    // value-identical to BOTH formulations — it skips array_distinct
+    // (min is duplicate-invariant) and fuses hash+permute+min, so the
+    // identity is the proof the shortcut is sound; null for short docs
+    val viaExpr = docs
+      .select(col("doc_id"), call_function("graft_minhash_sig",
+        split(col("text"), " "), lit(3), lit(8)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr == viaAgg)
+    val shortDoc = spark.range(1).select(lit("one two").as("text"))
+      .select(call_function("graft_minhash_sig",
+        split(col("text"), " "), lit(3), lit(8)).as("sig"))
+      .collect().head
+    assert(shortDoc.isNullAt(0), "sub-k-word docs must signature as null")
   }
 
   test("temperature mixing matches brute force and keeps the rarest stratum whole") {
