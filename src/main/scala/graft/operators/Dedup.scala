@@ -486,7 +486,15 @@ object Dedup {
       blockSize: Int = 1024): DataFrame = {
     require(minJaccardQ > 0 && minJaccardQ <= 1000000L,
       s"minJaccardQ ($minJaccardQ) must be a scale-6 Jaccard in (0, 1000000]")
-    val toks = shingled(docs, k).select(col("doc_id"), md5(col("s")).as("h"))
+    // token digests from the compiled one-pass shingler (r14,
+    // plans/ShingleMd5s.scala) — digest set identical to
+    // md5(shingled(...)) (asserted), minus the interpreted per-window
+    // transform/concat_ws/array_distinct walk that dominated the
+    // token-stream stage of this operator and every recall-truth row
+    // built on it
+    val toks = docs
+      .select(col("doc_id"), explode(call_function("graft_shingle_md5s",
+        split(col("text"), " "), lit(k))).as("h"))
     val dfs = toks.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("doc_id"))
     // the df join-back is pinned sort-merge for the same reason as the

@@ -137,6 +137,10 @@ object GraftFunctions {
       "per-row MinHash signature of a word array: perms mins over k-word windows, one compiled pass", 3) {
       case Seq(w, k, p) => MinhashSig(w, k, p)
     },
+    fn("graft_shingle_md5s",
+      "distinct k-word-shingle md5 hex digests of a word array, one compiled pass", 2) {
+      case Seq(w, k) => ShingleMd5s(w, k)
+    },
     // The reference ships FOUR ArrayListAggFunction variants (.java, 2, 3,
     // 4) solely to thread generic element types through Flink's type
     // inference tiers; Catalyst aggregates are natively generic, so ONE

@@ -940,6 +940,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(shortDoc.isNullAt(0), "sub-k-word docs must signature as null")
   }
 
+  test("compiled shingle digests equal md5 over the HOF shingle chain") {
+    // r14: plans/ShingleMd5s — the exact-join token stream's engine.
+    // Distinct-by-digest must equal distinct-by-text + md5 per doc
+    // (equal text => equal digest; a collision would differ, and would
+    // also surface in the oracle hash gates)
+    val viaHof = Dedup.shingled(docs, 3)
+      .select(col("doc_id"), md5(col("s")).as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaExpr = docs
+      .select(col("doc_id"), explode(call_function("graft_shingle_md5s",
+        split(col("text"), " "), lit(3))).as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaExpr == viaHof)
+    assert(viaExpr.nonEmpty)
+    // sub-k-word docs yield an empty array -> zero exploded rows
+    val short = spark.range(1).select(lit("one two").as("text"))
+      .select(explode(call_function("graft_shingle_md5s",
+        split(col("text"), " "), lit(3))).as("h"))
+    assert(short.count() == 0)
+  }
+
   test("temperature mixing matches brute force and keeps the rarest stratum whole") {
     import graft.operators.Sampling
     val df = docs.select(col("doc_id"), col("lang"))
