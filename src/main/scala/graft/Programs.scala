@@ -290,6 +290,22 @@ object Programs {
     s"$storeDir/${name}_v${versions.max}"
   }
 
+  /** Retain the two newest complete versions of a store artifact and
+    * delete the rest — a long-lived stream would otherwise accrete one
+    * bits directory per micro-batch forever (the /tmp served-store
+    * lesson applied to the program's own store). Two, not one: the
+    * newest version's reader may be mid-flight on the previous one;
+    * incomplete (markerless) versions are never the retained set and
+    * get reclaimed too. */
+  private def pruneVersions(storeDir: String, name: String): Unit = {
+    val all = Option(new java.io.File(storeDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(s"${name}_v"))
+    val complete = all.filter(f => new java.io.File(f, "_SUCCESS").isFile)
+      .sortBy(f => f.getName.stripPrefix(s"${name}_v").toLong)
+    val keep = complete.takeRight(2).toSet
+    all.filterNot(keep).foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+  }
+
   /** ONLINE ingest with CLOSED maintenance loop (r14) — the streaming
     * program that folds what it admits back into the standing
     * artifacts, so a re-delivery of content admitted EARLIER IN THE
@@ -321,11 +337,18 @@ object Programs {
     * Maintenance appends derive from ingestCore's POST-QUOTA output —
     * what the store actually carries (the r13 ADVICE invariant: a
     * quota-rejected doc is never tombstoned as seen). Artifact rewrites
-    * are versioned-sibling + completeness marker ([[latestVersion]]),
-    * never in-place. Transactionality boundary, documented not hidden:
-    * a crash between a cadence fold and its pending-clear double-folds
-    * those docs' df counts on recovery (bloom stays exact — set union);
-    * a deployment closes that with a transactional table format. */
+    * are versioned-sibling + completeness marker ([[latestVersion]])
+    * with a keep-two retention ([[pruneVersions]]) — never in-place,
+    * never unbounded. Admitted AND pending land per-batch-dir
+    * overwrite, so a replayed micro-batch is idempotent end-to-end
+    * (an appended pending would double its docs into the next fold's
+    * df counts). Stream contract: doc ids are unique across the
+    * stream — the store and the append algebra key on them (the same
+    * disjointness the batch append operators require).
+    * Transactionality boundary, documented not hidden: a crash BETWEEN
+    * a cadence fold and its pending-clear double-folds those docs' df
+    * counts on recovery (bloom stays exact — set union); a deployment
+    * closes that with a transactional table format. */
   def ingestProgramStream(docs: DataFrame, storeDir: String,
       checkpoint: String, quotaPerSource: Long, spanWords: Int = 10,
       maintainEvery: Int = 4, bloomK: Int = 3,
@@ -345,13 +368,19 @@ object Programs {
           quotaPerSource, spanWords).localCheckpoint()
         stored.write.mode("overwrite")
           .parquet(s"$storeDir/admitted/batch=$batchId")
-        stored.write.mode("append").parquet(s"$storeDir/pending")
+        // pending is per-batch-dir OVERWRITE, like admitted: a batch
+        // replayed after a crash lands in the same directory instead of
+        // appending twice — a doubled pending doc would inflate the next
+        // fold's df counts (append ≡ rebuild would silently break)
+        stored.select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$storeDir/pending/batch=$batchId")
         graft.operators.Freq.bloomAppend(bits,
             stored.select(md5(col("text")).as("item")), bloomK, bloomWidth)
           .localCheckpoint()
           .write.mode("overwrite").parquet(s"$storeDir/bits_v${batchId + 1}")
+        pruneVersions(storeDir, "bits")
         if ((batchId + 1) % maintainEvery == 0 &&
-            new java.io.File(s"$storeDir/pending/_SUCCESS").isFile) {
+            new java.io.File(s"$storeDir/pending").isDirectory) {
           val pending = spark.read.parquet(s"$storeDir/pending")
             .select(col("doc_id"), col("text")).localCheckpoint()
           if (!pending.isEmpty) {
@@ -362,6 +391,8 @@ object Programs {
                 k = 3, perms = 8, bands = 4)
               .write.mode("overwrite")
               .parquet(s"$storeDir/band_index_v${batchId + 1}")
+            pruneVersions(storeDir, "gram_index")
+            pruneVersions(storeDir, "band_index")
             org.apache.commons.io.FileUtils.deleteDirectory(
               new java.io.File(s"$storeDir/pending"))
           }
