@@ -527,6 +527,21 @@ object QueriesLlm {
     TextAnalysis.fingerprint(docs(s, dir))
       .select(col("doc_id"), col("fp"), col("cluster_size"), col("is_canonical"))
 
+  /** Char-trigram LM surprisal (the CCNet perplexity-filter recipe,
+    * integer-exact — [[TextAnalysis.trigramSurprisal]]): model trained
+    * on the corpus's own `lang = 'en'` slice, every doc scored by mean
+    * millibit surprisal. The synthetic corpus shares ONE vocabulary
+    * across its `lang` labels, so here the score measures character-
+    * pattern commonness (spread ~7.2–7.7 bits/trigram) rather than
+    * language — the keep threshold sits mid-spread so both branches of
+    * the flag are exercised; in deployment it is calibrated on a
+    * held-out trusted slice (the CCNet recipe). The score is BIGINT on
+    * both engines, so the flag has no float knife-edge. */
+  val textPerplexity: Q = (s, dir) =>
+    TextAnalysis.trigramSurprisal(docs(s, dir))
+      .select(col("doc_id"), col("lang"), col("n_tri"), col("n_oov"),
+        col("surprisal_mb"), col("keep"))
+
   /** PII scrub over text with deterministically planted PII (the
     * synthetic corpus has none; both engines plant the identical
     * suffix, so counts and redactions are real and verifiable). */
@@ -1182,6 +1197,7 @@ object QueriesLlm {
     "q_text_tokens"         -> textTokens,
     "q_text_fingerprint"    -> textFingerprint,
     "q_text_pii"            -> textPii,
+    "q_text_perplexity"     -> textPerplexity,
     "q_text_repetition"     -> textRepetition,
     "q_decontaminate"       -> decontaminate,
     "q_sim_topk"            -> simTopk,
@@ -2448,6 +2464,32 @@ SELECT doc_id, n_words, distinct_ratio, avg_word_len, stop_ratio,
   distinct_ratio * 0.5 + least(avg_word_len / 10.0, 1.0) * 0.3 + stop_ratio * 0.2 AS quality_score,
   n_words >= 20 AND distinct_ratio > 0.2 AS keep
 FROM f"""),
+
+    // trigram-LM surprisal: bin()/length() IS the integer log2 both
+    // engines share, so the mean-millibit score hash-matches with no
+    // float log-prob summation anywhere (see TextAnalysis
+    // .trigramSurprisal's rationale)
+    "q_text_perplexity" -> (
+      """WITH tri AS (
+  SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tri
+  FROM documents, unnest(generate_series(1, length(text) - 2)) t(i)
+  WHERE length(text) >= 3
+), model AS (
+  SELECT tri, COUNT(*) AS cnt FROM tri WHERE lang = 'en' GROUP BY 1
+), tot AS (
+  SELECT SUM(cnt) AS tot, COUNT(*) AS v FROM model
+), scored AS (
+  SELECT d.doc_id, d.lang,
+    COUNT(*) AS n_tri,
+    CAST(SUM(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+    CAST(SUM(length(bin(COALESCE(m.cnt, 0) + 1))) AS BIGINT) AS sum_bl
+  FROM tri d LEFT JOIN model m ON d.tri = m.tri
+  GROUP BY 1, 2
+)
+SELECT s.doc_id, s.lang, s.n_tri, s.n_oov,
+  CAST((length(bin(t.tot + t.v)) * s.n_tri - s.sum_bl) * 1000 // s.n_tri AS BIGINT) AS surprisal_mb,
+  CAST((length(bin(t.tot + t.v)) * s.n_tri - s.sum_bl) * 1000 // s.n_tri AS BIGINT) < 7340 AS keep
+FROM scored s, tot t"""),
 
     "q_text_tokens" -> (
       s"""SELECT lang, COUNT(*) AS n_docs,

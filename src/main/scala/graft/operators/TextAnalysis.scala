@@ -177,6 +177,55 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Char-trigram LM surprisal scoring — the CCNet/KenLM "perplexity
+    * filter" recipe (train a small LM on a trusted reference slice,
+    * keep documents the model finds unsurprising) re-expressed in exact
+    * integer arithmetic so the score is bit-portable across engines.
+    *
+    * Model: trigram counts over the `lang = refLang` slice. Score: each
+    * trigram's surprisal is the INTEGER log2 approximation
+    * `bitlen(total + V) − bitlen(count + 1)` (add-one smoothing), where
+    * `bitlen(n) = length(bin(n))` = ⌊log2 n⌋ + 1 — chosen over ln()
+    * because a float log-prob SUM accumulates in engine-defined order
+    * and its libm rounding is not specified, while bin() is exact on
+    * both engines. A doc's score is the truncating mean in millibits,
+    * `(Σ surprisal · 1000) div n_trigrams`; `keep` thresholds it the
+    * CCNet way (keep what the reference LM finds unsurprising — the
+    * threshold is calibrated on a trusted slice in deployment, and is
+    * a plain parameter here). Docs shorter than 3 chars have no
+    * trigram and are excluded by definition. Because the score is a
+    * BIGINT on both engines, the keep boundary has no float knife-edge.
+    *
+    * Scale shape: the model is ONE aggregation over the reference
+    * slice's trigram stream with distinct keys bounded by alphabet³
+    * (KB–MB — broadcast); scoring is explode (pipelined, no shuffle) →
+    * broadcast hash join → groupBy(doc_id) whose partial aggregate
+    * collapses each partition to one row per resident doc, so the only
+    * corpus-wide shuffle carries n_docs 40-byte rows, never the trigram
+    * stream. The 1-row totals join stays in-plan (broadcast cross join
+    * AFTER the per-doc aggregate — `Σ(blv − bl(cnt+1)) = blv·n −
+    * Σbl(cnt+1)`, so per-trigram rows never need the totals). */
+  def trigramSurprisal(docs: DataFrame, refLang: String = "en",
+      keepBelowMb: Long = 7340L): DataFrame = {
+    val tris = expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+    val long3 = docs.filter(length(col("text")) >= 3)
+    val model = long3.filter(col("lang") === refLang)
+      .select(explode(tris).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+    val totals = model.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
+    long3.select(col("doc_id"), col("lang"), explode(tris).as("tri"))
+      .join(broadcast(model), Seq("tri"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tri"),
+        count(when(col("cnt").isNull, 1)).as("n_oov"),
+        sum(length(bin(coalesce(col("cnt"), lit(0L)) + 1)).cast("long")).as("sum_bl"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("lang"), col("n_tri"), col("n_oov"),
+        expr("(length(bin(tot + v)) * n_tri - sum_bl) * 1000L div n_tri")
+          .as("surprisal_mb"))
+      .withColumn("keep", col("surprisal_mb") < lit(keepBelowMb))
+  }
+
   /** Normalized-content fingerprint (lower + squashed whitespace → md5)
     * plus cluster stats via a window over the fingerprint — one shuffle
     * keyed on the 16-byte digest. */

@@ -774,6 +774,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!physicalPlan(TextAnalysis.repetition(docs)).contains("Exchange"))
   }
 
+  test("trigram surprisal: hand-computed integer log2 scores, OOV counting, short-doc exclusion") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aaaa", "en"), (2L, "aaab", "en"),
+      (3L, "bbbb", "zh"), (4L, "ab", "en")).toDF("doc_id", "text", "lang")
+    // en model: {aaa: 3, aab: 1} → tot=4, v=2 → blv = bitlen(6) = 3
+    val r = TextAnalysis.trigramSurprisal(d, "en", keepBelowMb = 1000L)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(1L, 2L, 3L)) // the 2-char doc has no trigram
+    assert(r(1L).getAs[Long]("surprisal_mb") == 0L)    // (3·2 − (3+3))·1000 div 2
+    assert(r(2L).getAs[Long]("surprisal_mb") == 500L)  // (3·2 − (3+2))·1000 div 2
+    assert(r(3L).getAs[Long]("surprisal_mb") == 2000L) // all-OOV: bl(1)=1 per trigram
+    assert(r(1L).getAs[Long]("n_oov") == 0L && r(3L).getAs[Long]("n_oov") == 2L)
+    assert(r(1L).getAs[Boolean]("keep") && !r(3L).getAs[Boolean]("keep"))
+    // scale shape: the model reaches the scorer as a BROADCAST (the
+    // trigram stream never shuffles into a join) and nothing plans a
+    // product; the only SMJ-able key anywhere is the per-doc aggregate
+    val plan = physicalPlan(TextAnalysis.trigramSurprisal(docs))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("decontamination flags exactly the train docs overlapping the eval set") {
     import spark.implicits._
     val eval = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
