@@ -951,6 +951,19 @@ object QueriesLlm {
     Sampling.shuffleOrder(docs(s, dir).select(col("doc_id")), "doc_id", "epoch0")
       .select(col("doc_id"), col("skey"), col("train_idx"))
 
+  /** Token-budget mixture: ¼ of the corpus's whitespace tokens, shared
+    * across sources by √token-mass (α = ½ temperature reweighting),
+    * each source admitting docs in md5 order until its share fills —
+    * [[Sampling.tokenBudgetMixture]], the budgeted-by-TOKENS face of
+    * the row-count quota family. */
+  val sampleMixture: Q = (s, dir) =>
+    Sampling.tokenBudgetMixture(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok")),
+      "source", "doc_id", "tok")
+      .select(col("doc_id"), col("source"), col("tok"),
+        col("cum_tok"), col("budget"))
+
   /** Sequence packing into 4096-token budgets per language shard; emits
     * the pack manifest (docs and tokens per pack). subWidth=64 forces
     * the two-phase sub-shard path through many occupied sub-shards even
@@ -1215,6 +1228,7 @@ object QueriesLlm {
     "q_sim_recall_ivfpq"    -> simRecallIvfPq,
     "q_pipeline_prep"       -> pipelinePrep,
     "q_sample_stratified"   -> sampleStratified,
+    "q_sample_mixture"      -> sampleMixture,
     "q_sample_quota"        -> sampleQuota,
     "q_sample_systematic"   -> sampleSystematic,
     "q_sample_temperature"  -> sampleTemperature,
@@ -2141,6 +2155,35 @@ FROM agg"""
     // single-window twin of the two-phase per-group ranking: the
     // oracle's per-source ROW_NUMBER is the semantics, the Spark side
     // reaches the identical kept set via bounded (source, sub) windows
+    // token-budget mixture: single-window twin of the two-phase prefix
+    // sum (the q_sample_systematic convention); budgets are integer-
+    // exact (floor(sqrt) is IEEE-deterministic, everything after is
+    // BIGINT division) so the admitted set is a hash-order prefix with
+    // no float boundary
+    "q_sample_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    md5('mix|' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents
+        |), g AS (
+        |  SELECT source, SUM(tok) AS gtok,
+        |    CAST(floor(sqrt(CAST(SUM(tok) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM d GROUP BY 1
+        |), bud AS (
+        |  SELECT source,
+        |    (SUM(gtok) OVER () * 1 // 4) * w // SUM(w) OVER () AS budget
+        |  FROM g
+        |), c AS (
+        |  SELECT doc_id, source, tok,
+        |    SUM(tok) OVER (PARTITION BY source ORDER BY skey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d
+        |)
+        |SELECT c.doc_id, c.source, c.tok,
+        |  CAST(c.cum AS BIGINT) AS cum_tok, CAST(b.budget AS BIGINT) AS budget
+        |FROM c JOIN bud b ON c.source = b.source
+        |WHERE c.cum <= b.budget""".stripMargin,
+
     "q_sample_quota" ->
       """WITH k AS (
         |  SELECT doc_id, source,

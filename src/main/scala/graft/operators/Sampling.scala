@@ -80,6 +80,70 @@ object Sampling {
       .drop("_thr")
   }
 
+  /** Token-budget MIXTURE sampling — the data-mixing step between a
+    * curated corpus and a training run: one token budget for the whole
+    * mixture (`total_tokens · num DIV den`), shared among domains
+    * proportionally to `tokens_g^α` with α = ½ (the temperature-style
+    * reweighting that up-weights small domains without letting head
+    * domains swamp the mix — [[temperatureSample]]'s exponent applied
+    * to token MASS instead of row count), then each domain admits docs
+    * in deterministic md5 order until its share is full. Emits the
+    * admitted rows + `cum_tok` (inclusive cumulative tokens in
+    * admission order) + `budget` (the domain's share).
+    *
+    * Integer-exact end to end: a domain's weight is `floor(sqrt(
+    * tokens_g))` — IEEE-754 requires sqrt be correctly rounded, so the
+    * floor is deterministic on every engine — and its budget is
+    * `(B · w_g) DIV Σw`; a doc is admitted iff its inclusive cumulative
+    * token count stays within the budget, so the kept set is a hash-
+    * order prefix with no float boundary anywhere.
+    *
+    * Scale shape — the running sum does NOT single-reduce per domain:
+    * the [[quotaCap]] two-phase decomposition applies to SUMS because
+    * `_sub` is the hash's leading byte, so sub-major order IS global
+    * hash order; per-(group, sub) token subtotals — a KB-scale table —
+    * window into exclusive token offsets that broadcast back, and each
+    * doc's global cumulative sum is its offset plus a (group, sub)-
+    * bounded running sum. ONE corpus shuffle (the bounded window);
+    * budgets and offsets ride broadcasts. */
+  def tokenBudgetMixture(df: DataFrame, groupCol: String, idCol: String,
+      tokCol: String, num: Long = 1L, den: Long = 4L,
+      seed: String = "mix"): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"tokenBudgetMixture: budget fraction $num/$den not in (0, 1]")
+    val reserved = Seq("skey", "_sub", "_btok", "_off", "_gtok", "_w", "budget", "cum_tok")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"tokenBudgetMixture: input columns collide with reserved working names: ${clash.mkString(", ")}")
+    val keyed = df.withColumn("skey",
+        md5(concat(lit(seed + "|"), col(idCol).cast("string"))))
+      .withColumn("_sub", substring(col("skey"), 1, 2))
+    val subTot = keyed.groupBy(col(groupCol), col("_sub"))
+      .agg(sum(col(tokCol)).as("_btok"))
+    val offsets = subTot
+      .withColumn("_off",
+        coalesce(
+          sum(col("_btok")).over(Window.partitionBy(col(groupCol)).orderBy(col("_sub"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("_btok")
+    // global-window totals over the KB-sized per-group table (the
+    // temperatureSample pattern — no second corpus aggregation)
+    val budgets = subTot.groupBy(col(groupCol)).agg(sum(col("_btok")).as("_gtok"))
+      .withColumn("_w", floor(sqrt(col("_gtok").cast("double"))).cast("long"))
+      .select(col(groupCol),
+        expr(s"(sum(_gtok) OVER () * $num div $den) * _w" +
+          " div sum(_w) OVER ()").as("budget"))
+    keyed
+      .join(broadcast(offsets), Seq(groupCol, "_sub"))
+      .join(broadcast(budgets), Seq(groupCol))
+      .withColumn("cum_tok", col("_off") +
+        sum(col(tokCol)).over(Window.partitionBy(col(groupCol), col("_sub"))
+          .orderBy(col("skey"), col(idCol))))
+      .filter(col("cum_tok") <= col("budget"))
+      .drop("skey", "_sub", "_off")
+  }
+
   /** Deterministic corpus shuffle for training order: every row gets
     * `skey = md5(seed | id)` and `train_idx` = its dense rank 0..n−1 in
     * (skey, id) order — a reproducible pseudo-random permutation of the

@@ -1002,6 +1002,42 @@ class LlmOpsSpec extends AnyFunSuite {
       "threshold for the minimum-count stratum is 256: every row kept")
   }
 
+  test("token-budget mixture: equals the driver-side brute force; budgets and offsets broadcast") {
+    import graft.operators.Sampling
+    val base = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("tok"))
+    val out = Sampling.tokenBudgetMixture(base, "source", "doc_id", "tok",
+        num = 1L, den = 4L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("cum_tok"), r.getAs[Long]("budget"))).toSet
+    // brute force, all driver-side: per-source md5-order prefix under
+    // the same integer budget arithmetic (toLong truncates = floor for
+    // positives; / on Longs truncates = the plan's div)
+    val rows = base.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val gtok = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val w = gtok.view.mapValues(t => math.sqrt(t.toDouble).toLong).toMap
+    val tt = gtok.values.sum
+    val sw = w.values.sum
+    val expected = rows.groupBy(_._2).iterator.flatMap { case (src, rs) =>
+      val budget = (tt * 1L / 4L) * w(src) / sw
+      val ordered = rs.sortBy(t => (md5hex(s"mix|${t._1}"), t._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      // cum is strictly increasing, so the admitted set is a maximal
+      // hash-order prefix by construction — equality proves the
+      // two-phase offsets reconstruct the single global running sum
+      ordered.zip(cums).takeWhile(_._2 <= budget)
+        .map { case ((id, s, _), cum) => (id, s, cum, budget) }
+    }.toSet
+    assert(out == expected)
+    assert(out.nonEmpty && out.size < rows.length, "budget must bite")
+    // scale shape: offsets/budgets reach the corpus as broadcasts; the
+    // only corpus shuffle is the bounded (source, sub) window
+    val plan = physicalPlan(
+      Sampling.tokenBudgetMixture(base, "source", "doc_id", "tok"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("shuffleOrder is the single-sort permutation: total, retry-stable, seed-keyed") {
     import graft.operators.Sampling
     val df = docs.select(col("doc_id"))
