@@ -437,6 +437,44 @@ object QueriesLlm {
     pairEvalMetrics(truth, cand)
   }
 
+  /** SemDeDup (semantic dedup over embeddings — the published recipe
+    * from the public SemDeDup paper, Abbas et al. 2023): the all-pairs
+    * cosine quadratic bounded by TRAINED kmeans cells instead of
+    * [[dedupEmbCos]]'s random-hyperplane buckets. Cluster with the SAME
+    * deterministic md5-seeded Lloyd codebook the IVF family trains
+    * (q_sim_kmeans's exact chain, k = 4, 2 iterations), then drop every
+    * vector cosine-≥τ similar to a LOWER-id vector in its OWN cell; the
+    * surviving lowest id is the cluster representative. τ = 0.45
+    * matches the embcos rung, so the two candidate-generation
+    * strategies grade against each other row-for-row.
+    *
+    * At 100 TB, k grows with the corpus so cells stay ~constant-sized
+    * (the published recipe trains k ∝ n) — the per-cell quadratic is
+    * the SemDeDup cost model, bounded by construction; cross-cell
+    * near-dups are the documented miss class (cells are a COST choice,
+    * and the embcos eval row measures what bucketing strategies lose).
+    * Plan shape: training is the zero-corpus-exchange Lloyd loop,
+    * assignment is scan-speed broadcast argmax, and the pair join is an
+    * equi-join on cell — never a cartesian. */
+  val dedupSemantic: Q = (s, dir) => {
+    val corpus = Tables(s, dir).embeddings.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"))
+    val cb = operators.Ann.kmeansCodebook(corpus, k = 4, iters = 2)
+    val cells = operators.Ann.assignCells(cb, corpus)
+      .select(col("corpus_id"), col("ce"), col("cell"))
+    val pairs = cells
+      .select(col("cell"), col("corpus_id").as("va"), col("ce").as("ca"))
+      .join(cells.select(col("cell"), col("corpus_id").as("vb"), col("ce").as("vb_ce")),
+        Seq("cell"))
+      .filter(col("va") < col("vb") &&
+        floor(call_function("graft_cosine", col("ca"), col("vb_ce"))
+          * lit(1000000.0)).cast("long") >= 450000L)
+    val drops = pairs.groupBy(col("vb")).agg(min(col("va")).as("dup_of"))
+    cells.join(drops, cells("corpus_id") === drops("vb"), "left")
+      .select(col("corpus_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   /** Shared pair-eval tail: full outer join on the (doc_a, doc_b) key,
     * one global aggregate, DIV-floored integer percentages. */
   private def pairEvalMetrics(truthPairs: DataFrame,
@@ -1190,6 +1228,7 @@ object QueriesLlm {
     "q_dedup_substr_incremental" -> dedupSubstrIncremental,
     "q_dedup_substr_served" -> dedupSubstrServed,
     "q_dedup_recall"        -> dedupRecall,
+    "q_dedup_semdedup"      -> dedupSemantic,
     "q_dedup_recall_simhash" -> dedupRecallSimhash,
     "q_dedup_recall_embcos" -> dedupRecallEmbcos,
     "q_ingest_gates"        -> ingestGates,
@@ -1539,6 +1578,27 @@ sym AS (
        |  FROM $assign a JOIN embeddings e ON e.vec_id = a.corpus_id,
        |       unnest(generate_series(0, 63)) t(i)
        |  GROUP BY 1, 2) m GROUP BY 1""".stripMargin
+
+  /** The hash-seeded 2-iteration Lloyd chain ending in `cellof` (the
+    * q_sim_kmeans / IVF-PQ training prefix) — factored for the
+    * SemDeDup oracle so its cells can never train apart from the ANN
+    * family's. */
+  private lazy val kmCellsChain: String =
+    s"""c AS (
+       |  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS ce
+       |  FROM embeddings WHERE vec_id >= 5
+       |), seeds AS (
+       |  SELECT corpus_id, ce, md5('km|' || CAST(corpus_id AS VARCHAR)) AS h
+       |  FROM c ORDER BY h, corpus_id LIMIT 4
+       |), k0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, corpus_id) - 1 AS INT) AS cell, ce
+       |  FROM seeds
+       |), a1 AS (${kmAssign("k0")}
+       |), k1 AS (${kmMeans("a1")}
+       |), a2 AS (${kmAssign("k1")}
+       |), k2 AS MATERIALIZED (${kmMeans("a2")}
+       |), cellof AS MATERIALIZED (${kmAssign("k2")}
+       |)""".stripMargin
 
   /** The unrolled PQ train+ADC oracle — shared by q_sim_pq and its
     * recall row so candidate set and graded set can never train apart. */
@@ -2479,6 +2539,24 @@ SELECT n_true, n_cand, n_caught,
   CASE WHEN n_true > 0 THEN n_caught * 100 // n_true END AS recall_pct,
   CASE WHEN n_cand > 0 THEN n_caught * 100 // n_cand END AS precision_pct
 FROM agg"""),
+
+    // SemDeDup: cells from the SHARED kmeans chain (q_sim_kmeans's
+    // training, verbatim), pair cosine from the SHARED 1e-6-quantized
+    // fragment — neither the clustering nor the similarity can drift
+    // from the rows that already grade them
+    "q_dedup_semdedup" -> (
+      "WITH " + kmCellsChain + s""",
+pairs AS (
+  SELECT a.corpus_id AS va, b.corpus_id AS vb
+  FROM cellof a JOIN cellof b ON a.cell = b.cell AND a.corpus_id < b.corpus_id
+  JOIN c ea ON ea.corpus_id = a.corpus_id
+  JOIN c eb ON eb.corpus_id = b.corpus_id
+  WHERE ${cosSql("ea.ce", "eb.ce")} >= 450000
+), drops AS (
+  SELECT vb, CAST(MIN(va) AS BIGINT) AS dup_of FROM pairs GROUP BY 1
+)
+SELECT f.corpus_id, f.cell, d.dup_of, d.dup_of IS NULL AS keep
+FROM cellof f LEFT JOIN drops d ON d.vb = f.corpus_id"""),
 
     "q_text_langid" -> (
       """WITH words AS (

@@ -1002,6 +1002,52 @@ class LlmOpsSpec extends AnyFunSuite {
       "threshold for the minimum-count stratum is 256: every row kept")
   }
 
+  test("SemDeDup: planted copies drop to lower-id reps; drop set equals the in-cell brute force") {
+    import graft.operators.Ann
+    // plant exact copies (vec_id + 10000): identical vectors assign to
+    // the SAME cell (assignment is a pure function of the vector) and
+    // cosine 1.0 ≥ τ, so every copy MUST drop to a lower-id neighbor
+    val tmp = java.nio.file.Files.createTempDirectory("semdedup").toString
+    val base = Tables(spark, sfDir).embeddings
+    base.unionByName(base.filter(col("vec_id") >= 5)
+        .withColumn("vec_id", col("vec_id") + 10000L))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = QueriesLlm.dedupSemantic(spark, tmp).collect()
+    val dropped = out.filter(!_.getAs[Boolean]("keep"))
+      .map(r => r.getAs[Long]("corpus_id") -> r.getAs[Long]("dup_of")).toMap
+    val copies = out.map(_.getAs[Long]("corpus_id")).filter(_ >= 10000L)
+    assert(copies.nonEmpty)
+    copies.foreach(c => assert(dropped.contains(c) && dropped(c) < c,
+      s"copy $c must drop to a lower-id representative"))
+    // full driver-side brute force: same cells (the operator's own
+    // assignment — clustering itself is pinned by the q_sim_kmeans
+    // oracle), cosine re-derived with graft_cosine's exact arithmetic
+    // (in-order double accumulation over widened floats)
+    val corpus = Tables(spark, tmp).embeddings.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"))
+    val cells = Ann.assignCells(Ann.kmeansCodebook(corpus, k = 4, iters = 2), corpus)
+      .select("corpus_id", "ce", "cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cosQ(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val (va, vb) = (a(i).toDouble, b(i).toDouble)
+        dot += va * vb; na += va * va; nb += vb * vb; i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000).toLong
+    }
+    val expected = cells.flatMap { case (idB, vb, cellB) =>
+      val lower = cells.collect {
+        case (idA, va, cellA)
+          if cellA == cellB && idA < idB && cosQ(va, vb) >= 450000L => idA
+      }
+      if (lower.nonEmpty) Some(idB -> lower.min) else None
+    }.toMap
+    assert(dropped == expected)
+    assert(out.length == cells.length, "every corpus vector gets a verdict row")
+    assert(!physicalPlan(QueriesLlm.dedupSemantic(spark, tmp)).contains("CartesianProduct"))
+  }
+
   test("token-budget mixture: equals the driver-side brute force; budgets and offsets broadcast") {
     import graft.operators.Sampling
     val base = docs.select(col("doc_id"), col("source"),
