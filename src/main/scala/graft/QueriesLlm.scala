@@ -402,6 +402,29 @@ object QueriesLlm {
       Dedup.prefixJaccardPairs(docs(s, dir), k = 3, minJaccardQ = 800000L),
       Dedup.minhashCandidates(docs(s, dir), k = 3, perms = 8, bands = 4))
 
+  /** LSH GEOMETRY sweep (r14) — the measured version of the knob the
+    * admission-quality row's analysis pointed at: with the SAME 8-perm
+    * signature, banding chooses the S-curve. One eval row per geometry
+    * — (8 bands × 1 row), (4 × 2), (2 × 4) — each graded against the
+    * SAME exact τ=0.8 truth join: more rows per band fires less below
+    * τ (precision up, the band-gate false-refusal cost down) at the
+    * price of recall near τ. An operator picking an ingest band gate
+    * tunes (bands, rows) from this row's numbers, not from the
+    * analytic curve alone — the q_sim_recall_sweep posture applied to
+    * the LSH family. The expensive exact truth side is computed once;
+    * the three candidate pipelines reuse the same signature stream. */
+  val dedupRecallGeom: Q = (s, dir) => {
+    val truth = Dedup.prefixJaccardPairs(docs(s, dir), k = 3, minJaccardQ = 800000L)
+      .select(col("doc_a"), col("doc_b"))
+    Seq(8, 4, 2).map { bnd =>
+      pairEvalMetrics(truth,
+        Dedup.minhashCandidates(docs(s, dir), k = 3, perms = 8, bands = bnd))
+        .select(lit(bnd).as("bands"), lit(8 / bnd).as("rows_per_band"),
+          col("n_true"), col("n_cand"), col("n_caught"),
+          col("recall_pct"), col("precision_pct"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The simhash rung's quality row (r12): same exact τ=0.8 ground
     * truth, candidates from the 64-bit SimHash hamming-≤8 pipeline.
     * SimHash approximates tf-weighted COSINE, not Jaccard, so its
@@ -1228,6 +1251,7 @@ object QueriesLlm {
     "q_dedup_substr_incremental" -> dedupSubstrIncremental,
     "q_dedup_substr_served" -> dedupSubstrServed,
     "q_dedup_recall"        -> dedupRecall,
+    "q_dedup_recall_geom"   -> dedupRecallGeom,
     "q_dedup_semdedup"      -> dedupSemantic,
     "q_dedup_recall_simhash" -> dedupRecallSimhash,
     "q_dedup_recall_embcos" -> dedupRecallEmbcos,
@@ -1427,7 +1451,10 @@ WHERE n_common * 1000000 >= 800000 * (na.nsh + nb.nsh - n_common)"""
     * [[minhashPairsChain]]; also used alone by the incremental-dedup
     * oracle, whose index/delta split recomputes bucket sizes over the
     * corpus side only. */
-  private val minhashBandsChain: String = shinglesCte + s""",
+  /** Prefix of [[minhashBandsChain]] ending in `sigs` (per-doc 8-perm
+    * signatures) — shared with the geometry-sweep oracle, which derives
+    * THREE bandings from the same signatures. */
+  private val minhashSigsChain: String = shinglesCte + s""",
 shh0 AS (
   SELECT doc_id, md5(s) AS hx FROM sh0
 ), shh AS (
@@ -1440,7 +1467,10 @@ shh0 AS (
   GROUP BY 1, 2
 ), sigs AS (
   SELECT doc_id, list(sig ORDER BY p) AS sig FROM perm GROUP BY 1
-), bands AS (
+)"""
+
+  private val minhashBandsChain: String = minhashSigsChain + s""",
+bands AS (
   SELECT doc_id, b, bk, count(*) OVER (PARTITION BY b, bk) AS bsz FROM (
     SELECT doc_id, b,
       md5(CAST(sig[b*2+1] AS VARCHAR) || '|' || CAST(sig[b*2+2] AS VARCHAR)) AS bk
@@ -1462,6 +1492,43 @@ mh_pairs AS (
   GROUP BY 1, 2
   HAVING arg_min(a.bsz, a.b) <= 10000
 )"""
+
+  /** One geometry's bands+candidates CTEs over the shared `sigs`
+    * (suffix-tagged): band key = md5 of the '|'-joined rows-per-band
+    * signature slice — Dedup.bandKeyCol's SQL twin at arbitrary
+    * geometry, with the same first-uncapped-band ownership rule. */
+  private def geomCtes(tag: String, bands: Int): String = {
+    val rows = 8 / bands
+    val key = (0 until rows).map(r => s"CAST(sig[b*$rows + ${r + 1}] AS VARCHAR)")
+      .mkString(" || '|' || ")
+    s"""bands$tag AS (
+  SELECT doc_id, b, bk, count(*) OVER (PARTITION BY b, bk) AS bsz FROM (
+    SELECT doc_id, b, md5($key) AS bk
+    FROM sigs, unnest(generate_series(0, ${bands - 1})) t(b))
+), cand$tag AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands$tag a JOIN bands$tag b
+    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING arg_min(a.bsz, a.b) <= 10000
+)"""
+  }
+
+  /** One geometry's graded eval row (the pairEvalMetrics tail in SQL),
+    * against the shared `truth` CTE. */
+  private def geomEval(tag: String, bands: Int): String =
+    s"""SELECT CAST($bands AS INT) AS bands, CAST(${8 / bands} AS INT) AS rows_per_band,
+  n_true, n_cand, n_caught,
+  CASE WHEN n_true > 0 THEN n_caught * 100 // n_true END AS recall_pct,
+  CASE WHEN n_cand > 0 THEN n_caught * 100 // n_cand END AS precision_pct
+FROM (
+  SELECT CAST(COALESCE(SUM(CASE WHEN is_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true,
+         CAST(COALESCE(SUM(CASE WHEN is_c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cand,
+         CAST(COALESCE(SUM(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught
+  FROM (
+    SELECT t.doc_a IS NOT NULL AS is_t, m.doc_a IS NOT NULL AS is_c
+    FROM truth t FULL JOIN cand$tag m
+      ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b) u) agg"""
 
   /** Transitive closure over `mh_pairs` ending in `lbl` (id → component
     * minimum) — shared by the cluster and survivor oracles so the three
@@ -2427,6 +2494,28 @@ SELECT n_true, n_cand, n_caught,
   CASE WHEN n_true > 0 THEN n_caught * 100 // n_true END AS recall_pct,
   CASE WHEN n_cand > 0 THEN n_caught * 100 // n_cand END AS precision_pct
 FROM agg"""),
+
+    // geometry sweep: THREE bandings of the SAME signature CTEs, each
+    // graded against the SAME (materialized) exact-truth join — the
+    // S-curve knob measured, not argued
+    "q_dedup_recall_geom" -> (
+      "WITH " + minhashSigsChain + ",\n" +
+        geomCtes("8", 8) + ",\n" + geomCtes("4", 4) + ",\n" +
+        geomCtes("2", 2) + """,
+sizes AS (
+  SELECT doc_id, count(*) AS nsh FROM sh0 GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh0 a JOIN sh0 b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes na ON doc_a = na.doc_id
+  JOIN sizes nb ON doc_b = nb.doc_id
+  WHERE n_common * 1000000 >= 800000 * (na.nsh + nb.nsh - n_common)
+)
+""" + geomEval("8", 8) + "\nUNION ALL\n" + geomEval("4", 4) +
+        "\nUNION ALL\n" + geomEval("2", 2)),
 
     // transitive closure of the SAME candidate pairs (shared CTE chain):
     // component = minimum doc reachable over the pair graph. The

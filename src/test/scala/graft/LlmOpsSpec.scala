@@ -1002,6 +1002,29 @@ class LlmOpsSpec extends AnyFunSuite {
       "threshold for the minimum-count stratum is 256: every row kept")
   }
 
+  test("LSH geometry sweep: coarser bands nest candidates; each union row grades its own geometry") {
+    def cands(b: Int) = Dedup.minhashCandidates(docs, 3, 8, b)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (c8, c4, c2) = (cands(8), cands(4), cands(2))
+    // a pair agreeing on an r-row band agrees on every 1-row sub-band,
+    // so candidate sets nest as bands coarsen (caps don't bind here)
+    assert(c2.subsetOf(c4) && c4.subsetOf(c8))
+    assert(c2.size < c8.size, "the geometry knob must actually move the candidate volume")
+    val rows = QueriesLlm.dedupRecallGeom(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("bands") -> r).toMap
+    assert(rows.keySet == Set(8, 4, 2))
+    // each union row graded ITS OWN geometry: candidate counts match
+    // the standalone pipelines, truth count is shared
+    assert(rows(8).getAs[Long]("n_cand") == c8.size.toLong)
+    assert(rows(4).getAs[Long]("n_cand") == c4.size.toLong)
+    assert(rows(2).getAs[Long]("n_cand") == c2.size.toLong)
+    assert(rows.values.map(_.getAs[Long]("n_true")).toSet.size == 1)
+    // nesting ⇒ caught counts are monotone in band count
+    assert(rows(2).getAs[Long]("n_caught") <= rows(4).getAs[Long]("n_caught"))
+    assert(rows(4).getAs[Long]("n_caught") <= rows(8).getAs[Long]("n_caught"))
+  }
+
   test("SemDeDup: planted copies drop to lower-id reps; drop set equals the in-cell brute force") {
     import graft.operators.Ann
     // plant exact copies (vec_id + 10000): identical vectors assign to
