@@ -483,8 +483,14 @@ object QueriesLlm {
     val corpus = Tables(s, dir).embeddings.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"))
     val cb = operators.Ann.kmeansCodebook(corpus, k = 4, iters = 2)
+    // the assignment is consumed three times (both pair sides + the
+    // verdict join): localCheckpoint stands in for the PERSISTED
+    // cluster assignment a deployment dedups against (the pqCodebook
+    // convention) — without it the Lloyd training lazily re-runs per
+    // consumer (measured 2.35 → 1.2 s at sf0.1)
     val cells = operators.Ann.assignCells(cb, corpus)
       .select(col("corpus_id"), col("ce"), col("cell"))
+      .localCheckpoint()
     val pairs = cells
       .select(col("cell"), col("corpus_id").as("va"), col("ce").as("ca"))
       .join(cells.select(col("cell"), col("corpus_id").as("vb"), col("ce").as("vb_ce")),

@@ -207,11 +207,19 @@ object TextAnalysis {
     * Σbl(cnt+1)`, so per-trigram rows never need the totals). */
   def trigramSurprisal(docs: DataFrame, refLang: String = "en",
       keepBelowMb: Long = 7340L): DataFrame = {
-    val tris = expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+    // compiled one-pass extraction (plans/CharNgrams): the HOF
+    // transform+substring walk is interpreted and O(len²) per doc —
+    // the measured difference at sf0.1 was the whole scoring stage
+    val tris = call_function("graft_char_ngrams", col("text"), lit(3))
     val long3 = docs.filter(length(col("text")) >= 3)
+    // the KB–MB model is consumed twice (totals + the scoring join):
+    // localCheckpoint stands in for the PERSISTED model a deployment
+    // scores against (the pqCodebook convention), so the reference
+    // slice's trigram pass runs once, not per consumer
     val model = long3.filter(col("lang") === refLang)
       .select(explode(tris).as("tri"))
       .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val totals = model.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
     long3.select(col("doc_id"), col("lang"), explode(tris).as("tri"))
       .join(broadcast(model), Seq("tri"), "left")

@@ -141,6 +141,10 @@ object GraftFunctions {
       "distinct k-word-shingle md5 hex digests of a word array, one compiled pass", 2) {
       case Seq(w, k) => ShingleMd5s(w, k)
     },
+    fn("graft_char_ngrams",
+      "all character n-grams of a string, one compiled UTF-8 pass", 2) {
+      case Seq(t, n) => CharNgrams(t, n)
+    },
     // The reference ships FOUR ArrayListAggFunction variants (.java, 2, 3,
     // 4) solely to thread generic element types through Flink's type
     // inference tiers; Catalyst aggregates are natively generic, so ONE

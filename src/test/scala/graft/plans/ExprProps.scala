@@ -56,4 +56,27 @@ object ExprProps extends Properties("CompiledSimilarityExprs") {
         .collect().head.getSeq[String](0)
       Prop(viaExpr == viaHof) :| s"k=$k got=$viaExpr want=$viaHof"
     }
+
+  // arbitrary text including multi-byte chars (2-, 3-byte sequences) —
+  // the byte-offset walk must count CODE POINTS exactly as length()/
+  // substring() do
+  private val genText: Gen[String] = for {
+    n  <- Gen.choose(0, 12)
+    cs <- Gen.listOfN(n, Gen.oneOf("a", "b", " ", "é", "的", "9"))
+  } yield cs.mkString
+
+  property("graft_char_ngrams == transform+substring over every position") =
+    Prop.forAll(genText, Gen.choose(1, 4)) { (text, n) =>
+      import TestSpark.spark.implicits._
+      val df = Seq(Tuple1(text)).toDF("t")
+      val viaExpr = df.select(call_function("graft_char_ngrams",
+        col("t"), lit(n)).as("g")).collect().head.getSeq[String](0)
+      // sequence(1, 0) DESCENDS in Spark — guard the sub-n case the
+      // compiled form defines as empty
+      val viaHof = df.select(expr(
+        s"CASE WHEN length(t) >= $n THEN transform(sequence(1, length(t) - $n + 1), " +
+          s"i -> substring(t, i, $n)) ELSE CAST(array() AS array<string>) END")
+        .as("g")).collect().head.getSeq[String](0)
+      Prop(viaExpr == viaHof) :| s"n=$n text='$text' got=$viaExpr want=$viaHof"
+    }
 }
