@@ -65,7 +65,12 @@ object SparkEntry {
       // false-refusal / false-admission vs exact ground truth (the
       // "speed wins bought with silent loss are not done" standard,
       // applied to the flagship composition itself)
-      "q_ingest_recall")
+      "q_ingest_recall",
+      // round-14b: the LSH banding S-curve measured (the band-gate
+      // tuning knob), SemDeDup (kmeans-cell-bounded semantic dedup),
+      // trigram-LM surprisal scoring, and token-budget mixture
+      "q_dedup_recall_geom", "q_dedup_semdedup",
+      "q_text_perplexity", "q_sample_mixture")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs

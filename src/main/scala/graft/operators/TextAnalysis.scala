@@ -207,10 +207,16 @@ object TextAnalysis {
     * Σbl(cnt+1)`, so per-trigram rows never need the totals). */
   def trigramSurprisal(docs: DataFrame, refLang: String = "en",
       keepBelowMb: Long = 7340L): DataFrame = {
-    // compiled one-pass extraction (plans/CharNgrams): the HOF
-    // transform+substring walk is interpreted and O(len²) per doc —
-    // the measured difference at sf0.1 was the whole scoring stage
-    val tris = call_function("graft_char_ngrams", col("text"), lit(3))
+    // compiled one-pass extraction (plans/CharNgramCodes): the HOF
+    // transform+substring walk is interpreted and O(len²) per doc, and
+    // at the multi-billion-trigram scale even compiled STRING slices
+    // lose to fixed-width keys — each trigram packs its code points
+    // into one BIGINT (injective for n=3), so the explode carries
+    // 8-byte longs and every downstream hash (shuffle, broadcast
+    // probe, aggregate) runs on a primitive. Internal keying only: the
+    // output is per-doc aggregates, so the DuckDB oracle still joins
+    // on trigram TEXT and the hash gate proves the keyings equivalent.
+    val tris = call_function("graft_char_ngram_codes", col("text"), lit(3))
     val long3 = docs.filter(length(col("text")) >= 3)
     // the KB–MB model is consumed twice (totals + the scoring join):
     // localCheckpoint stands in for the PERSISTED model a deployment

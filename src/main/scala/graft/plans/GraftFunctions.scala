@@ -145,6 +145,10 @@ object GraftFunctions {
       "all character n-grams of a string, one compiled UTF-8 pass", 2) {
       case Seq(t, n) => CharNgrams(t, n)
     },
+    fn("graft_char_ngram_codes",
+      "all character n-grams packed as code-point BIGINTs (n <= 3), one pass", 2) {
+      case Seq(t, n) => CharNgramCodes(t, n)
+    },
     // The reference ships FOUR ArrayListAggFunction variants (.java, 2, 3,
     // 4) solely to thread generic element types through Flink's type
     // inference tiers; Catalyst aggregates are natively generic, so ONE

@@ -79,4 +79,18 @@ object ExprProps extends Properties("CompiledSimilarityExprs") {
         .as("g")).collect().head.getSeq[String](0)
       Prop(viaExpr == viaHof) :| s"n=$n text='$text' got=$viaExpr want=$viaHof"
     }
+
+  property("graft_char_ngram_codes packs each gram's code points, position-aligned") =
+    Prop.forAll(genText, Gen.choose(1, 3)) { (text, n) =>
+      import TestSpark.spark.implicits._
+      val df = Seq(Tuple1(text)).toDF("t")
+      val codes = df.select(call_function("graft_char_ngram_codes",
+        col("t"), lit(n)).as("c")).collect().head.getSeq[Long](0)
+      val grams = df.select(call_function("graft_char_ngrams",
+        col("t"), lit(n)).as("g")).collect().head.getSeq[String](0)
+      def pack(g: String): Long =
+        g.codePoints().toArray.foldLeft(0L)((a, cp) => (a << 21) | (cp & 0x1fffffL))
+      Prop(codes == grams.map(pack)) :|
+        s"n=$n text='$text' codes=$codes grams=$grams"
+    }
 }

@@ -10,7 +10,7 @@ policy as Bench.scala's steady-state number.
 import sys, os, json, time
 import duckdb
 
-# keep in sync with SparkEntry.headline (44 queries as of round 13)
+# keep in sync with SparkEntry.headline (49 queries as of round 14)
 HEADLINE = ["q1_agg", "q_join_star", "q_component_activity", "q_dedup_minhash",
             "q_sim_topk", "q_text_quality", "q_session_windows",
             "q_asof_join", "q_range_join", "q_dedup_spans", "q_freq_heavyhitters",
@@ -24,7 +24,9 @@ HEADLINE = ["q1_agg", "q_join_star", "q_component_activity", "q_dedup_minhash",
             "q_image_jpeg", "q_video_demux", "q_dedup_substrings", "q_sim_recall",
             "q_sim_recall_pq", "q_sim_recall_ivfpq", "q_video_demux_mp4",
             "q_dedup_substr_served", "q_dedup_recall", "q_ingest_gates",
-            "q_ingest_gates_served", "q_ingest_recall"]
+            "q_ingest_gates_served", "q_ingest_recall",
+            "q_dedup_recall_geom", "q_dedup_semdedup",
+            "q_text_perplexity", "q_sample_mixture"]
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
