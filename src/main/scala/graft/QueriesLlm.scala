@@ -609,6 +609,32 @@ object QueriesLlm {
       .select(col("doc_id"), col("lang"), col("n_tri"), col("n_oov"),
         col("surprisal_mb"), col("keep"))
 
+  /** SERVED form of [[textPerplexity]]: the collected persisted model
+    * embedded into the compiled row-local scorer (plans/LmStats — the
+    * shape the streaming gate runs STATELESS; the driver-side collect
+    * of the KB-scale model is the BPE served-model precedent). Shares
+    * q_text_perplexity's oracle verbatim: same columns, same integer
+    * arithmetic, so the hash gate proves explode-join-aggregate and
+    * embedded-table scoring equivalent end to end. */
+  val textPerplexityServed: Q = (s, dir) => {
+    // build-once gate, keyed (applicationId, corpus) like the served
+    // gram index: deployment trains/persists the model beside the
+    // corpus and a serving job loads it ONCE at start — steady runs
+    // price scoring, the cold run prices train+load (the
+    // q_sim_ivfpq_served convention)
+    val (keys, cnts, tot, v) = lmModelCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir, _ => {
+        val m = TextAnalysis.trigramModel(docs(s, dir)).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        (m.map(_._1), m.map(_._2), m.map(_._2).sum, m.length.toLong)
+      })
+    TextAnalysis.surprisalServed(docs(s, dir), keys, cnts, tot, v)
+      .select(col("doc_id"), col("lang"), col("n_tri"), col("n_oov"),
+        col("surprisal_mb"), col("keep"))
+  }
+  private val lmModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Long], Array[Long], Long, Long)]
+
   /** PII scrub over text with deterministically planted PII (the
     * synthetic corpus has none; both engines plant the identical
     * suffix, so counts and redactions are real and verifiable). */
@@ -1280,6 +1306,7 @@ object QueriesLlm {
     "q_text_fingerprint"    -> textFingerprint,
     "q_text_pii"            -> textPii,
     "q_text_perplexity"     -> textPerplexity,
+    "q_text_perplexity_served" -> textPerplexityServed,
     "q_text_repetition"     -> textRepetition,
     "q_decontaminate"       -> decontaminate,
     "q_sim_topk"            -> simTopk,
@@ -1651,6 +1678,33 @@ sym AS (
        |  FROM $assign a JOIN embeddings e ON e.vec_id = a.corpus_id,
        |       unnest(generate_series(0, 63)) t(i)
        |  GROUP BY 1, 2) m GROUP BY 1""".stripMargin
+
+  /** Trigram-LM surprisal oracle — shared verbatim by the inline
+    * (q_text_perplexity) and served (q_text_perplexity_served) forms:
+    * the output is representation-free, so one SQL grades both the
+    * explode-join-aggregate corpus shape and the embedded compiled
+    * model table. */
+  private lazy val perplexityOracle: String =
+    """WITH tri AS (
+  SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tri
+  FROM documents, unnest(generate_series(1, length(text) - 2)) t(i)
+  WHERE length(text) >= 3
+), model AS (
+  SELECT tri, COUNT(*) AS cnt FROM tri WHERE lang = 'en' GROUP BY 1
+), tot AS (
+  SELECT SUM(cnt) AS tot, COUNT(*) AS v FROM model
+), scored AS (
+  SELECT d.doc_id, d.lang,
+    COUNT(*) AS n_tri,
+    CAST(SUM(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+    CAST(SUM(length(bin(COALESCE(m.cnt, 0) + 1))) AS BIGINT) AS sum_bl
+  FROM tri d LEFT JOIN model m ON d.tri = m.tri
+  GROUP BY 1, 2
+)
+SELECT s.doc_id, s.lang, s.n_tri, s.n_oov,
+  CAST((length(bin(t.tot + t.v)) * s.n_tri - s.sum_bl) * 1000 // s.n_tri AS BIGINT) AS surprisal_mb,
+  CAST((length(bin(t.tot + t.v)) * s.n_tri - s.sum_bl) * 1000 // s.n_tri AS BIGINT) < 7340 AS keep
+FROM scored s, tot t"""
 
   /** The hash-seeded 2-iteration Lloyd chain ending in `cellof` (the
     * q_sim_kmeans / IVF-PQ training prefix) — factored for the
@@ -2684,28 +2738,11 @@ FROM f"""),
     // trigram-LM surprisal: bin()/length() IS the integer log2 both
     // engines share, so the mean-millibit score hash-matches with no
     // float log-prob summation anywhere (see TextAnalysis
-    // .trigramSurprisal's rationale)
-    "q_text_perplexity" -> (
-      """WITH tri AS (
-  SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tri
-  FROM documents, unnest(generate_series(1, length(text) - 2)) t(i)
-  WHERE length(text) >= 3
-), model AS (
-  SELECT tri, COUNT(*) AS cnt FROM tri WHERE lang = 'en' GROUP BY 1
-), tot AS (
-  SELECT SUM(cnt) AS tot, COUNT(*) AS v FROM model
-), scored AS (
-  SELECT d.doc_id, d.lang,
-    COUNT(*) AS n_tri,
-    CAST(SUM(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-    CAST(SUM(length(bin(COALESCE(m.cnt, 0) + 1))) AS BIGINT) AS sum_bl
-  FROM tri d LEFT JOIN model m ON d.tri = m.tri
-  GROUP BY 1, 2
-)
-SELECT s.doc_id, s.lang, s.n_tri, s.n_oov,
-  CAST((length(bin(t.tot + t.v)) * s.n_tri - s.sum_bl) * 1000 // s.n_tri AS BIGINT) AS surprisal_mb,
-  CAST((length(bin(t.tot + t.v)) * s.n_tri - s.sum_bl) * 1000 // s.n_tri AS BIGINT) < 7340 AS keep
-FROM scored s, tot t"""),
+    // .trigramSurprisal's rationale). The SAME SQL grades the served
+    // form (embedded compiled model table) — output is representation-
+    // free, so one oracle proves both scoring shapes.
+    "q_text_perplexity" -> perplexityOracle,
+    "q_text_perplexity_served" -> perplexityOracle,
 
     "q_text_tokens" -> (
       s"""SELECT lang, COUNT(*) AS n_docs,

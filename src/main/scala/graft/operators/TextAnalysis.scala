@@ -222,10 +222,7 @@ object TextAnalysis {
     // localCheckpoint stands in for the PERSISTED model a deployment
     // scores against (the pqCodebook convention), so the reference
     // slice's trigram pass runs once, not per consumer
-    val model = long3.filter(col("lang") === refLang)
-      .select(explode(tris).as("tri"))
-      .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+    val model = trigramModel(docs, refLang).localCheckpoint()
     val totals = model.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
     long3.select(col("doc_id"), col("lang"), explode(tris).as("tri"))
       .join(broadcast(model), Seq("tri"), "left")
@@ -238,6 +235,40 @@ object TextAnalysis {
         expr("(length(bin(tot + v)) * n_tri - sum_bl) * 1000L div n_tri")
           .as("surprisal_mb"))
       .withColumn("keep", col("surprisal_mb") < lit(keepBelowMb))
+  }
+
+  /** The [[trigramSurprisal]] model alone: (tri BIGINT code, cnt) over
+    * the `lang = refLang` slice — the artifact a deployment persists
+    * beside the corpus and the serving/streaming scorer embeds. */
+  def trigramModel(docs: DataFrame, refLang: String = "en"): DataFrame =
+    docs.filter(length(col("text")) >= 3 && col("lang") === refLang)
+      .select(explode(call_function("graft_char_ngram_codes",
+        col("text"), lit(3))).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+
+  /** ROW-LOCAL surprisal scoring against an EMBEDDED model — the
+    * serving/streaming face of [[trigramSurprisal]]: same columns, same
+    * integer arithmetic, but each doc scores in isolation through the
+    * compiled [[graft.plans.LmStats]] table (no explode, no join, no
+    * per-doc re-aggregation — on a stream that aggregate would be the
+    * query's only STATEFUL operator, so this form has none). The model
+    * arrays are the COLLECTED persisted model (KB-scale, bounded by
+    * alphabet³ — the BPE served-model precedent); `tot`/`v` are its
+    * summary stats, folded into the constant blv = bitlen(tot + v). */
+  def surprisalServed(docs: DataFrame, keys: Array[Long], cnts: Array[Long],
+      tot: Long, v: Long, keepBelowMb: Long = 7340L): DataFrame = {
+    require(tot > 0 && v > 0, s"surprisalServed: empty model (tot=$tot, v=$v)")
+    val blv: Long = 64L - java.lang.Long.numberOfLeadingZeros(tot + v)
+    val stats = call_function("graft_lm_stats", col("text"), lit(3),
+      typedLit(keys.toSeq), typedLit(cnts.toSeq))
+    docs.filter(length(col("text")) >= 3)
+      .withColumn("_s", stats)
+      .withColumn("n_tri", col("_s").getItem(0))
+      .withColumn("n_oov", col("_s").getItem(1))
+      .withColumn("surprisal_mb",
+        expr(s"(${blv}L * n_tri - _s[2]) * 1000L div n_tri"))
+      .withColumn("keep", col("surprisal_mb") < lit(keepBelowMb))
+      .drop("_s")
   }
 
   /** Normalized-content fingerprint (lower + squashed whitespace → md5)

@@ -149,6 +149,10 @@ object GraftFunctions {
       "all character n-grams packed as code-point BIGINTs (n <= 3), one pass", 2) {
       case Seq(t, n) => CharNgramCodes(t, n)
     },
+    fn("graft_lm_stats",
+      "row-local trigram-LM [n_tri, n_oov, sum_bl] vs an embedded literal model", 4) {
+      case Seq(t, n, ks, cs) => LmStats(t, n, ks, cs)
+    },
     // The reference ships FOUR ArrayListAggFunction variants (.java, 2, 3,
     // 4) solely to thread generic element types through Flink's type
     // inference tiers; Catalyst aggregates are natively generic, so ONE

@@ -391,6 +391,28 @@ object StreamingJobs {
     * stream — the horizon is the streaming contract for "duplicate");
     * the per-(window, language) token budget then aggregates the
     * survivors. Input needs `ts` (event time), `doc_id`, `text`. */
+  /** Streaming trigram-LM QUALITY gate — the online face of
+    * [[graft.operators.TextAnalysis.trigramSurprisal]]: every arriving
+    * doc scores against the STANDING corpus's trigram model (trained
+    * once by `TextAnalysis.trigramModel`, persisted beside the corpus,
+    * loaded and embedded at job start — the BPE served-model
+    * precedent) and only docs under the surprisal threshold pass.
+    *
+    * COMPLETELY STATELESS, which is the point: the batch scorer's
+    * explode → join → per-doc aggregate would make the re-aggregation
+    * this query's only stateful operator, with doc_id state that never
+    * expires; the compiled [[graft.plans.LmStats]] table scores each
+    * row in isolation (one n-gram walk + binary searches inside
+    * whole-stage codegen), so the gate runs at scan speed with ZERO
+    * stateful operators (asserted in StreamingSpec) and its verdicts
+    * equal the batch operator's row-for-row on the same model. */
+  def surprisalGateStream(docs: DataFrame, keys: Array[Long],
+      cnts: Array[Long], tot: Long, v: Long,
+      keepBelowMb: Long = 7340L): DataFrame =
+    graft.operators.TextAnalysis
+      .surprisalServed(docs, keys, cnts, tot, v, keepBelowMb)
+      .filter(col("keep"))
+
   def curationPipeline(docs: DataFrame, windowDur: String,
       watermarkDelay: String): DataFrame = {
     val langed = graft.operators.TextAnalysis.langId(docs)

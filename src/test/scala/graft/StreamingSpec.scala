@@ -202,6 +202,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LM surprisal gate: stateless, verdicts equal the batch scorer row-for-row") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // standing corpus trains the model once (the persisted artifact);
+    // the stream embeds its collected form
+    val corpus = graft.sources.Tables(spark, sfDir).documents
+    val model = graft.operators.TextAnalysis.trigramModel(corpus, "en").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (keys, cnts) = (model.map(_._1), model.map(_._2))
+    val (tot, v) = (cnts.sum, model.length.toLong)
+    // arriving docs = the same corpus text replayed (verdicts must
+    // match the BATCH per-doc rows exactly) + one all-OOV doc
+    val arriving = corpus.select(col("doc_id"), col("text"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq :+
+      ((99999L, "ΩΩΩΩΩΩΩΩ", "zz"))
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingJobs.surprisalGateStream(
+        in.toDF().toDF("doc_id", "text", "lang"), keys, cnts, tot, v)
+      .select("doc_id", "n_tri", "n_oov", "surprisal_mb")
+      .writeStream.format("memory").queryName("lm_gate").outputMode("append").start()
+    try {
+      in.addData(arriving)
+      q.processAllAvailable()
+      val got = spark.table("lm_gate").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // batch twin on the same corpus + model: kept set and every
+      // per-doc stat identical (same integer arithmetic end to end)
+      val batch = graft.operators.TextAnalysis.trigramSurprisal(corpus, "en")
+        .filter(col("keep")).collect()
+        .map(r => (r.getLong(0), (r.getAs[Long]("n_tri"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("surprisal_mb")))).toMap
+      assert(got == batch, s"stream kept ${got.size}, batch kept ${batch.size}")
+      assert(!got.contains(99999L), "the all-OOV doc must be refused")
+      // the point of the operator: ZERO stateful operators — the batch
+      // shape's per-doc re-aggregation would be keyed state that never
+      // expires; the compiled row-local scorer needs none
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"expected a stateless query: ${q.lastProgress.prettyJson}")
+    } finally q.stop()
+  }
+
   test("streaming as-of join picks the single latest in-lookback right event") {
     implicit val ctx = spark.sqlContext
     val purchases = MemoryStream[(Long, Timestamp, Long)]
