@@ -504,6 +504,39 @@ object QueriesLlm {
         col("dup_of").isNull.as("keep"))
   }
 
+  /** SemDeDup's quality row: the kmeans-cell candidate strategy graded
+    * against the SAME exact all-pairs cosine truth the embcos eval
+    * uses (τ = 0.45 everywhere). Cells are a COST choice — the
+    * bounded quadratic — and this row MEASURES what the choice loses:
+    * every true pair whose two vectors landed in different cells is a
+    * cross-cell miss (recall < 100), while precision is 100 by
+    * construction (in-cell candidates are exact-cosine-filtered before
+    * grading). The number an operator weighs against 31b's
+    * hyperplane-bucket recall when picking a semantic-dedup rung. */
+  val dedupRecallSemdedup: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("embedding").as("ce"))
+    val truth = e.select(col("vec_id").as("doc_a"), col("ce").as("ca"))
+      .join(broadcast(e.select(col("vec_id").as("doc_b"), col("ce").as("cb"))),
+        col("doc_a") < col("doc_b"))
+      .filter(floor(call_function("graft_cosine", col("ca"), col("cb"))
+        * lit(1000000.0)).cast("long") >= 450000L)
+    val corpus = e.select(col("vec_id").as("corpus_id"), col("ce"))
+    val cb = operators.Ann.kmeansCodebook(corpus, k = 4, iters = 2)
+    val cells = operators.Ann.assignCells(cb, corpus)
+      .select(col("corpus_id"), col("ce"), col("cell"))
+      .localCheckpoint()
+    val cand = cells
+      .select(col("cell"), col("corpus_id").as("doc_a"), col("ce").as("ca"))
+      .join(cells.select(col("cell"), col("corpus_id").as("doc_b"), col("ce").as("cb")),
+        Seq("cell"))
+      .filter(col("doc_a") < col("doc_b") &&
+        floor(call_function("graft_cosine", col("ca"), col("cb"))
+          * lit(1000000.0)).cast("long") >= 450000L)
+      .select(col("doc_a"), col("doc_b"))
+    pairEvalMetrics(truth, cand)
+  }
+
   /** Shared pair-eval tail: full outer join on the (doc_a, doc_b) key,
     * one global aggregate, DIV-floored integer percentages. */
   private def pairEvalMetrics(truthPairs: DataFrame,
@@ -1285,6 +1318,7 @@ object QueriesLlm {
     "q_dedup_recall"        -> dedupRecall,
     "q_dedup_recall_geom"   -> dedupRecallGeom,
     "q_dedup_semdedup"      -> dedupSemantic,
+    "q_dedup_recall_semdedup" -> dedupRecallSemdedup,
     "q_dedup_recall_simhash" -> dedupRecallSimhash,
     "q_dedup_recall_embcos" -> dedupRecallEmbcos,
     "q_ingest_gates"        -> ingestGates,
@@ -2706,6 +2740,36 @@ pairs AS (
 )
 SELECT f.corpus_id, f.cell, d.dup_of, d.dup_of IS NULL AS keep
 FROM cellof f LEFT JOIN drops d ON d.vb = f.corpus_id"""),
+
+    // SemDeDup quality row: truth = exact all-pairs quantized cosine
+    // over the same corpus, candidates = the SAME cellof chain + the
+    // SAME cosine fragment the graded q_dedup_semdedup row uses —
+    // grade and graded strategy share every CTE
+    "q_dedup_recall_semdedup" -> (
+      "WITH " + kmCellsChain + s""",
+truth AS (
+  SELECT a.corpus_id AS doc_a, b.corpus_id AS doc_b
+  FROM c a, c b
+  WHERE a.corpus_id < b.corpus_id AND ${cosSql("a.ce", "b.ce")} >= 450000
+), candp AS (
+  SELECT a.corpus_id AS doc_a, b.corpus_id AS doc_b
+  FROM cellof a JOIN cellof b ON a.cell = b.cell AND a.corpus_id < b.corpus_id
+  JOIN c ea ON ea.corpus_id = a.corpus_id
+  JOIN c eb ON eb.corpus_id = b.corpus_id
+  WHERE ${cosSql("ea.ce", "eb.ce")} >= 450000
+), u AS (
+  SELECT t.doc_a IS NOT NULL AS is_t, m.doc_a IS NOT NULL AS is_c
+  FROM truth t FULL JOIN candp m ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b
+), agg AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN is_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true,
+         CAST(COALESCE(SUM(CASE WHEN is_c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cand,
+         CAST(COALESCE(SUM(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught
+  FROM u
+)
+SELECT n_true, n_cand, n_caught,
+  CASE WHEN n_true > 0 THEN n_caught * 100 // n_true END AS recall_pct,
+  CASE WHEN n_cand > 0 THEN n_caught * 100 // n_cand END AS precision_pct
+FROM agg"""),
 
     "q_text_langid" -> (
       """WITH words AS (

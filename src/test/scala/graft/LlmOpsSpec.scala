@@ -33,7 +33,8 @@ class LlmOpsSpec extends AnyFunSuite {
     for (df <- Seq(QueriesLlm.dedupRecall(spark, sfDir),
         QueriesLlm.simRecallSweep(spark, sfDir),
         QueriesLlm.dedupRecallSimhash(spark, sfDir),
-        QueriesLlm.dedupRecallEmbcos(spark, sfDir)))
+        QueriesLlm.dedupRecallEmbcos(spark, sfDir),
+        QueriesLlm.dedupRecallSemdedup(spark, sfDir)))
       assert(!physicalPlan(df).contains("CartesianProduct"))
     // the text-side evals have no product anywhere: truth, candidates,
     // and the full outer join are all keyed equi-joins (the embcos eval
