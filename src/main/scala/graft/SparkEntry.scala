@@ -70,7 +70,7 @@ object SparkEntry {
       // tuning knob), SemDeDup (kmeans-cell-bounded semantic dedup),
       // trigram-LM surprisal scoring, and token-budget mixture
       "q_dedup_recall_geom", "q_dedup_semdedup",
-      "q_text_perplexity", "q_sample_mixture")
+      "q_text_perplexity", "q_text_perplexity_served", "q_sample_mixture")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs
