@@ -57,12 +57,13 @@ object ExprProps extends Properties("CompiledSimilarityExprs") {
       Prop(viaExpr == viaHof) :| s"k=$k got=$viaExpr want=$viaHof"
     }
 
-  // arbitrary text including multi-byte chars (2-, 3-byte sequences) —
-  // the byte-offset walk must count CODE POINTS exactly as length()/
-  // substring() do
+  // arbitrary text including multi-byte chars (2-, 3- AND 4-byte
+  // sequences — "🌍" is a surrogate pair in the JVM but ONE code
+  // point) — the byte-offset walk must count CODE POINTS exactly as
+  // length()/substring() do
   private val genText: Gen[String] = for {
     n  <- Gen.choose(0, 12)
-    cs <- Gen.listOfN(n, Gen.oneOf("a", "b", " ", "é", "的", "9"))
+    cs <- Gen.listOfN(n, Gen.oneOf("a", "b", " ", "é", "的", "🌍", "9"))
   } yield cs.mkString
 
   property("graft_char_ngrams == transform+substring over every position") =
