@@ -411,11 +411,17 @@ object QueriesLlm {
     * price of recall near τ. An operator picking an ingest band gate
     * tunes (bands, rows) from this row's numbers, not from the
     * analytic curve alone — the q_sim_recall_sweep posture applied to
-    * the LSH family. The expensive exact truth side is computed once;
-    * the three candidate pipelines reuse the same signature stream. */
+    * the LSH family. The expensive exact truth side is MATERIALIZED
+    * once (localCheckpoint — Spark does not share subplans across
+    * union branches, so without it each geometry branch would re-run
+    * the full prefix-join truth chain; the dedupSemantic cell-
+    * assignment convention, and the twin of the oracle's MATERIALIZED
+    * truth CTE). The per-branch minhash signature chain stays inline:
+    * it is the compiled scan-speed MinhashSig, not the heavy side. */
   val dedupRecallGeom: Q = (s, dir) => {
     val truth = Dedup.prefixJaccardPairs(docs(s, dir), k = 3, minJaccardQ = 800000L)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     Seq(8, 4, 2).map { bnd =>
       pairEvalMetrics(truth,
         Dedup.minhashCandidates(docs(s, dir), k = 3, perms = 8, bands = bnd))
@@ -656,7 +662,8 @@ object QueriesLlm {
     // price scoring, the cold run prices train+load (the
     // q_sim_ivfpq_served convention)
     val (keys, cnts, tot, v) = lmModelCache.computeIfAbsent(
-      s.sparkContext.applicationId + "|" + dir, _ => {
+      s.sparkContext.applicationId + "|" + dir + "|" + corpusFingerprint(dir),
+      _ => {
         val m = TextAnalysis.trigramModel(docs(s, dir)).collect()
           .map(r => (r.getLong(0), r.getLong(1)))
         (m.map(_._1), m.map(_._2), m.map(_._2).sum, m.length.toLong)
@@ -665,8 +672,30 @@ object QueriesLlm {
       .select(col("doc_id"), col("lang"), col("n_tri"), col("n_oov"),
         col("surprisal_mb"), col("keep"))
   }
+  /** Keyed (applicationId, dir, corpus fingerprint): a corpus
+    * REWRITTEN at the same path within one application (as tests do
+    * with tmp dirs) changes the fingerprint and retrains, so the
+    * served form can never silently score against a stale model while
+    * the inline form retrains (r15 ADVICE). Entries are KB-scale
+    * collected models; a rewrite adds one entry per version — bounded
+    * by rewrites per application, the same growth the versioned store
+    * convention accepts. */
   private val lmModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Long], Array[Long], Long, Long)]
+
+  /** Driver-side fingerprint of `dir`'s documents table: md5 over the
+    * sorted (path, length, mtime) listing — cheap (metadata only), and
+    * any rewrite (new part files, new sizes, new mtimes) changes it. */
+  private def corpusFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val listing = walk(new java.io.File(dir, "documents.parquet"))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   /** PII scrub over text with deterministically planted PII (the
     * synthetic corpus has none; both engines plant the identical
@@ -2391,8 +2420,12 @@ FROM agg"""
         |    CAST(floor(sqrt(CAST(SUM(tok) AS DOUBLE))) AS BIGINT) AS w
         |  FROM d GROUP BY 1
         |), bud AS (
+        |  -- HUGEINT twin of the Spark side's DECIMAL(38,0) widening:
+        |  -- total*num and B*w both overflow BIGINT at trillion-token
+        |  -- scale (r15 ADVICE); the quotient fits BIGINT by construction
         |  SELECT source,
-        |    (SUM(gtok) OVER () * 1 // 4) * w // SUM(w) OVER () AS budget
+        |    (CAST(SUM(gtok) OVER () AS HUGEINT) * 1 // 4) * w
+        |      // SUM(w) OVER () AS budget
         |  FROM g
         |), c AS (
         |  SELECT doc_id, source, tok,

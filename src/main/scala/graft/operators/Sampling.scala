@@ -96,7 +96,13 @@ object Sampling {
     * floor is deterministic on every engine — and its budget is
     * `(B · w_g) DIV Σw`; a doc is admitted iff its inclusive cumulative
     * token count stays within the budget, so the kept set is a hash-
-    * order prefix with no float boundary anywhere.
+    * order prefix with no float boundary anywhere. The `B · w_g`
+    * product runs in DECIMAL(38,0) (r15 ADVICE): at the trillion-token
+    * corpora this operator targets, B ≈ 5e12 times w ≈ 4.5e6 exceeds
+    * Long.MaxValue — BIGINT arithmetic would silently wrap negative
+    * under ANSI-off Spark while the DuckDB twin raises, so both engines
+    * now widen exactly this one product (the oracle through HUGEINT)
+    * and the quotient, ≤ B by construction, lands back in BIGINT.
     *
     * Scale shape — the running sum does NOT single-reduce per domain:
     * the [[quotaCap]] two-phase decomposition applies to SUMS because
@@ -132,8 +138,12 @@ object Sampling {
     val budgets = subTot.groupBy(col(groupCol)).agg(sum(col("_btok")).as("_gtok"))
       .withColumn("_w", floor(sqrt(col("_gtok").cast("double"))).cast("long"))
       .select(col(groupCol),
-        expr(s"(sum(_gtok) OVER () * $num div $den) * _w" +
-          " div sum(_w) OVER ()").as("budget"))
+        // B = total·num DIV den fits BIGINT (≤ total, since num ≤ den)
+        // but BOTH products — total·num and B·w — can exceed it at
+        // trillion-token scale: widen each to DECIMAL(38,0); each `div`
+        // lands back in BIGINT (IntegralDivide returns LONG)
+        expr(s"CAST(CAST(sum(_gtok) OVER () AS DECIMAL(38,0)) * $num div $den" +
+          " AS DECIMAL(38,0)) * _w div sum(_w) OVER ()").as("budget"))
     keyed
       .join(broadcast(offsets), Seq(groupCol, "_sub"))
       .join(broadcast(budgets), Seq(groupCol))

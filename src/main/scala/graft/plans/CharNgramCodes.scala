@@ -28,7 +28,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * [1, 3] → null (the packing would overflow); fewer than n chars →
   * empty array. Code-point equality over the expression's own
   * single-pass decoder — matches [[CharNgrams]]' boundary walk
-  * (property-pinned: codes ↔ grams bijectively). */
+  * (property-pinned: codes ↔ grams bijectively).
+  *
+  * Injectivity precondition: VALID UTF-8 (what Spark's own string
+  * functions assume; DuckDB refuses invalid bytes at ingest, so no
+  * oracle-checked corpus can carry them). For bytes that are not —
+  * possible in strings read from external parquet — every MALFORMED
+  * sequence (invalid lead, truncated or non-continuation tail,
+  * overlong encoding) decodes to U+FFFD, the standard replacement-
+  * character semantics (r15 ADVICE: the old keep-the-lead-byte
+  * fallback collided a dangling 0xC3 with a literal 0x03, and a bare
+  * continuation byte 0xA0 with valid U+00A0). Malformed byte strings
+  * therefore collide only WITH EACH OTHER (and with a literal
+  * U+FFFD — the inherent cost of lossy decoding, same as every
+  * replacement-character decoder), never onto any other valid code
+  * point, and the boundary walk itself is unchanged — code arrays
+  * stay position-aligned with [[CharNgrams]] on arbitrary bytes
+  * (property-pinned over raw invalid sequences in ExprProps). */
 case class CharNgramCodes(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -76,19 +92,28 @@ object CharNgramCodes {
       val b0 = bytes(i) & 0xff
       var cp = 0
       var w = 1
+      var bad = false
       if (b0 < 0x80) cp = b0
       else if ((b0 & 0xe0) == 0xc0) { w = 2; cp = b0 & 0x1f }
       else if ((b0 & 0xf0) == 0xe0) { w = 3; cp = b0 & 0x0f }
       else if ((b0 & 0xf8) == 0xf0) { w = 4; cp = b0 & 0x07 }
-      else cp = b0 // invalid lead byte: keep as-is, still injective
+      else bad = true // bare continuation byte or 0xF8–0xFF lead
       var j = 1
       while (j < w && i + j < len) {
-        cp = (cp << 6) | (bytes(i + j) & 0x3f)
+        val bj = bytes(i + j) & 0xff
+        if ((bj & 0xc0) != 0x80) bad = true // grabbed a non-continuation
+        cp = (cp << 6) | (bj & 0x3f)
         j += 1
       }
-      cps(nc) = cp
+      if (j < w) bad = true // truncated at end of string
+      // overlong encodings collide with shorter valid forms — malformed;
+      // surrogates and cp > U+10FFFF are invalid UTF-8 (RFC 3629) too
+      if (w == 2 && cp < 0x80) bad = true
+      if (w == 3 && (cp < 0x800 || (cp >= 0xd800 && cp <= 0xdfff))) bad = true
+      if (w == 4 && (cp < 0x10000 || cp > 0x10ffff)) bad = true
+      cps(nc) = if (bad) 0xFFFD else cp
       nc += 1
-      i += w
+      i += w // the width from the lead byte, exactly CharNgrams' walk
     }
     if (nc < n) return new GenericArrayData(new Array[Long](0))
     val out = new Array[Long](nc - n + 1)

@@ -384,13 +384,6 @@ object StreamingJobs {
       .filter(length(col("text")) > 0)
   }
 
-  /** Streaming twin of the curation pipeline (QueriesLlm.pipelinePrep):
-    * language-ID and the quality gate run as STATELESS projections at
-    * ingest rate; dedup keys on the normalized-content fingerprint with
-    * watermark-bounded state (an unbounded seen-set cannot exist in a
-    * stream — the horizon is the streaming contract for "duplicate");
-    * the per-(window, language) token budget then aggregates the
-    * survivors. Input needs `ts` (event time), `doc_id`, `text`. */
   /** Streaming trigram-LM QUALITY gate — the online face of
     * [[graft.operators.TextAnalysis.trigramSurprisal]]: every arriving
     * doc scores against the STANDING corpus's trigram model (trained
@@ -413,6 +406,13 @@ object StreamingJobs {
       .surprisalServed(docs, keys, cnts, tot, v, keepBelowMb)
       .filter(col("keep"))
 
+  /** Streaming twin of the curation pipeline (QueriesLlm.pipelinePrep):
+    * language-ID and the quality gate run as STATELESS projections at
+    * ingest rate; dedup keys on the normalized-content fingerprint with
+    * watermark-bounded state (an unbounded seen-set cannot exist in a
+    * stream — the horizon is the streaming contract for "duplicate");
+    * the per-(window, language) token budget then aggregates the
+    * survivors. Input needs `ts` (event time), `doc_id`, `text`. */
   def curationPipeline(docs: DataFrame, windowDur: String,
       watermarkDelay: String): DataFrame = {
     val langed = graft.operators.TextAnalysis.langId(docs)

@@ -1108,6 +1108,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("token-budget mixture: trillion-token scale — B·w over Long.Max stays exact (DECIMAL path)") {
+    // r15 ADVICE: with the docstring's trillion-token corpora the
+    // budget product B·w exceeds Long.MaxValue; ANSI-off BIGINT
+    // arithmetic wrapped it negative (admitting nothing) while the
+    // DuckDB twin raised. Both engines now widen the product — this
+    // pins the Spark side against a BigInt brute force at a scale
+    // where the old formulation provably wrapped.
+    import graft.operators.Sampling
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val perDoc = 575000000000000000L // 5.75e17 tokens
+    val rows = (1L to 8L).map(i => (i, "a", perDoc)) ++
+      (9L to 14L).map(i => (i, "b", perDoc))
+    val base = rows.toDF("doc_id", "source", "tok")
+    val gtok = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val w = gtok.view.mapValues(t => math.sqrt(t.toDouble).toLong).toMap
+    val tt = gtok.values.sum // 8.05e18 — fits BIGINT; tt/4 ≈ 2.01e18
+    val sw = w.values.sum
+    val bigB = BigInt(tt / 4L)
+    // the regime the fix exists for: the Long product would wrap
+    assert(bigB * BigInt(w("a")) > BigInt(Long.MaxValue),
+      "test corpus must put B*w over Long.Max")
+    val budgets = w.view.mapValues(wg => (bigB * wg / sw).toLong).toMap
+    assert(budgets.values.forall(b => b > 0 && b >= perDoc),
+      s"budgets must be positive and admit at least one doc: $budgets")
+    val expected = rows.groupBy(_._2).iterator.flatMap { case (src, rs) =>
+      val ordered = rs.sortBy(t => (md5hex(s"mix|${t._1}"), t._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cums).takeWhile(_._2 <= budgets(src))
+        .map { case ((id, s, _), cum) => (id, s, cum, budgets(src)) }
+    }.toSet
+    assert(expected.nonEmpty, "the budget must admit something at this scale")
+    val out = Sampling.tokenBudgetMixture(base, "source", "doc_id", "tok")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("cum_tok"), r.getAs[Long]("budget"))).toSet
+    assert(out == expected)
+  }
+
   test("shuffleOrder is the single-sort permutation: total, retry-stable, seed-keyed") {
     import graft.operators.Sampling
     val df = docs.select(col("doc_id"))

@@ -94,4 +94,55 @@ object ExprProps extends Properties("CompiledSimilarityExprs") {
       Prop(codes == grams.map(pack)) :|
         s"n=$n text='$text' codes=$codes grams=$grams"
     }
+
+  // arbitrary RAW BYTES — including invalid UTF-8 (bare continuation
+  // bytes, dangling leads, overlongs, surrogate encodings): strings
+  // read from external parquet carry whatever bytes were written. The
+  // r15 ADVICE case: the old fallback collided a dangling 0xC3 lead
+  // with a literal 0x03.
+  private val genBytes: Gen[Array[Byte]] = for {
+    n  <- Gen.choose(0, 16)
+    bs <- Gen.listOfN(n, Gen.oneOf[Int](
+      0x41, 0x03, 0x20,              // ASCII
+      0xc3, 0xa9, 0xc2, 0xa0,        // valid-2-byte material + bare tails
+      0xe4, 0xb8, 0xad,              // valid-3-byte material
+      0xf0, 0x9f, 0x8c, 0x8d,        // valid-4-byte material
+      0xc0, 0x81,                    // overlong lead
+      0xed, 0xa0, 0x80,              // surrogate encoding material
+      0xf5, 0xf8, 0xff))             // out-of-range / invalid leads
+  } yield bs.map(_.toByte).toArray
+
+  property("graft_char_ngram_codes on INVALID UTF-8: boundary-aligned with " +
+    "graft_char_ngrams; valid chars decode, malformed chars → U+FFFD") =
+    Prop.forAll(genBytes, Gen.choose(1, 3)) { (bytes, n) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val s = UTF8String.fromBytes(bytes)
+      val codes = Option(CharNgramCodes.codes(s, n))
+        .map(a => a.toLongArray.toSeq).getOrElse(Seq.empty)
+      val grams = Option(CharNgrams.ngrams(s, n))
+        .map(a => (0 until a.numElements()).map(i =>
+          a.getUTF8String(i).getBytes.clone())).getOrElse(Seq.empty)
+      // the two expressions must agree on CHAR BOUNDARIES regardless of
+      // byte validity — same count of n-grams
+      val aligned = Prop(codes.length == grams.length) :|
+        s"walks disagree: ${codes.length} codes vs ${grams.length} grams"
+      // 1-gram spec, judged by the JDK's strict decoder (independent of
+      // the expression's own logic): a char slice that round-trips as
+      // exactly one code point packs that code point; anything else —
+      // truncated, overlong, surrogate, out-of-range — packs U+FFFD
+      val spec = if (n != 1) Prop.passed else Prop.all(
+        codes.zip(grams).zipWithIndex.map { case ((code, gb), i) =>
+          val cps = new String(gb, java.nio.charset.StandardCharsets.UTF_8)
+            .codePoints().toArray
+          val roundTrips = cps.length == 1 &&
+            java.util.Arrays.equals(
+              new String(gb, java.nio.charset.StandardCharsets.UTF_8)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8), gb)
+          val want = if (roundTrips) cps(0).toLong else 0xFFFDL
+          Prop(code == want) :|
+            s"pos $i: bytes=${gb.map(b => f"${b & 0xff}%02x").mkString} " +
+              s"code=$code want=$want"
+        }: _*)
+      aligned && spec
+    }
 }
