@@ -146,6 +146,58 @@ object Probe {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       spark.stop(); return
     }
+    if (args.headOption.contains("semdedup")) {
+      // r15: SemDeDup at PRODUCTION geometry — the r14 verdict's top
+      // task. The shipped oracle row runs toy k=4; this sweep trains
+      // k ∝ n (cells stay ~constant-sized, the published cost model)
+      // and measures the recall-vs-k curve against the exact cosine
+      // truth, with the nprobe=2 assignment (assignCellsTop2) as the
+      // cross-cell-miss mitigation — candidate generation only, drop
+      // semantics unchanged.
+      import org.apache.spark.sql.functions._
+      val e = graft.sources.Tables(spark, dir).embeddings
+        .filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding").as("ce"))
+      val corpus = e.select(col("vec_id").as("corpus_id"), col("ce"))
+        .localCheckpoint()
+      val n = corpus.count()
+      // exact all-pairs truth ONCE (eval-scale quadratic, the
+      // q_dedup_recall_semdedup posture)
+      val truth = e.select(col("vec_id").as("doc_a"), col("ce").as("ca"))
+        .join(broadcast(e.select(col("vec_id").as("doc_b"), col("ce").as("cb"))),
+          col("doc_a") < col("doc_b"))
+        .filter(floor(call_function("graft_cosine", col("ca"), col("cb"))
+          * lit(1000000.0)).cast("long") >= 450000L)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      println(s"[probe] semdedup n=$n n_true=${truth.count()}")
+      val ks = args.lift(1).map(_.split(",").map(_.toInt).toSeq)
+        .getOrElse(Seq(4, 16, 64))
+      for (k <- ks; nprobe <- Seq(1, 2)) {
+        val t0 = System.nanoTime()
+        val cb = graft.operators.Ann.kmeansCodebook(corpus, k = k, iters = 2)
+        val cells =
+          (if (nprobe == 1)
+             graft.operators.Ann.assignCells(cb, corpus)
+           else graft.operators.Ann.assignCellsTop2(cb, corpus))
+            .select(col("corpus_id"), col("ce"), col("cell"))
+            .localCheckpoint()
+        val cand = cells
+          .select(col("cell"), col("corpus_id").as("doc_a"), col("ce").as("ca"))
+          .join(cells.select(col("cell"), col("corpus_id").as("doc_b"),
+            col("ce").as("cb")), Seq("cell"))
+          .filter(col("doc_a") < col("doc_b") &&
+            floor(call_function("graft_cosine", col("ca"), col("cb"))
+              * lit(1000000.0)).cast("long") >= 450000L)
+          .select(col("doc_a"), col("doc_b")).distinct()
+        val m = graft.QueriesLlm.pairEvalMetrics(truth, cand).collect().head
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] semdedup k=$k%-3d nprobe=$nprobe " +
+          f"n_caught=${m.getLong(2)}%7d/${m.getLong(0)}%7d cand=${m.getLong(1)}%9d " +
+          f"recall=${m.getLong(3)}%3d precision=${m.getLong(4)}%3d secs=$secs%7.2f")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("explain")) {
       for (name <- args.drop(1)) {
         println(s"==== $name ====")

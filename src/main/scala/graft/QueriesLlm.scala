@@ -543,9 +543,78 @@ object QueriesLlm {
     pairEvalMetrics(truth, cand)
   }
 
+  /** SemDeDup with CELL PROBING (r15) — the nprobe=2 mitigation for the
+    * cross-cell miss class the r14 quality row measured (49–64%
+    * adversarial recall at toy k): every vector joins candidate
+    * generation under BOTH its top-2 cells ([[graft.operators.Ann
+    * .assignCellsTop2]] — the q_sim_ivf_probe2 pattern applied to the
+    * assignment side), so a true pair split across a cell boundary is
+    * co-bucketed whenever either member ranks the other's cell second.
+    * Drop semantics are UNCHANGED from [[dedupSemantic]]: exact cosine
+    * ≥ τ verifies every candidate, the lowest co-bucketed id wins, and
+    * the verdict row keys on the PRIMARY (rk = 1) assignment — probing
+    * widens candidate generation only, never the clustering. Cost: the
+    * pair join fans out ≤ 4 instances per candidate pair (2 cells ×
+    * 2 cells), deduped before the drop aggregate; at 100 TB the cells
+    * stay constant-sized (k ∝ n) so the probe multiplies the bounded
+    * per-cell quadratic by a small constant — the standard
+    * recall-vs-cost knob, measured against the same exact-cosine truth
+    * in [[dedupRecallSemdedupProbe2]]. */
+  val dedupSemanticProbe2: Q = (s, dir) => {
+    val corpus = Tables(s, dir).embeddings.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"))
+    val cb = operators.Ann.kmeansCodebook(corpus, k = 4, iters = 2)
+    val cells2 = operators.Ann.assignCellsTop2(cb, corpus)
+      .select(col("corpus_id"), col("ce"), col("cell"), col("rk"))
+      .localCheckpoint()
+    val pairs = cells2
+      .select(col("cell"), col("corpus_id").as("va"), col("ce").as("ca"))
+      .join(cells2.select(col("cell"), col("corpus_id").as("vb"),
+        col("ce").as("vb_ce")), Seq("cell"))
+      .filter(col("va") < col("vb") &&
+        floor(call_function("graft_cosine", col("ca"), col("vb_ce"))
+          * lit(1000000.0)).cast("long") >= 450000L)
+      .select(col("va"), col("vb")).distinct()
+    val drops = pairs.groupBy(col("vb")).agg(min(col("va")).as("dup_of"))
+    cells2.filter(col("rk") === 1)
+      .join(drops, cells2("corpus_id") === drops("vb"), "left")
+      .select(col("corpus_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
+
+  /** The probe2 QUALITY row (r15): [[dedupSemanticProbe2]]'s candidate
+    * strategy graded against the IDENTICAL exact all-pairs cosine truth
+    * [[dedupRecallSemdedup]] uses — the two rows differ ONLY in
+    * candidate generation (top-1 vs top-2 cells), so their recall gap
+    * IS the measured value of probing. Precision stays 100 by
+    * construction (candidates are exact-cosine-filtered). */
+  val dedupRecallSemdedupProbe2: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("embedding").as("ce"))
+    val truth = e.select(col("vec_id").as("doc_a"), col("ce").as("ca"))
+      .join(broadcast(e.select(col("vec_id").as("doc_b"), col("ce").as("cb"))),
+        col("doc_a") < col("doc_b"))
+      .filter(floor(call_function("graft_cosine", col("ca"), col("cb"))
+        * lit(1000000.0)).cast("long") >= 450000L)
+    val corpus = e.select(col("vec_id").as("corpus_id"), col("ce"))
+    val cb = operators.Ann.kmeansCodebook(corpus, k = 4, iters = 2)
+    val cells2 = operators.Ann.assignCellsTop2(cb, corpus)
+      .select(col("corpus_id"), col("ce"), col("cell"))
+      .localCheckpoint()
+    val cand = cells2
+      .select(col("cell"), col("corpus_id").as("doc_a"), col("ce").as("ca"))
+      .join(cells2.select(col("cell"), col("corpus_id").as("doc_b"),
+        col("ce").as("cb")), Seq("cell"))
+      .filter(col("doc_a") < col("doc_b") &&
+        floor(call_function("graft_cosine", col("ca"), col("cb"))
+          * lit(1000000.0)).cast("long") >= 450000L)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    pairEvalMetrics(truth, cand)
+  }
+
   /** Shared pair-eval tail: full outer join on the (doc_a, doc_b) key,
     * one global aggregate, DIV-floored integer percentages. */
-  private def pairEvalMetrics(truthPairs: DataFrame,
+  private[graft] def pairEvalMetrics(truthPairs: DataFrame,
       candPairs: DataFrame): DataFrame = {
     val truth = truthPairs.select(col("doc_a"), col("doc_b"), lit(1).as("t"))
     val cand = candPairs.select(col("doc_a"), col("doc_b"), lit(1).as("c"))
@@ -1347,7 +1416,9 @@ object QueriesLlm {
     "q_dedup_recall"        -> dedupRecall,
     "q_dedup_recall_geom"   -> dedupRecallGeom,
     "q_dedup_semdedup"      -> dedupSemantic,
+    "q_dedup_semdedup_probe2" -> dedupSemanticProbe2,
     "q_dedup_recall_semdedup" -> dedupRecallSemdedup,
+    "q_dedup_recall_semdedup_probe2" -> dedupRecallSemdedupProbe2,
     "q_dedup_recall_simhash" -> dedupRecallSimhash,
     "q_dedup_recall_embcos" -> dedupRecallEmbcos,
     "q_ingest_gates"        -> ingestGates,
@@ -1768,6 +1839,19 @@ SELECT s.doc_id, s.lang, s.n_tri, s.n_oov,
   CAST((length(bin(t.tot + t.v)) * s.n_tri - s.sum_bl) * 1000 // s.n_tri AS BIGINT) AS surprisal_mb,
   CAST((length(bin(t.tot + t.v)) * s.n_tri - s.sum_bl) * 1000 // s.n_tri AS BIGINT) < 7340 AS keep
 FROM scored s, tot t"""
+
+  /** Top-2 assignment twin of kmAssign (r15, the probe2 rows): same
+    * rank expression, rk <= 2 retained with the rank emitted. NULLS
+    * LAST is explicit — the Spark fold keeps null-score cells after
+    * every defined one, and this SQL must pin the same order even on a
+    * corpus with zero-norm vectors. */
+  private def kmAssignTop2(cents: String): String =
+    s"""SELECT corpus_id, ce, cell, rk FROM (
+       |  SELECT c.corpus_id, c.ce, k.cell,
+       |         ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+       |                       ORDER BY ${cosSql("c.ce", "k.ce")} DESC NULLS LAST,
+       |                                k.cell ASC) AS rk
+       |  FROM c, $cents k) x WHERE rk <= 2""".stripMargin
 
   /** The hash-seeded 2-iteration Lloyd chain ending in `cellof` (the
     * q_sim_kmeans / IVF-PQ training prefix) — factored for the
@@ -2787,6 +2871,56 @@ truth AS (
 ), candp AS (
   SELECT a.corpus_id AS doc_a, b.corpus_id AS doc_b
   FROM cellof a JOIN cellof b ON a.cell = b.cell AND a.corpus_id < b.corpus_id
+  JOIN c ea ON ea.corpus_id = a.corpus_id
+  JOIN c eb ON eb.corpus_id = b.corpus_id
+  WHERE ${cosSql("ea.ce", "eb.ce")} >= 450000
+), u AS (
+  SELECT t.doc_a IS NOT NULL AS is_t, m.doc_a IS NOT NULL AS is_c
+  FROM truth t FULL JOIN candp m ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b
+), agg AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN is_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true,
+         CAST(COALESCE(SUM(CASE WHEN is_c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cand,
+         CAST(COALESCE(SUM(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught
+  FROM u
+)
+SELECT n_true, n_cand, n_caught,
+  CASE WHEN n_true > 0 THEN n_caught * 100 // n_true END AS recall_pct,
+  CASE WHEN n_cand > 0 THEN n_caught * 100 // n_cand END AS precision_pct
+FROM agg"""),
+
+    // SemDeDup probe2: the SAME shared kmeans chain extended one CTE
+    // (top-2 assignment), candidate pairs DISTINCT over co-bucketed
+    // cells, drop semantics verbatim from q_dedup_semdedup; the verdict
+    // row keys on the rk=1 slice of the same assignment
+    "q_dedup_semdedup_probe2" -> (
+      "WITH " + kmCellsChain + s""",
+cellof2 AS MATERIALIZED (${kmAssignTop2("k2")}
+), pairs AS (
+  SELECT DISTINCT a.corpus_id AS va, b.corpus_id AS vb
+  FROM cellof2 a JOIN cellof2 b ON a.cell = b.cell AND a.corpus_id < b.corpus_id
+  JOIN c ea ON ea.corpus_id = a.corpus_id
+  JOIN c eb ON eb.corpus_id = b.corpus_id
+  WHERE ${cosSql("ea.ce", "eb.ce")} >= 450000
+), drops AS (
+  SELECT vb, CAST(MIN(va) AS BIGINT) AS dup_of FROM pairs GROUP BY 1
+)
+SELECT f.corpus_id, f.cell, d.dup_of, d.dup_of IS NULL AS keep
+FROM cellof2 f LEFT JOIN drops d ON d.vb = f.corpus_id
+WHERE f.rk = 1"""),
+
+    // probe2 quality row: identical truth to q_dedup_recall_semdedup,
+    // candidates from the top-2 assignment — the recall gap between the
+    // two rows is the measured value of probing
+    "q_dedup_recall_semdedup_probe2" -> (
+      "WITH " + kmCellsChain + s""",
+cellof2 AS MATERIALIZED (${kmAssignTop2("k2")}
+), truth AS (
+  SELECT a.corpus_id AS doc_a, b.corpus_id AS doc_b
+  FROM c a, c b
+  WHERE a.corpus_id < b.corpus_id AND ${cosSql("a.ce", "b.ce")} >= 450000
+), candp AS (
+  SELECT DISTINCT a.corpus_id AS doc_a, b.corpus_id AS doc_b
+  FROM cellof2 a JOIN cellof2 b ON a.cell = b.cell AND a.corpus_id < b.corpus_id
   JOIN c ea ON ea.corpus_id = a.corpus_id
   JOIN c eb ON eb.corpus_id = b.corpus_id
   WHERE ${cosSql("ea.ce", "eb.ce")} >= 450000

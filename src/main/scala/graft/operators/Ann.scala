@@ -174,6 +174,61 @@ object Ann {
         col("_best.cell").as("cell"), col("_best.cscore").as("cscore"))
   }
 
+  /** Top-2 nearest-centroid assignment (r15) — [[assignCells]]' two-slot
+    * sibling for CANDIDATE GENERATION: every corpus vector gets its two
+    * best cells as (cell, rk ∈ {1, 2}) rows, exactly the rows
+    * `ROW_NUMBER() OVER (PARTITION BY vector ORDER BY score DESC NULLS
+    * LAST, cell ASC) <= 2` would rank. The nprobe=2 idea the IVF search
+    * path already uses (q_sim_ivf_probe2) applied to the ASSIGNMENT
+    * side: SemDeDup's cross-cell miss class is pairs split across a
+    * cell boundary, and giving each vector its runner-up cell makes any
+    * pair whose members rank each other's cells top-2 co-bucketed.
+    *
+    * Same ZERO-corpus-exchange shape as [[assignCells]]: the codebook
+    * broadcasts as one packed array row and a row-local fold carries
+    * BOTH slots — a candidate displacing the best demotes it to second,
+    * a candidate beating only the second replaces the second; replace
+    * strictly-greater-only keeps the lower cell on ties, null scores
+    * rank after all defined ones (among themselves by cell — the
+    * window's NULLS LAST order), and a k=1 codebook yields one row.
+    * The 2× output is explode fan-out, not a shuffle. */
+  def assignCellsTop2(cents: DataFrame, corpus: DataFrame): DataFrame = {
+    val packed = cents.agg(
+      sort_array(collect_list(struct(col("cell").cast("int").as("cell"),
+        col("ce")))).as("_cents"))
+    def emptySlot = struct(lit(null).cast("long").as("cscore"),
+      lit(null).cast("int").as("cell"))
+    corpus.join(broadcast(packed))
+      .withColumn("_best2",
+        aggregate(col("_cents"),
+          struct(emptySlot.as("b1"), emptySlot.as("b2")),
+          (acc, x) => {
+            val s = cosQ(col("ce"), x.getField("ce"))
+            val cand = struct(s.as("cscore"),
+              x.getField("cell").cast("int").as("cell"))
+            // "cand outranks slot" in (score DESC NULLS LAST, cell ASC)
+            // order, iterating cells ascending: an empty slot is always
+            // outranked; otherwise only a defined score can displace,
+            // and only strictly greater (or slot-null) — ties keep the
+            // earlier (lower) cell, exactly ROW_NUMBER's order
+            def outranks(slot: Column) = slot.getField("cell").isNull ||
+              (s.isNotNull &&
+                (slot.getField("cscore").isNull || s > slot.getField("cscore")))
+            when(outranks(acc.getField("b1")),
+                struct(cand.as("b1"), acc.getField("b1").as("b2")))
+              .when(outranks(acc.getField("b2")),
+                struct(acc.getField("b1").as("b1"), cand.as("b2")))
+              .otherwise(acc)
+          }))
+      .select(col("corpus_id"), col("ce"),
+        posexplode(filter(
+          array(col("_best2.b1"), col("_best2.b2")),
+          slot => slot.getField("cell").isNotNull)).as(Seq("_p", "_slot")))
+      .select(col("corpus_id"), col("ce"),
+        col("_slot.cell").as("cell"), col("_slot.cscore").as("cscore"),
+        (col("_p") + 1).cast("int").as("rk"))
+  }
+
   /** Distributed spherical k-means — the TRAINED coarse quantizer the
     * IVF path deserves (the [[centroids]] overload above inherits a
     * given cell assignment; this one learns it from the vectors alone).

@@ -1882,6 +1882,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cells == Seq(0))
   }
 
+  test("assignCellsTop2 == the rank<=2 window over the cell fan-out; k=1 yields one row") {
+    import graft.operators.Ann
+    import org.apache.spark.sql.expressions.Window
+    val cb = Ann.kmeansCodebook(kmeansCorpus, k = 4, iters = 2).localCheckpoint()
+    val got = Ann.assignCellsTop2(cb, kmeansCorpus)
+      .select(col("corpus_id"), col("cell"), col("cscore"), col("rk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    // the corpus × k fan-out window the two-slot fold replaces — the
+    // spec: ROW_NUMBER in (score DESC NULLS LAST, cell ASC) order
+    val scored = kmeansCorpus
+      .crossJoin(cb.select(col("cell").cast("int").as("kcell"), col("ce").as("ke")))
+      .select(col("corpus_id"), col("kcell").as("cell"),
+        floor(call_function("graft_cosine", col("ce"), col("ke"))
+          * lit(1000000.0)).cast("long").as("cscore"))
+    val w = Window.partitionBy(col("corpus_id"))
+      .orderBy(col("cscore").desc_nulls_last, col("cell").asc)
+    val expected = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expected)
+    assert(got.count(_._4 == 1) * 2 == got.size, "exactly two slots per vector at k=4")
+    // a k=1 codebook leaves the second slot empty — one row, rk = 1
+    val one = Ann.assignCellsTop2(
+        Ann.kmeansCodebook(kmeansCorpus, k = 1, iters = 1), kmeansCorpus)
+      .select(col("rk")).collect().map(_.getInt(0))
+    assert(one.nonEmpty && one.forall(_ == 1))
+  }
+
   test("kmeans: training iteration is broadcast-assign + one map-side-combined aggregate") {
     import graft.operators.Ann
     val plan = physicalPlan(Ann.kmeansCodebook(kmeansCorpus, k = 4, iters = 1))
