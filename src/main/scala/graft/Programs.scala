@@ -280,13 +280,27 @@ object Programs {
     * written whole-then-visible (`_SUCCESS` is the completeness marker),
     * so a crash mid-write leaves the previous version live — the
     * versioned-sibling discipline `Layout.compact` enforces for
-    * compaction, applied to index maintenance. */
-  private def latestVersion(storeDir: String, name: String): String = {
+    * compaction, applied to index maintenance.
+    *
+    * `upTo` (r15) is the DETERMINISTIC-REPLAY bound: a streaming batch
+    * `b` reads every artifact at the latest version ≤ `b` — the state
+    * that existed when the batch FIRST ran (versions are numbered
+    * batchId + 1 by the writer), never the versions the batch itself
+    * wrote. A batch replayed after a crash therefore reproduces its
+    * original admissions and artifact writes bit-for-bit (per-batch-dir
+    * overwrites make the re-writes idempotent), instead of probing the
+    * post-fold state and refusing its own docs. The keep-two retention
+    * ([[pruneVersions]]) is exactly what guarantees the ≤ b version is
+    * still on disk: Spark replays at most the last uncommitted batch. */
+  private def latestVersion(storeDir: String, name: String,
+      upTo: Long = Long.MaxValue): String = {
     val versions = Option(new java.io.File(storeDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith(s"${name}_v") &&
         new java.io.File(f, "_SUCCESS").isFile)
       .map(f => f.getName.stripPrefix(s"${name}_v").toLong)
-    require(versions.nonEmpty, s"ingest store $storeDir has no complete $name version")
+      .filter(_ <= upTo)
+    require(versions.nonEmpty,
+      s"ingest store $storeDir has no complete $name version <= $upTo")
     s"$storeDir/${name}_v${versions.max}"
   }
 
@@ -345,10 +359,20 @@ object Programs {
     * df counts). Stream contract: doc ids are unique across the
     * stream — the store and the append algebra key on them (the same
     * disjointness the batch append operators require).
-    * Transactionality boundary, documented not hidden: a crash BETWEEN
-    * a cadence fold and its pending-clear double-folds those docs' df
-    * counts on recovery (bloom stays exact — set union); a deployment
-    * closes that with a transactional table format. */
+    *
+    * Crash-replay contract (r15 — closes the boundary the r14 doc
+    * could only document): every batch is a DETERMINISTIC function of
+    * (batchId, input rows, pre-batch store state). Artifact reads are
+    * bounded to versions ≤ batchId ([[latestVersion]]'s `upTo`), so a
+    * batch replayed after any crash probes the SAME state it probed
+    * the first time — its admissions, its per-batch-dir overwrites of
+    * admitted/pending, and its bloom rewrite all reproduce
+    * bit-for-bit; and a cadence fold whose target version is already
+    * complete is SKIPPED (the fold committed before the crash), only
+    * the pending-clear re-runs — so the fold can never double docs'
+    * df counts, whether the crash landed before or after the clear.
+    * StreamingSpec drives both replay windows through
+    * [[ingestBatchStep]] directly. */
   def ingestProgramStream(docs: DataFrame, storeDir: String,
       checkpoint: String, quotaPerSource: Long, spanWords: Int = 10,
       maintainEvery: Int = 4, bloomK: Int = 3,
@@ -357,50 +381,180 @@ object Programs {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val bits = spark.read.parquet(latestVersion(storeDir, "bits"))
-        val bandIdx = spark.read.parquet(latestVersion(storeDir, "band_index"))
-        val gramIdx = spark.read.parquet(latestVersion(storeDir, "gram_index"))
-        // localCheckpoint: the stored set must be MATERIAL before any
-        // artifact it feeds is rewritten (a lazy plan re-reading a
-        // replaced version would be undefined)
-        val stored = ingestCore(bits, bandIdx, gramIdx, batch,
-          quotaPerSource, spanWords).localCheckpoint()
-        stored.write.mode("overwrite")
-          .parquet(s"$storeDir/admitted/batch=$batchId")
-        // pending is per-batch-dir OVERWRITE, like admitted: a batch
-        // replayed after a crash lands in the same directory instead of
-        // appending twice — a doubled pending doc would inflate the next
-        // fold's df counts (append ≡ rebuild would silently break)
-        stored.select(col("doc_id"), col("text"))
-          .write.mode("overwrite").parquet(s"$storeDir/pending/batch=$batchId")
-        graft.operators.Freq.bloomAppend(bits,
-            stored.select(md5(col("text")).as("item")), bloomK, bloomWidth)
-          .localCheckpoint()
-          .write.mode("overwrite").parquet(s"$storeDir/bits_v${batchId + 1}")
-        pruneVersions(storeDir, "bits")
-        if ((batchId + 1) % maintainEvery == 0 &&
-            new java.io.File(s"$storeDir/pending").isDirectory) {
-          val pending = spark.read.parquet(s"$storeDir/pending")
-            .select(col("doc_id"), col("text")).localCheckpoint()
-          if (!pending.isEmpty) {
-            graft.operators.Dedup.gramIndexAppend(gramIdx, pending, spanWords)
-              .write.mode("overwrite")
-              .parquet(s"$storeDir/gram_index_v${batchId + 1}")
-            graft.operators.Dedup.bandIndexAppend(bandIdx, pending,
-                k = 3, perms = 8, bands = 4)
-              .write.mode("overwrite")
-              .parquet(s"$storeDir/band_index_v${batchId + 1}")
-            pruneVersions(storeDir, "gram_index")
-            pruneVersions(storeDir, "band_index")
-            org.apache.commons.io.FileUtils.deleteDirectory(
-              new java.io.File(s"$storeDir/pending"))
-          }
-        }
-        ()
+        ingestBatchStep(batch, storeDir, batchId, quotaPerSource, spanWords,
+          maintainEvery, bloomK, bloomWidth)
       }
       .start()
   }
+
+  /** One micro-batch of [[ingestProgramStream]], factored out so the
+    * crash-replay windows can be driven directly (StreamingSpec): the
+    * stream's foreachBatch delegates here verbatim. Deterministic in
+    * (batchId, batch rows, versions ≤ batchId) — see the replay
+    * contract on [[ingestProgramStream]]. */
+  private[graft] def ingestBatchStep(batch: DataFrame, storeDir: String,
+      batchId: Long, quotaPerSource: Long, spanWords: Int = 10,
+      maintainEvery: Int = 4, bloomK: Int = 3,
+      bloomWidth: Int = 1 << 20): Unit = {
+    val spark = batch.sparkSession
+    // reads bounded to the pre-batch state: a replayed batch must never
+    // probe the artifacts its first run wrote (they contain its own
+    // docs — it would refuse them and overwrite `admitted` empty)
+    val bits = spark.read.parquet(latestVersion(storeDir, "bits", batchId))
+    val bandIdx = spark.read.parquet(latestVersion(storeDir, "band_index", batchId))
+    val gramIdx = spark.read.parquet(latestVersion(storeDir, "gram_index", batchId))
+    // localCheckpoint: the stored set must be MATERIAL before any
+    // artifact it feeds is rewritten (a lazy plan re-reading a
+    // replaced version would be undefined)
+    val stored = ingestCore(bits, bandIdx, gramIdx, batch,
+      quotaPerSource, spanWords).localCheckpoint()
+    stored.write.mode("overwrite")
+      .parquet(s"$storeDir/admitted/batch=$batchId")
+    // pending is per-batch-dir OVERWRITE, like admitted: a batch
+    // replayed after a crash lands in the same directory instead of
+    // appending twice — a doubled pending doc would inflate the next
+    // fold's df counts (append ≡ rebuild would silently break)
+    stored.select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$storeDir/pending/batch=$batchId")
+    graft.operators.Freq.bloomAppend(bits,
+        stored.select(md5(col("text")).as("item")), bloomK, bloomWidth)
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(s"$storeDir/bits_v${batchId + 1}")
+    pruneVersions(storeDir, "bits")
+    if ((batchId + 1) % maintainEvery == 0 &&
+        new java.io.File(s"$storeDir/pending").isDirectory) {
+      // skip-if-complete: a fold whose target version already carries
+      // its _SUCCESS marker committed before a crash — re-running it
+      // against the accumulated pending would double df counts (and a
+      // post-clear replay, whose pending holds only the replayed
+      // batch, would UNDERfold). Either way the committed version is
+      // the correct one; only the clear re-runs.
+      val gramDone = new java.io.File(
+        s"$storeDir/gram_index_v${batchId + 1}/_SUCCESS").isFile
+      val bandDone = new java.io.File(
+        s"$storeDir/band_index_v${batchId + 1}/_SUCCESS").isFile
+      val pending = spark.read.parquet(s"$storeDir/pending")
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      if (!pending.isEmpty || gramDone || bandDone) {
+        if (!gramDone)
+          graft.operators.Dedup.gramIndexAppend(gramIdx, pending, spanWords)
+            .write.mode("overwrite")
+            .parquet(s"$storeDir/gram_index_v${batchId + 1}")
+        if (!bandDone)
+          graft.operators.Dedup.bandIndexAppend(bandIdx, pending,
+              k = 3, perms = 8, bands = 4)
+            .write.mode("overwrite")
+            .parquet(s"$storeDir/band_index_v${batchId + 1}")
+        pruneVersions(storeDir, "gram_index")
+        pruneVersions(storeDir, "band_index")
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(s"$storeDir/pending"))
+      }
+    }
+    ()
+  }
+
+  /** Bootstrap the LM quality gate's standing store: the corpus-trained
+    * trigram model ([[graft.operators.TextAnalysis.trigramModel]]) as
+    * version-0 parquet under `storeDir`, ready for
+    * [[lmGateProgramStream]] to serve and maintain. */
+  def lmStoreInit(corpus: DataFrame, storeDir: String,
+      refLang: String = "en"): Unit =
+    graft.operators.TextAnalysis.trigramModel(corpus, refLang)
+      .write.mode("overwrite").parquet(s"$storeDir/lm_model_v0")
+
+  /** ONLINE LM quality gate with CLOSED model-maintenance loop (r15) —
+    * the r14 verdict's gap #3: `surprisalGateStream` scores against the
+    * model collected at job start forever, so under corpus drift the
+    * gate goes stale with no re-train path. This program applies the
+    * ingest tier's maintenance convention to the LM:
+    *
+    *  - each micro-batch scores against the CURRENT persisted model
+    *    version (collected once per version — version dirs are
+    *    immutable behind their `_SUCCESS` marker, so the per-path
+    *    cache can never serve stale) through the same compiled
+    *    row-local [[graft.operators.TextAnalysis.surprisalServed]]
+    *    scorer the stateless gate uses, and admits docs under the
+    *    threshold;
+    *  - admitted docs accumulate under `pending/` (per-batch-dir
+    *    overwrite, replay-idempotent), and at `maintainEvery` cadence
+    *    their `refLang` trigram counts FOLD into the model
+    *    ([[graft.operators.TextAnalysis.trigramModelAppend]] — a count
+    *    monoid, append ≡ rebuild property-tested), written as a
+    *    versioned sibling with keep-two retention.
+    *
+    * Staleness boundary, priced like the ingest gates: between folds
+    * the gate scores against the last fold's model — a doc whose
+    * commonness rests on text admitted SINCE then scores as if that
+    * text were still novel (the conservative direction: admission gets
+    * HARDER, nothing wrong is admitted), and the fold brings the
+    * verdict back to the batch re-train's (StreamingSpec proves a
+    * same-stream fold flips a borderline doc exactly as re-training
+    * does). The fold is model-sized I/O (KB–MB — the cheapest
+    * maintenance arm in the store family); per-batch folding would
+    * also be affordable here, `maintainEvery` just keeps the
+    * freshness/cost knob uniform with the ingest tier. Crash-replay:
+    * same deterministic contract as [[ingestBatchStep]] — reads
+    * bounded to versions ≤ batchId, skip-if-complete fold. Docs
+    * shorter than 3 chars carry no trigram and are dropped by the
+    * scorer, exactly the batch operator's contract. */
+  def lmGateProgramStream(docs: DataFrame, storeDir: String,
+      checkpoint: String, keepBelowMb: Long = 7340L,
+      maintainEvery: Int = 4, refLang: String = "en"): StreamingQuery = {
+    require(maintainEvery >= 1, s"maintainEvery ($maintainEvery) must be >= 1")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lmBatchStep(batch, storeDir, batchId, keepBelowMb, maintainEvery,
+          refLang)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[lmGateProgramStream]], factored like
+    * [[ingestBatchStep]] so tests can drive replay windows directly. */
+  private[graft] def lmBatchStep(batch: DataFrame, storeDir: String,
+      batchId: Long, keepBelowMb: Long, maintainEvery: Int,
+      refLang: String): Unit = {
+    val spark = batch.sparkSession
+    val modelPath = latestVersion(storeDir, "lm_model", batchId)
+    val (keys, cnts, tot, v) = lmServedCache.computeIfAbsent(modelPath, _ => {
+      val m = spark.read.parquet(modelPath).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      (m.map(_._1), m.map(_._2), m.map(_._2).sum, m.length.toLong)
+    })
+    val admitted = graft.operators.TextAnalysis
+      .surprisalServed(batch, keys, cnts, tot, v, keepBelowMb)
+      .filter(col("keep")).localCheckpoint()
+    admitted.write.mode("overwrite")
+      .parquet(s"$storeDir/admitted/batch=$batchId")
+    admitted.select(col("doc_id"), col("lang"), col("text"))
+      .write.mode("overwrite").parquet(s"$storeDir/pending/batch=$batchId")
+    if ((batchId + 1) % maintainEvery == 0 &&
+        new java.io.File(s"$storeDir/pending").isDirectory) {
+      val done = new java.io.File(
+        s"$storeDir/lm_model_v${batchId + 1}/_SUCCESS").isFile
+      val pending = spark.read.parquet(s"$storeDir/pending")
+        .select(col("doc_id"), col("lang"), col("text")).localCheckpoint()
+      if (!pending.isEmpty || done) {
+        if (!done)
+          graft.operators.TextAnalysis.trigramModelAppend(
+              spark.read.parquet(modelPath), pending, refLang)
+            .write.mode("overwrite")
+            .parquet(s"$storeDir/lm_model_v${batchId + 1}")
+        pruneVersions(storeDir, "lm_model")
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(s"$storeDir/pending"))
+      }
+    }
+    ()
+  }
+
+  /** Per-model-version served arrays (keyed by the immutable version
+    * path — see [[lmBatchStep]]); KB-scale entries, bounded by folds
+    * per application. */
+  private val lmServedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Long], Array[Long], Long, Long)]
 
   /** Streaming curation program: the watermark-bounded pipeline twin
     * (StreamingJobs.curationPipeline) as a deployable unit over a

@@ -246,6 +246,23 @@ object TextAnalysis {
         col("text"), lit(3))).as("tri"))
       .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
 
+  /** Count-monoid fold of a delta into a persisted trigram model (r15)
+    * — the LM gate's MAINTENANCE arm, closing the loop the ingest tier
+    * already closes for its artifacts: trigram counts are additive over
+    * documents, so `trigramModelAppend(trigramModel(c), d) ≡
+    * trigramModel(c ∪ d)` for ANY split — empty sides included
+    * (property-tested; the gramIndexAppend / aggState algebra applied
+    * to the LM). Scale shape: the delta's trigram aggregate is
+    * delta-sized and the merge aggregate shuffles only the model table
+    * (alphabet³-bounded, KB–MB). Contract: the delta's docs are NEW to
+    * the model's corpus — a re-delivered doc double-counts, which is
+    * why the maintenance arm folds POST-ADMISSION docs only, behind
+    * gates that refuse re-delivery. */
+  def trigramModelAppend(model: DataFrame, delta: DataFrame,
+      refLang: String = "en"): DataFrame =
+    model.unionByName(trigramModel(delta, refLang))
+      .groupBy(col("tri")).agg(sum(col("cnt")).as("cnt"))
+
   /** ROW-LOCAL surprisal scoring against an EMBEDDED model — the
     * serving/streaming face of [[trigramSurprisal]]: same columns, same
     * integer arithmetic, but each doc scores in isolation through the

@@ -797,6 +797,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
   }
 
+  test("trigram model append == rebuild over the union, for any split (count monoid)") {
+    // r15: the LM gate's maintenance arm — folding a delta's counts
+    // into a persisted model must equal retraining over corpus ∪ delta,
+    // empty sides included (the gramIndexAppend/aggState algebra)
+    import spark.implicits._
+    val corpus = docs.limit(40).select(col("doc_id"), col("text"), col("lang"))
+    def modelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (splitMod <- Seq(3L, 1L)) { // 1L: empty delta side
+      val base  = corpus.filter(col("doc_id") % splitMod =!= 0)
+      val delta = corpus.filter(col("doc_id") % splitMod === 0)
+      val appended = modelMap(TextAnalysis.trigramModelAppend(
+        TextAnalysis.trigramModel(base), delta))
+      val rebuilt = modelMap(TextAnalysis.trigramModel(corpus))
+      assert(appended == rebuilt, s"splitMod=$splitMod")
+    }
+    // empty BASE side: append onto a zero-doc model
+    val fromEmpty = modelMap(TextAnalysis.trigramModelAppend(
+      TextAnalysis.trigramModel(corpus.limit(0)), corpus))
+    assert(fromEmpty == modelMap(TextAnalysis.trigramModel(corpus)))
+  }
+
   test("decontamination flags exactly the train docs overlapping the eval set") {
     import spark.implicits._
     val eval = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")

