@@ -49,6 +49,8 @@ object Probe {
           .write.mode("overwrite").parquet(s"$root/band")
         operators.Dedup.gramIndex(corpus, 10)
           .write.mode("overwrite").parquet(s"$root/gram")
+        operators.TextAnalysis.trigramModel(corpus)
+          .write.mode("overwrite").parquet(s"$root/lm")
       }
       for (i <- 1 to 3) {
         val bits = spark.read.parquet(s"$root/bits")
@@ -73,8 +75,18 @@ object Probe {
           operators.Dedup.bandIndexAppend(bandIdx, stored, 3, 8, 4)
             .write.mode("overwrite").parquet(s"$root/band_v$i")
         }
+        // r15: the LM gate's maintenance arm priced in the same cycle —
+        // count-monoid fold of the batch's refLang trigrams into the
+        // standing model + the model-sized rewrite (lmGateProgramStream's
+        // cadence cost). Delta = the whole batch (cost bound; the online
+        // loop folds the admitted subset)
+        timed(s"run$i.lm_append") {
+          operators.TextAnalysis.trigramModelAppend(
+              spark.read.parquet(s"$root/lm"), batch)
+            .write.mode("overwrite").parquet(s"$root/lm_v$i")
+        }
         stored.unpersist()
-        for (n <- Seq("bits", "gram", "band"))
+        for (n <- Seq("bits", "gram", "band", "lm"))
           org.apache.commons.io.FileUtils.deleteDirectory(
             new java.io.File(s"$root/${n}_v$i"))
       }

@@ -411,17 +411,20 @@ object QueriesLlm {
     * price of recall near τ. An operator picking an ingest band gate
     * tunes (bands, rows) from this row's numbers, not from the
     * analytic curve alone — the q_sim_recall_sweep posture applied to
-    * the LSH family. The expensive exact truth side is MATERIALIZED
-    * once (localCheckpoint — Spark does not share subplans across
-    * union branches, so without it each geometry branch would re-run
-    * the full prefix-join truth chain; the dedupSemantic cell-
-    * assignment convention, and the twin of the oracle's MATERIALIZED
-    * truth CTE). The per-branch minhash signature chain stays inline:
-    * it is the compiled scan-speed MinhashSig, not the heavy side. */
+    * the LSH family. Cost shape of the shared exact truth side (r15
+    * ADVICE, measured): Spark does not share subplans across union
+    * branches AT PLAN TIME, but AQE's exchange reuse serves the truth
+    * chain's final exchange to all three branches at RUN time (two
+    * post-execution ReusedExchange nodes, probed in r14) — the runtime
+    * twin of the oracle's MATERIALIZED truth CTE. An explicit
+    * localCheckpoint of the truth was A/B-measured in-session (r15:
+    * 6.97 vs 6.46 s, control row ±0.1) and bought nothing over the
+    * reuse, so it is deliberately NOT here — the q_ingest_index_update
+    * measured-and-reverted discipline. The per-branch minhash
+    * signature chain stays inline: compiled scan-speed MinhashSig. */
   val dedupRecallGeom: Q = (s, dir) => {
     val truth = Dedup.prefixJaccardPairs(docs(s, dir), k = 3, minJaccardQ = 800000L)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
     Seq(8, 4, 2).map { bnd =>
       pairEvalMetrics(truth,
         Dedup.minhashCandidates(docs(s, dir), k = 3, perms = 8, bands = bnd))

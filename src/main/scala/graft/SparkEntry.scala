@@ -70,7 +70,11 @@ object SparkEntry {
       // tuning knob), SemDeDup (kmeans-cell-bounded semantic dedup),
       // trigram-LM surprisal scoring, and token-budget mixture
       "q_dedup_recall_geom", "q_dedup_semdedup",
-      "q_text_perplexity", "q_text_perplexity_served", "q_sample_mixture")
+      "q_text_perplexity", "q_text_perplexity_served", "q_sample_mixture",
+      // round-15: SemDeDup with cell probing — the nprobe=2 mitigation
+      // for the measured cross-cell miss class, priced next to the
+      // top-1 row it improves on
+      "q_dedup_semdedup_probe2")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs

@@ -10,7 +10,7 @@ policy as Bench.scala's steady-state number.
 import sys, os, json, time
 import duckdb
 
-# keep in sync with SparkEntry.headline (50 queries as of round 14)
+# keep in sync with SparkEntry.headline (51 queries as of round 15)
 HEADLINE = ["q1_agg", "q_join_star", "q_component_activity", "q_dedup_minhash",
             "q_sim_topk", "q_text_quality", "q_session_windows",
             "q_asof_join", "q_range_join", "q_dedup_spans", "q_freq_heavyhitters",
@@ -26,7 +26,8 @@ HEADLINE = ["q1_agg", "q_join_star", "q_component_activity", "q_dedup_minhash",
             "q_dedup_substr_served", "q_dedup_recall", "q_ingest_gates",
             "q_ingest_gates_served", "q_ingest_recall",
             "q_dedup_recall_geom", "q_dedup_semdedup",
-            "q_text_perplexity", "q_text_perplexity_served", "q_sample_mixture"]
+            "q_text_perplexity", "q_text_perplexity_served", "q_sample_mixture",
+            "q_dedup_semdedup_probe2"]
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
