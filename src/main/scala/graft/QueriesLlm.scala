@@ -769,6 +769,16 @@ object QueriesLlm {
       .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** CCNet head/middle/tail perplexity bucketing (r15) — the published
+    * recipe's final step ([[TextAnalysis.surprisalBuckets]]): exact
+    * per-language surprisal terciles via the KB-scale integer
+    * HISTOGRAM (one map-side-combined aggregate + a broadcast
+    * threshold join — the quantile never sorts anything wider than the
+    * histogram). Ties bucket together by VALUE, so the split is
+    * engine-portable where a rank NTILE would not be. */
+  val textPplBuckets: Q = (s, dir) =>
+    TextAnalysis.surprisalBuckets(docs(s, dir))
+
   /** PII scrub over text with deterministically planted PII (the
     * synthetic corpus has none; both engines plant the identical
     * suffix, so counts and redactions are real and verifiable). */
@@ -1444,6 +1454,7 @@ object QueriesLlm {
     "q_text_pii"            -> textPii,
     "q_text_perplexity"     -> textPerplexity,
     "q_text_perplexity_served" -> textPerplexityServed,
+    "q_text_ppl_buckets"    -> textPplBuckets,
     "q_text_repetition"     -> textRepetition,
     "q_decontaminate"       -> decontaminate,
     "q_sim_topk"            -> simTopk,
@@ -2977,6 +2988,32 @@ FROM f"""),
     // free, so one oracle proves both scoring shapes.
     "q_text_perplexity" -> perplexityOracle,
     "q_text_perplexity_served" -> perplexityOracle,
+
+    // CCNet terciles over the SAME scored chain (embedded as a derived
+    // table so the bucket thresholds can never train apart from the
+    // scores they split): per-lang histogram -> cumulative window ->
+    // value-threshold buckets, all integer
+    "q_text_ppl_buckets" -> (
+      s"""WITH s AS (
+  SELECT doc_id, lang, surprisal_mb FROM ($perplexityOracle) q
+), h AS (
+  SELECT lang, surprisal_mb, COUNT(*) AS c FROM s GROUP BY 1, 2
+), cum AS (
+  SELECT lang, surprisal_mb,
+    SUM(c) OVER (PARTITION BY lang ORDER BY surprisal_mb) AS cm,
+    SUM(c) OVER (PARTITION BY lang) AS n
+  FROM h
+), th AS (
+  SELECT lang,
+    MIN(CASE WHEN cm * 3 >= n THEN surprisal_mb END) AS t1,
+    MIN(CASE WHEN cm * 3 >= n * 2 THEN surprisal_mb END) AS t2
+  FROM cum GROUP BY 1
+)
+SELECT s.doc_id, s.lang, s.surprisal_mb,
+  CASE WHEN s.surprisal_mb <= t.t1 THEN 'head'
+       WHEN s.surprisal_mb <= t.t2 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM s JOIN th t ON s.lang = t.lang"""),
 
     "q_text_tokens" -> (
       s"""SELECT lang, COUNT(*) AS n_docs,

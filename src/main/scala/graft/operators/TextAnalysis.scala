@@ -246,6 +246,42 @@ object TextAnalysis {
         col("text"), lit(3))).as("tri"))
       .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
 
+  /** CCNet head/middle/tail perplexity BUCKETING (r15) — the published
+    * recipe's final step over [[trigramSurprisal]]'s scores: per
+    * language, the corpus splits into exact surprisal terciles (head =
+    * the least-surprising third, the slice CCNet trains on first).
+    *
+    * Exact terciles WITHOUT a corpus sort: `surprisal_mb` is a bounded
+    * integer (millibits, ≤ ~20k distinct values), so the per-(lang,
+    * score) HISTOGRAM is KB-scale — one map-side-combined aggregate —
+    * and the tercile thresholds fall out of a cumulative window over
+    * that histogram (t_k = smallest score whose cumulative count
+    * reaches ⌈k·n/3⌉, all integer: `cum·3 ≥ k·n`). Docs then bucket by
+    * VALUE against the broadcast thresholds — score ties land in the
+    * lower bucket together, deterministically on every engine (a
+    * rank-based NTILE would split ties by engine-private order). At
+    * 100 TB: one corpus aggregation + one broadcast join back — the
+    * quantile never sees a sort wider than the histogram. */
+  def surprisalBuckets(docs: DataFrame, refLang: String = "en"): DataFrame = {
+    val scored = trigramSurprisal(docs, refLang)
+      .select(col("doc_id"), col("lang"), col("surprisal_mb"))
+    val hist = scored.groupBy(col("lang"), col("surprisal_mb"))
+      .agg(count(lit(1)).as("_c"))
+    val cum = hist
+      .withColumn("_cum", sum(col("_c")).over(
+        Window.partitionBy(col("lang")).orderBy(col("surprisal_mb"))))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(col("lang"))))
+    val th = cum.groupBy(col("lang")).agg(
+      min(when(col("_cum") * 3 >= col("_n"), col("surprisal_mb"))).as("_t1"),
+      min(when(col("_cum") * 3 >= col("_n") * 2, col("surprisal_mb"))).as("_t2"))
+    scored.join(broadcast(th), Seq("lang"))
+      .withColumn("ppl_bucket",
+        when(col("surprisal_mb") <= col("_t1"), lit("head"))
+          .when(col("surprisal_mb") <= col("_t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("surprisal_mb"), col("ppl_bucket"))
+  }
+
   /** Count-monoid fold of a delta into a persisted trigram model (r15)
     * — the LM gate's MAINTENANCE arm, closing the loop the ingest tier
     * already closes for its artifacts: trigram counts are additive over

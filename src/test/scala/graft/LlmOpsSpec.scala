@@ -797,6 +797,43 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
   }
 
+  test("surprisal buckets: exact value-threshold terciles, ties together; histogram plan (no corpus sort)") {
+    import spark.implicits._
+    // expected buckets derived from the batch scorer's OWN scores via
+    // the tercile spec (t_k = smallest score whose cumulative count
+    // reaches ceil(k*n/3); buckets by VALUE so ties land together) —
+    // independent of trigram arithmetic, which has its own tests
+    val d = docs.limit(60).select(col("doc_id"), col("text"), col("lang"))
+    val scores = TextAnalysis.trigramSurprisal(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("surprisal_mb")))
+    val expected = scores.groupBy(_._2).iterator.flatMap { case (_, rs) =>
+      val n = rs.length.toLong
+      val hist = rs.groupBy(_._3).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      val cums = hist.scanLeft(0L)(_ + _._2).tail
+      def thr(k: Long) =
+        hist.zip(cums).collectFirst { case ((s, _), c) if c * 3 >= k * n => s }.get
+      val (t1, t2) = (thr(1), thr(2))
+      rs.map { case (id, _, s) =>
+        id -> (if (s <= t1) "head" else if (s <= t2) "middle" else "tail") }
+    }.toMap
+    val got = TextAnalysis.surprisalBuckets(d).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == expected)
+    // docs with identical scores must always share a bucket (the
+    // value-threshold contract a rank NTILE would violate)
+    val byScore = scores.groupBy(t => (t._2, t._3)).values
+    assert(byScore.forall(g => g.map(t => got(t._1)).toSet.size == 1))
+    assert(Set("head", "middle", "tail").subsetOf(got.values.toSet),
+      s"all three buckets must appear: ${got.values.toSet}")
+    // scale shape: the threshold table reaches the corpus as a
+    // BROADCAST; no corpus-wide Sort (the quantile runs over the
+    // KB-scale histogram, whose own window sort is bounded)
+    val plan = physicalPlan(TextAnalysis.surprisalBuckets(docs))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("trigram model append == rebuild over the union, for any split (count monoid)") {
     // r15: the LM gate's maintenance arm — folding a delta's counts
     // into a persisted model must equal retraining over corpus ∪ delta,
