@@ -1100,6 +1100,15 @@ object QueriesLlm {
       operators.TextIndex.buildPostings(docs(s, dir), "doc_id", "text"),
       Seq("hash", "window"))
 
+  /** Phrase search over the POSITIONAL postings index (r15): documents
+    * saying "table table key" in order — the probe phrase repeats a
+    * term deliberately, exercising the multi-slot fan-out (one posting
+    * row can vote for several phrase slots). */
+  val textPhrase: Q = (s, dir) =>
+    operators.TextIndex.searchPhrase(
+      operators.TextIndex.buildPositionalPostings(docs(s, dir), "doc_id", "text"),
+      Seq("table", "table", "key"))
+
   /** Rarity-weighted OR search: top 20 docs by Σ tf·((N·10^6) DIV df) —
     * the IDF shape in exact BIGINT arithmetic, so the ranking (tie
     * boundary included) hash-matches. N (the corpus doc count) is a
@@ -1446,6 +1455,7 @@ object QueriesLlm {
     "q_corpus_drift"        -> corpusDrift,
     "q_text_search"         -> textSearch,
     "q_text_search_ranked"  -> textSearchRanked,
+    "q_text_phrase"         -> textPhrase,
     "q_trim_outliers"       -> trimOutliers,
     "q_text_langid"         -> textLangid,
     "q_text_quality"        -> textQuality,
@@ -2638,6 +2648,30 @@ FROM agg"""
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id ASC
         |LIMIT 20""".stripMargin,
+
+    // positional twin: pos numbers the split array (empty tokens keep
+    // their slot, emit no posting — same as the Spark build); anchor
+    // voting with COUNT(DISTINCT slot), the repeated probe term filling
+    // two slots exactly as the broadcast slot-table fan-out does
+    "q_text_phrase" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, a[i] AS term
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents) d,
+        |       unnest(generate_series(1, len(a))) t(i)
+        |  WHERE len(a[i]) > 0
+        |), s(term, slot) AS (
+        |  VALUES ('table', 0), ('table', 1), ('key', 2)
+        |), m AS (
+        |  SELECT p.doc_id, p.pos - s.slot AS anchor, s.slot
+        |  FROM p JOIN s ON p.term = s.term
+        |  WHERE p.pos - s.slot >= 0
+        |), g AS (
+        |  SELECT doc_id, anchor FROM m GROUP BY doc_id, anchor
+        |  HAVING COUNT(DISTINCT slot) = 3
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  CAST(MIN(anchor) AS BIGINT) AS first_pos
+        |FROM g GROUP BY 1""".stripMargin,
 
     // single-window twin of the two-phase value-axis ranking; the
     // integer keep rule (rank·100 in (lo·n, hi·n]) has no float

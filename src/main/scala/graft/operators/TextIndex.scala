@@ -46,6 +46,54 @@ object TextIndex {
       .select(col("doc_id"), col("tf_sum"))
   }
 
+  /** POSITIONAL postings: one row per (term, doc_id, pos) occurrence,
+    * `pos` = the term's 0-based index in the doc's single-space word
+    * split (empty tokens from doubled spaces keep their slot in the
+    * numbering — position arithmetic must agree with the SQL twin's
+    * split semantics — but emit no posting). The artifact behind
+    * [[searchPhrase]]; persisted bucketed-by-term like the tf postings,
+    * ~tf× their row count (every occurrence, not every (term, doc)). */
+  def buildPositionalPostings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .filter(length(col("term")) > 0)
+
+  /** PHRASE search — documents where the words of `phrase` occur at
+    * CONSECUTIVE positions, the classic positional-index query (the
+    * conjunctive [[searchAll]] finds the documents, this finds the
+    * documents that say it IN ORDER). Returns (doc_id, n_hits,
+    * first_pos) per matching doc.
+    *
+    * Spark-first shape — ONE anchor aggregation, never a k-way
+    * positional self-join: each probe posting row fans out to the
+    * phrase SLOTS its term fills (a broadcast join against the k-row
+    * slot table — a term repeated in the phrase fills several slots,
+    * handled by construction), every slot votes for its implied match
+    * START (`anchor = pos − slot`), and an anchor with all k DISTINCT
+    * slots present is a phrase occurrence. The probe terms are a
+    * pushed `isin` on the postings scan (bucket-pruned on a
+    * term-bucketed index); the only corpus-delta shuffle keys
+    * (doc_id, anchor), and the per-doc rollup sees match-sized rows. */
+  def searchPhrase(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2 && phrase.forall(_.nonEmpty),
+      "searchPhrase: need a phrase of at least two non-empty words")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val slots = phrase.zipWithIndex
+      .map { case (t, i) => (t, i.toLong) }.toDF("term", "slot")
+    postings.filter(col("term").isin(phrase.distinct: _*))
+      .join(broadcast(slots), "term")
+      .select(col("doc_id"), (col("pos") - col("slot")).as("anchor"),
+        col("slot"))
+      .filter(col("anchor") >= 0)
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("slot")).as("_ns"))
+      .filter(col("_ns") === phrase.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("anchor")).as("first_pos"))
+  }
+
   /** Disjunctive (OR) search with RARITY-weighted ranking — the IDF
     * idea in engine-portable integers: a term's weight is
     * `(nDocs·10^6) DIV df(term)` (rare terms weigh more, linear in

@@ -797,6 +797,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
   }
 
+  test("phrase search == sliding-window brute force (repeated terms, overlaps); pushed isin, one anchor shuffle") {
+    import graft.operators.TextIndex
+    val phrase = Seq("table", "table", "key")
+    val posts = TextIndex.buildPositionalPostings(docs, "doc_id", "text")
+    val got = TextIndex.searchPhrase(posts, phrase).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: slide over each doc's split words (empty tokens keep
+    // their slot in the numbering, matching split semantics)
+    val expected = docs.select(col("doc_id"), col("text")).collect().flatMap { r =>
+      val ws = r.getString(1).split(" ", -1)
+      val hits = (0 to ws.length - phrase.length)
+        .filter(a => phrase.indices.forall(i => ws(a + i) == phrase(i)))
+      if (hits.isEmpty) None
+      else Some((r.getLong(0), hits.length.toLong, hits.min.toLong))
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "the probe phrase must occur in the fixture corpus")
+    // an overlapping self-repeating phrase counts every anchor: "x x"
+    // in "x x x" hits at anchors 0 AND 1
+    import spark.implicits._
+    val tiny = Seq((1L, "x x x y")).toDF("doc_id", "text")
+    val ov = TextIndex.searchPhrase(
+        TextIndex.buildPositionalPostings(tiny, "doc_id", "text"), Seq("x", "x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ov.toSeq == Seq((1L, 2L, 0L)), ov.mkString(","))
+    // plan: probe terms pushed into the scan as In(term, ..); slot
+    // table broadcast; no cartesian
+    val plan = physicalPlan(TextIndex.searchPhrase(posts, phrase))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("surprisal buckets: exact value-threshold terciles, ties together; histogram plan (no corpus sort)") {
     import spark.implicits._
     // expected buckets derived from the batch scorer's OWN scores via
