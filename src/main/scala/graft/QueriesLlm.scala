@@ -1156,6 +1156,30 @@ object QueriesLlm {
         sum(col("bpe_tokens")).as("bpe_total"))
   }
 
+  /** End-to-end TRAINING-RUN prep (r15) — the composition after
+    * [[pipelinePrep]]'s aggregate view: the same curation ladder
+    * (language-ID → quality gate → canonical-fingerprint dedup), then
+    * the survivors MIX under a per-language token budget
+    * ([[Sampling.tokenBudgetMixture]], half the surviving tokens,
+    * α = ½ temperature weights) and the admitted set gets its epoch-0
+    * training order ([[Sampling.shuffleOrder]]). One query from raw
+    * corpus to (doc, train_idx) — the artifact a training job reads.
+    * Every stage keeps its own scale shape (scan-speed projections,
+    * fingerprint window, two-phase mixture, two-phase permutation);
+    * composition adds no new shuffle class. */
+  val pipelineTrain: Q = (s, dir) => {
+    val langed = TextAnalysis.langId(docs(s, dir))
+    val kept = TextAnalysis.quality(langed).filter(col("keep"))
+    val canon = TextAnalysis.fingerprint(kept).filter(col("is_canonical"))
+    val sized = canon.select(col("doc_id"), col("pred_lang"),
+      size(split(col("text"), " ")).cast("long").as("tok"))
+    val mixed = Sampling.tokenBudgetMixture(sized, "pred_lang", "doc_id",
+      "tok", num = 1L, den = 2L, seed = "train0")
+    Sampling.shuffleOrder(mixed, "doc_id", "epoch0")
+      .select(col("doc_id"), col("pred_lang"), col("tok"),
+        col("cum_tok"), col("budget"), col("train_idx"))
+  }
+
   /** Corpus mixing: deterministic per-language sampling (downsample en to
     * 25%, keep zh whole, half everything else) — a scan-speed projection
     * whose kept-set is stable across runs and task retries. */
@@ -1481,6 +1505,7 @@ object QueriesLlm {
     "q_sim_recall_pq"       -> simRecallPq,
     "q_sim_recall_ivfpq"    -> simRecallIvfPq,
     "q_pipeline_prep"       -> pipelinePrep,
+    "q_pipeline_train"      -> pipelineTrain,
     "q_sample_stratified"   -> sampleStratified,
     "q_sample_mixture"      -> sampleMixture,
     "q_sample_quota"        -> sampleQuota,
@@ -3132,6 +3157,65 @@ SELECT pred_lang, COUNT(*) AS n_docs,
   CAST(SUM(CAST(len(ws) AS INT)) AS BIGINT) AS ws_total,
   CAST(SUM(CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS INT)) AS BIGINT) AS bpe_total
 FROM canon GROUP BY 1"""),
+
+    // the training-prep composition: pipelinePrep's curation CTEs
+    // (langScores/predCase shared so the gates can never drift), then
+    // the q_sample_mixture arithmetic keyed on pred_lang (HUGEINT
+    // budget product, num=1 den=2, seed 'train0'), then the epoch
+    // shuffle's (md5, id) permutation over the admitted set
+    "q_pipeline_train" -> (
+      s"""WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws,
+         list_distinct(string_split(text, ' ')) AS dw
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, ws,
+  """ + langScores + s"""
+  FROM w
+), langed AS (
+  SELECT doc_id, text, ws, """ + predCase + s""" AS pred_lang
+  FROM scored
+  WHERE len(ws) >= 20
+    AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) > 0.2
+), fp AS (
+  SELECT doc_id, text, ws, pred_lang,
+    md5(trim(regexp_replace(lower(text), '""" + "\\s+" + s"""', ' ', 'g'))) AS f
+  FROM langed
+), canon AS (
+  SELECT doc_id, pred_lang, CAST(len(ws) AS BIGINT) AS tok FROM (
+    SELECT doc_id, ws, pred_lang,
+      doc_id = min(doc_id) OVER (PARTITION BY f) AS is_c
+    FROM fp) t
+  WHERE is_c
+), d AS (
+  SELECT doc_id, pred_lang, tok,
+    md5('train0|' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM canon
+), g AS (
+  SELECT pred_lang, SUM(tok) AS gtok,
+    CAST(floor(sqrt(CAST(SUM(tok) AS DOUBLE))) AS BIGINT) AS wg
+  FROM d GROUP BY 1
+), bud AS (
+  SELECT pred_lang,
+    (CAST(SUM(gtok) OVER () AS HUGEINT) * 1 // 2) * wg
+      // SUM(wg) OVER () AS budget
+  FROM g
+), c AS (
+  SELECT doc_id, pred_lang, tok,
+    SUM(tok) OVER (PARTITION BY pred_lang ORDER BY skey, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+), m AS (
+  SELECT c.doc_id, c.pred_lang, c.tok,
+    CAST(c.cum AS BIGINT) AS cum_tok, CAST(b.budget AS BIGINT) AS budget
+  FROM c JOIN bud b ON c.pred_lang = b.pred_lang
+  WHERE c.cum <= b.budget
+)
+SELECT doc_id, pred_lang, tok, cum_tok, budget,
+  CAST(ROW_NUMBER() OVER (
+    ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+    AS BIGINT) AS train_idx
+FROM m"""),
 
     "q_sample_stratified" ->
       """WITH c AS (
