@@ -465,6 +465,17 @@ object QueriesCore {
       Tables(s, dir).customer.select(col("c_custkey"), col("c_name")),
       idCol = "c_custkey", strCol = "c_name")
 
+  /** Edit-distance-≤2 variant (r15) — the FastSS k=2 generalization:
+    * the single-deletion signature step applied twice. Customer names
+    * are a DENSE distance space (numeric ids differing in ≤2 digit
+    * positions are within distance 2), so this row's true pair set is
+    * orders of magnitude larger than the k=1 row's — the honest
+    * stress shape for the wider radius. */
+  val qFuzzyJoin2: Q = (s, dir) =>
+    operators.Fuzzy.editDistancePairs(
+      Tables(s, dir).customer.select(col("c_custkey"), col("c_name")),
+      idCol = "c_custkey", strCol = "c_name", maxDist = 2)
+
   /** Incremental aggregate maintenance over orders: the per-customer
     * pricing state (count/sum/min/max of scale-2 unscaled totalprice)
     * materializes over the pre-2000 base — localCheckpoint stands in
@@ -503,6 +514,7 @@ object QueriesCore {
     "q_gapfill"        -> qGapfill,
     "q_scd2"           -> qScd2,
     "q_fuzzy_join"     -> qFuzzyJoin,
+    "q_fuzzy_join2"    -> qFuzzyJoin2,
     "q_zorder"         -> qZorder,
     "q_asof_join"      -> qAsofJoin,
     "q_asof_join_chunked" -> qAsofJoinChunked,
@@ -708,6 +720,32 @@ object QueriesCore {
         |  WHERE a.bsz BETWEEN 2 AND 10000)
         |SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(name_a, name_b) <= 1""".stripMargin,
+
+    // the k=2 twin: the same single-deletion step applied to sig0's
+    // variants (del-of-del = the <=2-deletion family), same cap, exact
+    // levenshtein refine at the wider radius
+    "q_fuzzy_join2" ->
+      """WITH s AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |sig0 AS (
+        |  SELECT DISTINCT id, name,
+        |         CASE WHEN i = 0 THEN name
+        |              ELSE substr(name, 1, i - 1) || substr(name, i + 1) END AS sg
+        |  FROM s, unnest(generate_series(0, length(name))) AS t(i)),
+        |sig1 AS (
+        |  SELECT DISTINCT id, name,
+        |         CASE WHEN i = 0 THEN sg
+        |              ELSE substr(sg, 1, i - 1) || substr(sg, i + 1) END AS sg
+        |  FROM sig0, unnest(generate_series(0, length(sg))) AS t(i)),
+        |sig AS (
+        |  SELECT id, name, sg, count(*) OVER (PARTITION BY sg) AS bsz
+        |  FROM sig1),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, a.name AS name_a,
+        |                  b.id AS id_b, b.name AS name_b
+        |  FROM sig a JOIN sig b ON a.sg = b.sg AND a.id < b.id
+        |  WHERE a.bsz BETWEEN 2 AND 10000)
+        |SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 2""".stripMargin,
 
     "q_gapfill" ->
       """WITH e AS (

@@ -38,19 +38,47 @@ object Fuzzy {
     * Distance-0 pairs (identical strings) are reported too — callers
     * running after exact dedup simply won't have any. */
   def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String,
-      maxBucket: Int = 10000): DataFrame = {
-    require(maxBucket >= 2, s"editDistance1Pairs: maxBucket=$maxBucket")
+      maxBucket: Int = 10000): DataFrame =
+    editDistancePairs(df, idCol, strCol, maxDist = 1, maxBucket = maxBucket)
+
+  /** The FastSS generalization (r15): all (id_a, id_b, dist) with
+    * levenshtein ≤ `maxDist` for maxDist ∈ {1, 2}. Candidate rule: two
+    * strings within edit distance k always share a member of their
+    * ≤k-DELETION families (FastSS/SymSpell — each edit aligns to a
+    * deletion on one or both sides), and the ≤2 family is exactly the
+    * single-deletion step APPLIED TWICE ({s} ∪ D₁ ∪ D₂ = del(del)),
+    * so the k=2 signature stream is the k=1 transform iterated — one
+    * more row-local explode, no new machinery. Exact `levenshtein`
+    * refine as ever: approximation lives only in candidate generation.
+    *
+    * Price, stated: ~|s|²/2 signature rows per string at k=2 (vs |s|+1
+    * at k=1) — the id/name/title strings this operator targets are
+    * tens of bytes, so the signature stream stays ~100× the input,
+    * shuffled once. Short strings (length ≤ k) co-bucket at "" — not a
+    * pathology: any two such strings are genuinely within distance k,
+    * so the bucket is all true candidates. Mass-duplicate buckets cap
+    * at `maxBucket` exactly as at k=1. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, maxBucket: Int = 10000): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"editDistancePairs: maxDist=$maxDist not in {1, 2} (the signature " +
+        "stream grows ~|s|^k — wire wider k deliberately, not by default)")
+    require(maxBucket >= 2, s"editDistancePairs: maxBucket=$maxBucket")
     val base = df.select(col(idCol).cast("long").as("_id"), col(strCol).as("_s"))
-    // deletion family, deduplicated per string ("aab" yields "ab" twice)
-    val sigs = base
+    // one single-deletion step over the current variant column: i = 0
+    // keeps the variant (so iterating yields {s} ∪ D1 ∪ ... ∪ Dk);
+    // deduplicated per string ("aab" yields "ab" twice)
+    def delStep(in: DataFrame): DataFrame = in
+      .select(col("_id"), col("_s"), col("_sig").as("_v"),
+        explode(sequence(lit(0), length(col("_sig")))).as("_i"))
       .select(col("_id"), col("_s"),
-        explode(sequence(lit(0), length(col("_s")))).as("_i"))
-      .select(col("_id"), col("_s"),
-        when(col("_i") === 0, col("_s"))
+        when(col("_i") === 0, col("_v"))
           .otherwise(concat(
-            col("_s").substr(lit(1), col("_i") - 1),
-            col("_s").substr(col("_i") + 1, length(col("_s"))))).as("_sig"))
+            col("_v").substr(lit(1), col("_i") - 1),
+            col("_v").substr(col("_i") + 1, length(col("_v"))))).as("_sig"))
       .distinct()
+    val sigs = (1 to maxDist).foldLeft(base.withColumn("_sig", col("_s")))(
+      (acc, _) => delStep(acc))
     // bucket-size window and bucket group-by share one signature shuffle
     val surviving = sigs
       .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_sig"))))
@@ -64,7 +92,7 @@ object Fuzzy {
         col("b.id").as("id_b"), col("b.s").as("s_b"))
       .distinct()
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

@@ -47,4 +47,23 @@ object FuzzyProps extends Properties("FuzzyJoinSemantics") {
       } yield (ia, ib, d.toLong)).toSet
       Prop(got == want) :| s"xs=$xs got=$got want=$want"
     }
+
+  property("editDistancePairs(maxDist=2) == brute-force pairwise levenshtein <= 2") =
+    // r15 (FastSS k=2): the iterated single-deletion family must be a
+    // COMPLETE candidate rule at the wider radius — every true <=2 pair
+    // shares a <=2-deletion variant — incl. the length<=2 strings that
+    // all co-bucket at "" (genuinely all within distance 2)
+    Prop.forAll(genStrings) { xs =>
+      import TestSpark.spark.implicits._
+      val rows = xs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = Fuzzy.editDistancePairs(
+          rows.toDF("id", "s"), idCol = "id", strCol = "s",
+          maxDist = 2, maxBucket = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+        d = lev(sa, sb) if d <= 2
+      } yield (ia, ib, d.toLong)).toSet
+      Prop(got == want) :| s"xs=$xs got=$got want=$want"
+    }
 }
