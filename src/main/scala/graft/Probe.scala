@@ -204,9 +204,13 @@ object Probe {
           .select(col("doc_a"), col("doc_b")).distinct()
         val m = graft.QueriesLlm.pairEvalMetrics(truth, cand).collect().head
         val secs = (System.nanoTime() - t0) / 1e9
+        // the pct columns are NULL when their denominator is 0 (empty
+        // truth/candidate set on a degenerate geometry) — report -1
+        // instead of NPEing the rest of the sweep
+        def pct(i: Int) = if (m.isNullAt(i)) -1L else m.getLong(i)
         println(f"[probe] semdedup k=$k%-3d nprobe=$nprobe " +
           f"n_caught=${m.getLong(2)}%7d/${m.getLong(0)}%7d cand=${m.getLong(1)}%9d " +
-          f"recall=${m.getLong(3)}%3d precision=${m.getLong(4)}%3d secs=$secs%7.2f")
+          f"recall=${pct(3)}%3d precision=${pct(4)}%3d secs=$secs%7.2f")
       }
       spark.stop(); return
     }

@@ -300,7 +300,13 @@ object Programs {
       .map(f => f.getName.stripPrefix(s"${name}_v").toLong)
       .filter(_ <= upTo)
     require(versions.nonEmpty,
-      s"ingest store $storeDir has no complete $name version <= $upTo")
+      s"store $storeDir has no complete $name version <= $upTo. A stream " +
+        "must either RESUME its own checkpoint (batch ids continue where " +
+        "the versions do) or run against a freshly initialized store — a " +
+        "new checkpoint restarts batch ids at 0, which cannot read a " +
+        "matured store's pruned early versions (and would re-number new " +
+        "versions below the standing ones). Re-init the store or resume " +
+        "the original checkpoint.")
     s"$storeDir/${name}_v${versions.max}"
   }
 
@@ -372,7 +378,16 @@ object Programs {
     * the pending-clear re-runs — so the fold can never double docs'
     * df counts, whether the crash landed before or after the clear.
     * StreamingSpec drives both replay windows through
-    * [[ingestBatchStep]] directly. */
+    * [[ingestBatchStep]] directly.
+    *
+    * Restart contract (the bound's flip side): a stream must RESUME its
+    * own checkpoint (engine batch ids continue where the store's
+    * version numbers do) or run against a freshly initialized store — a
+    * NEW checkpoint restarts batch ids at 0, which can neither read a
+    * matured store's pruned early versions nor safely re-number new
+    * ones below the standing maximum; [[latestVersion]] refuses loudly
+    * with this contract in the message. Applies to
+    * [[lmGateProgramStream]] identically. */
   def ingestProgramStream(docs: DataFrame, storeDir: String,
       checkpoint: String, quotaPerSource: Long, spanWords: Int = 10,
       maintainEvery: Int = 4, bloomK: Int = 3,
@@ -393,9 +408,11 @@ object Programs {
     * (batchId, batch rows, versions ≤ batchId) — see the replay
     * contract on [[ingestProgramStream]]. */
   private[graft] def ingestBatchStep(batch: DataFrame, storeDir: String,
-      batchId: Long, quotaPerSource: Long, spanWords: Int = 10,
-      maintainEvery: Int = 4, bloomK: Int = 3,
-      bloomWidth: Int = 1 << 20): Unit = {
+      batchId: Long, quotaPerSource: Long, spanWords: Int,
+      maintainEvery: Int, bloomK: Int, bloomWidth: Int): Unit = {
+    // no defaults here: the stream passes every argument explicitly, and
+    // a second set of defaults would let the test-driven replay path
+    // silently drift from the production gate geometry
     val spark = batch.sparkSession
     // reads bounded to the pre-batch state: a replayed batch must never
     // probe the artifacts its first run wrote (they contain its own
@@ -518,11 +535,16 @@ object Programs {
       refLang: String): Unit = {
     val spark = batch.sparkSession
     val modelPath = latestVersion(storeDir, "lm_model", batchId)
-    val (keys, cnts, tot, v) = lmServedCache.computeIfAbsent(modelPath, _ => {
-      val m = spark.read.parquet(modelPath).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      (m.map(_._1), m.map(_._2), m.map(_._2).sum, m.length.toLong)
-    })
+    // keyed (path, content fingerprint), not path alone: lm_model_v0 is
+    // written with overwrite by lmStoreInit, so a same-JVM re-init at
+    // the same storeDir would otherwise serve the previous corpus's
+    // cached arrays (the lmModelCache corpusFingerprint lesson)
+    val (keys, cnts, tot, v) = lmServedCache.computeIfAbsent(
+      modelPath + "|" + dirFingerprint(modelPath), _ => {
+        val m = spark.read.parquet(modelPath).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        (m.map(_._1), m.map(_._2), m.map(_._2).sum, m.length.toLong)
+      })
     val admitted = graft.operators.TextAnalysis
       .surprisalServed(batch, keys, cnts, tot, v, keepBelowMb)
       .filter(col("keep")).localCheckpoint()
@@ -550,11 +572,25 @@ object Programs {
     ()
   }
 
-  /** Per-model-version served arrays (keyed by the immutable version
-    * path — see [[lmBatchStep]]); KB-scale entries, bounded by folds
-    * per application. */
+  /** Per-model-version served arrays (keyed by version path PLUS a
+    * listing fingerprint — see [[lmBatchStep]]); KB-scale entries,
+    * bounded by folds per application. */
   private val lmServedCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Long], Array[Long], Long, Long)]
+
+  /** Driver-side md5 of a directory's sorted (path, length, mtime)
+    * listing — metadata only; any rewrite changes it (the
+    * QueriesLlm.corpusFingerprint convention). */
+  private def dirFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val listing = walk(new java.io.File(dir))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   /** Streaming curation program: the watermark-bounded pipeline twin
     * (StreamingJobs.curationPipeline) as a deployable unit over a

@@ -304,7 +304,13 @@ object StreamingJobs {
     // planner guess; SMJ is the join that degrades to disk), and it
     // keeps the per-batch plan from re-broadcasting a corpus-sized
     // build. MEMORY_AND_DISK: lane sets that outgrow memory spill,
-    // exactly the band-key-cache convention.
+    // exactly the band-key-cache convention — including its lifetime:
+    // cache entries live until the application ends (the query object
+    // gives callers no unpersist handle), so a long-lived driver that
+    // reconstructs this stream per index refresh should recycle the
+    // SparkSession at the same cadence, or spark.catalog.clearCache()
+    // between constructions; one stream per application — the probe
+    // and deployment shape — never notices.
     val lanes = index.filter(col("df") >= minDf)
       .select(col("h1"), col("h2"))
       .repartition(col("h1"), col("h2"))

@@ -871,7 +871,8 @@ class StreamingSpec extends AnyFunSuite {
     val tB = (1 to 12).map(i => s"bw$i").mkString(" ")
     def step(id: Long, rows: (Long, String, String)*): Unit =
       Programs.ingestBatchStep(rows.toDF("doc_id", "text", "source"), dir,
-        id, quotaPerSource = 5L, maintainEvery = 2)
+        id, quotaPerSource = 5L, spanWords = 10, maintainEvery = 2,
+        bloomK = 3, bloomWidth = 1 << 20)
     def gramV2 = spark.read.parquet(s"$dir/gram_index_v2")
       .select("h1", "h2", "df").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
