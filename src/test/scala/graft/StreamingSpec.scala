@@ -853,6 +853,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("LM gate crash-replay and store re-init: fold skip-if-complete, fingerprinted served cache") {
+    // r15 review follow-ups made test-proven: (a) lmBatchStep's replay
+    // windows share ingestBatchStep's contract — a replayed fold batch
+    // must not double-fold the model counts; (b) lmServedCache keys on
+    // a listing fingerprint, so a same-JVM lmStoreInit over the same
+    // storeDir serves the NEW model, not the cached old one.
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val dir = s"/tmp/graft_lm_replay/${System.nanoTime()}"
+    val commonText = (1 to 40).map(_ => "the cat sat on the mat").mkString(" ")
+    val corpus = (1L to 20L).map(i => (i, commonText, "en"))
+      .toDF("doc_id", "text", "lang")
+    Programs.lmStoreInit(corpus, dir)
+    def step(id: Long, rows: (Long, String, String)*): Unit =
+      Programs.lmBatchStep(rows.toDF("doc_id", "text", "lang"), dir, id,
+        keepBelowMb = Long.MaxValue, maintainEvery = 1, refLang = "en")
+    def modelMap(path: String) = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aText = commonText + " " + ("q" * 41)
+    step(0, (100L, aText, "en")) // admits A (threshold infinite), folds v1
+    assert(new java.io.File(s"$dir/lm_model_v1/_SUCCESS").isFile)
+    val v1 = modelMap(s"$dir/lm_model_v1")
+    // fold ≡ rebuild over corpus ∪ A
+    assert(v1 == TextAnalysis.trigramModel(
+        corpus.unionByName(Seq((100L, aText, "en")).toDF("doc_id", "text", "lang")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // window (a): crash after fold, before pending clear — restore
+    // pending and replay batch 0: the complete v1 must be skipped, not
+    // re-folded (re-folding would double A's trigram counts)
+    Seq((100L, "en", aText)).toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .write.mode("overwrite").parquet(s"$dir/pending/batch=0")
+    step(0, (100L, aText, "en"))
+    assert(modelMap(s"$dir/lm_model_v1") == v1,
+      "replayed fold must skip the complete version, not double-fold")
+    assert(!new java.io.File(s"$dir/pending").exists,
+      "the replayed clear must run")
+    // (b) same-JVM store RE-INIT over the same dir: the served cache
+    // must not serve the stale v0 — a doc made entirely of 'q' trigrams
+    // is OOV under the original corpus model but in-model after a
+    // re-init whose corpus contains A
+    val dir2 = s"/tmp/graft_lm_replay/${System.nanoTime()}_b"
+    Programs.lmStoreInit(corpus, dir2)
+    step2(dir2, 0L, (200L, "q" * 40, "en"))
+    def oov(b: Long, d: String) = spark.read.parquet(s"$d/admitted")
+      .filter(col("batch") === b).select("n_oov").collect().map(_.getLong(0))
+    assert(oov(0L, dir2).forall(_ > 0), "q-trigrams OOV under the original model")
+    Programs.lmStoreInit(
+      corpus.unionByName(Seq((100L, aText, "en")).toDF("doc_id", "text", "lang")),
+      dir2) // overwrites lm_model_v0 at the SAME path
+    step2(dir2, 1L, (201L, "q" * 40, "en"))
+    assert(oov(1L, dir2).forall(_ == 0L),
+      "after re-init the served cache must score against the NEW model (fingerprint key)")
+  }
+
+  private def step2(dir: String, id: Long, rows: (Long, String, String)*)(
+      implicit ctx: org.apache.spark.sql.SQLContext): Unit = {
+    import ctx.sparkSession.implicits._
+    Programs.lmBatchStep(rows.toDF("doc_id", "text", "lang"), dir, id,
+      keepBelowMb = Long.MaxValue, maintainEvery = 100, refLang = "en")
+  }
+
   test("ingest crash-replay at the fold boundary: re-running the fold batch neither double-folds nor loses admissions") {
     // r15 (the r14 verdict's wrong #3): the fold-vs-clear crash window.
     // Drives Programs.ingestBatchStep directly (the stream's
