@@ -188,6 +188,18 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"bench.json write failed: $e") }
+    // and APPEND every run (timestamped) to a repo-local log: the
+    // driver's BENCH_r{N}.json artifact truncates the line and loses
+    // the steady per-query map every round (r15 verdict "what's wrong"
+    // #1) — this file is committed with the round, self-contained, and
+    // append-only so local at-scale runs never clobber the sf0.1 row
+    try {
+      val stamped = s"""{"ts":"${java.time.Instant.now()}",""" + line.drop(1) + "\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full_log.jsonl"),
+        stamped.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable => System.err.println(s"bench log append failed: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -476,6 +476,53 @@ object QueriesCore {
       Tables(s, dir).customer.select(col("c_custkey"), col("c_name")),
       idCol = "c_custkey", strCol = "c_name", maxDist = 2)
 
+  /** DEPLOYMENT form of the fuzzy join (r16) — entity resolution
+    * against a STANDING reference: the corpus split's
+    * (c_custkey % 10 ≠ 0) deletion-signature index persists ONCE per
+    * (application, corpus) bucketed on `sig` ([[operators.Fuzzy
+    * .signatureIndex]] via Sinks.saveBucketed — bucket sizes
+    * precomputed at build, so probe time never windows over the
+    * index), and the delta (c_custkey % 10 = 0 — dirty names) probes
+    * at delta cost with zero index-side exchange (asserted in
+    * PlanSpec). The q_dedup_substr_served / q_sim_ivfpq_served split
+    * applied to the fuzzy family: this row prices the nightly probe, a
+    * cold run prices build+probe. Oracle: the same corpus/delta CTEs
+    * computed from scratch — parquet round-trips names and signatures
+    * exactly, so served ≡ inline by construction and the hash gate
+    * proves it. */
+  val qFuzzyJoinServed: Q = (s, dir) =>
+    operators.Fuzzy.probeSignatureIndex(
+      Tables(s, dir).customer.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name")),
+      idCol = "c_custkey", strCol = "c_name",
+      index = s.table(servedFuzzyIndexTable(s, dir)), maxDist = 1)
+
+  /** Build-once gate for the bucketed deletion-signature index — the
+    * servedGramIndexTable convention: name keyed on (applicationId,
+    * md5(dir)) so concurrent harness runs cannot race one table and
+    * distinct corpora cannot collide; data external under /tmp
+    * (tmp-cleaner reclaimed; the warehouse would accrete across
+    * harness runs); build serialized per JVM. */
+  private def servedFuzzyIndexTable(s: SparkSession, dir: String): String = {
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val key = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "/" + dirKey
+    val table = s"graft_fuzzy_idx_${key.replace('/', '_')}"
+    fuzzyIndexBuildLock.synchronized {
+      if (!s.catalog.tableExists(table))
+        graft.sources.Sinks.saveBucketed(
+          operators.Fuzzy.signatureIndex(
+            Tables(s, dir).customer.filter(col("c_custkey") % 10 =!= 0)
+              .select(col("c_custkey"), col("c_name")),
+            idCol = "c_custkey", strCol = "c_name", maxDist = 1),
+          table, Seq("sig"), 32,
+          path = Some(s"/tmp/graft_fuzzy_index/$key"))
+    }
+    table
+  }
+  private val fuzzyIndexBuildLock = new Object
+
   /** Incremental aggregate maintenance over orders: the per-customer
     * pricing state (count/sum/min/max of scale-2 unscaled totalprice)
     * materializes over the pre-2000 base — localCheckpoint stands in
@@ -515,6 +562,7 @@ object QueriesCore {
     "q_scd2"           -> qScd2,
     "q_fuzzy_join"     -> qFuzzyJoin,
     "q_fuzzy_join2"    -> qFuzzyJoin2,
+    "q_fuzzy_join_served" -> qFuzzyJoinServed,
     "q_zorder"         -> qZorder,
     "q_asof_join"      -> qAsofJoin,
     "q_asof_join_chunked" -> qAsofJoinChunked,
@@ -746,6 +794,36 @@ object QueriesCore {
         |  WHERE a.bsz BETWEEN 2 AND 10000)
         |SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(name_a, name_b) <= 2""".stripMargin,
+
+    // the served probe: corpus signature index (bucket sizes included,
+    // exactly what the persisted artifact carries) x the delta's own
+    // deletion family — parquet round-trips both exactly, so this SQL
+    // is the inline recompute the served row must hash-match
+    "q_fuzzy_join_served" ->
+      """WITH cs AS (SELECT c_custkey AS id, c_name AS name FROM customer
+        |            WHERE c_custkey % 10 <> 0),
+        |csig0 AS (
+        |  SELECT DISTINCT id, name,
+        |         CASE WHEN i = 0 THEN name
+        |              ELSE substr(name, 1, i - 1) || substr(name, i + 1) END AS sg
+        |  FROM cs, unnest(generate_series(0, length(name))) AS t(i)),
+        |csig AS (
+        |  SELECT id, name, sg, count(*) OVER (PARTITION BY sg) AS bsz
+        |  FROM csig0),
+        |ds AS (SELECT c_custkey AS id, c_name AS name FROM customer
+        |       WHERE c_custkey % 10 = 0),
+        |dsig AS (
+        |  SELECT DISTINCT id, name,
+        |         CASE WHEN i = 0 THEN name
+        |              ELSE substr(name, 1, i - 1) || substr(name, i + 1) END AS sg
+        |  FROM ds, unnest(generate_series(0, length(name))) AS t(i)),
+        |cand AS (
+        |  SELECT DISTINCT d.id AS id_d, d.name AS name_d,
+        |                  c.id AS id_c, c.name AS name_c
+        |  FROM dsig d JOIN csig c ON d.sg = c.sg
+        |  WHERE c.bsz <= 10000)
+        |SELECT id_d, id_c, CAST(levenshtein(name_d, name_c) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(name_d, name_c) <= 1""".stripMargin,
 
     "q_gapfill" ->
       """WITH e AS (

@@ -779,6 +779,87 @@ object QueriesLlm {
   val textPplBuckets: Q = (s, dir) =>
     TextAnalysis.surprisalBuckets(docs(s, dir))
 
+  /** The LM gate's threshold sweep — `keep_below_mb` values chosen to
+    * straddle the measured class distributions at the test scales
+    * (clean held-out docs spread ≈7200–7520 mb, the boilerplate class
+    * sits at ≈7500, gibberish at ≈15000): 7300 refuses part of clean,
+    * 7420/7500 bracket the boilerplate boundary, 8000 admits everything
+    * but gibberish. Shared with the oracle via [[lmGateSweepSql]]. */
+  private val LmGateSweep = Seq(7300L, 7340L, 7420L, 7500L, 8000L)
+  private def lmGateSweepSql: String =
+    LmGateSweep.map(t => s"($t)").mkString(", ")
+  /** The boilerplate plant: a corpus-common 4-word phrase repeated —
+    * degenerate low-entropy text built ONLY from in-model trigrams.
+    * Inlined verbatim into the oracle SQL so both engines score the
+    * byte-identical plant. */
+  private val LmGateBoiler = ("the a row table " * 18).trim
+
+  /** LM-GATE QUALITY row (r16) — the q_ingest_recall posture applied to
+    * the perplexity gate, the one gate that had speed rows (35c/35c2)
+    * and a bucketing row (35c3) but no measured operating point for its
+    * keep threshold. The model trains on the STANDING corpus's refLang
+    * slice (doc_id % 10 ≠ 0 — the ingest split); the graded batch
+    * plants four deterministic classes over the held-out ids:
+    *
+    *  - `clean`     — held-out `lang='en'` docs verbatim: in-
+    *    distribution novel text, truth = KEEP.
+    *  - `nonref`    — held-out non-en docs verbatim, truth = REFUSE.
+    *    Measured finding, stated not hidden: the synthetic corpus
+    *    shares ONE vocabulary across lang labels, so this class scores
+    *    inside the clean band (~100% false-admit at any threshold that
+    *    keeps clean) — a char-LM gate is NOT a language gate on a
+    *    shared-alphabet corpus; langId (q_pipeline_prep stage 1) is.
+    *  - `gibberish` — 8 chained md5 hex blocks per doc id: OOV-heavy
+    *    character noise, truth = REFUSE. Separates by ~2× the clean
+    *    band's surprisal (≈15000 vs ≈7340 mb).
+    *  - `boilerplate` — one common phrase repeated 18×, truth = REFUSE.
+    *    CCNet's documented blind spot is low-perplexity junk; on this
+    *    corpus the plant lands ~150 mb ABOVE the clean median (its
+    *    trigram mix is commoner than average per trigram but the
+    *    doc-mean is dominated by the phrase boundary trigrams), so the
+    *    7420/7500 sweep points bracket exactly where the gate starts
+    *    falsely admitting it — the repetition filter (q_text_repetition)
+    *    exists because thresholds this tight also eat clean docs.
+    *
+    * Output: one row per (keep_below_mb ∈ sweep, class) with n_docs,
+    * n_kept, the planted truth and the class's error rate at that
+    * threshold (false-refuse% for truth-keep, false-admit% for
+    * truth-refuse) — the confusion matrix AND the threshold sweep in
+    * one integer-exact table, so keepBelowMb's default (7340) is a
+    * read-off-the-table choice instead of a magic number. Scale shape:
+    * the plants are scan-speed projections of the held-out slice, the
+    * scoring chain is the shared [[TextAnalysis.surprisalScore]] (one
+    * batch-sized shuffle), and the sweep is a 5-row broadcast. */
+  val lmGateRecall: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir)
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val held = d.filter(col("doc_id") % 10 === 0)
+    val gib = concat_ws(" ", (0 to 7).map(k =>
+      md5((col("doc_id") + lit(k.toLong)).cast("string"))): _*)
+    val batch = held.filter(col("lang") === "en")
+        .select(lit("clean").as("class"), col("doc_id"), col("text"))
+      .unionByName(held.filter(col("lang") =!= "en")
+        .select(lit("nonref").as("class"), col("doc_id"), col("text")))
+      .unionByName(held
+        .select(lit("gibberish").as("class"), col("doc_id"), gib.as("text")))
+      .unionByName(held
+        .select(lit("boilerplate").as("class"), col("doc_id"),
+          lit(LmGateBoiler).as("text")))
+    // persisted-model stand-in, the trigramSurprisal convention
+    val model = TextAnalysis.trigramModel(corpus).localCheckpoint()
+    val scored = TextAnalysis.surprisalScore(batch, model, Seq("class", "doc_id"))
+    scored.crossJoin(broadcast(LmGateSweep.toDF("keep_below_mb")))
+      .groupBy(col("keep_below_mb"), col("class"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("surprisal_mb") < col("keep_below_mb"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("truth_keep", col("class") === "clean")
+      .withColumn("err_pct",
+        expr("CASE WHEN truth_keep THEN (n_docs - n_kept) * 100 DIV n_docs" +
+          " ELSE n_kept * 100 DIV n_docs END"))
+  }
+
   /** PII scrub over text with deterministically planted PII (the
     * synthetic corpus has none; both engines plant the identical
     * suffix, so counts and redactions are real and verifiable). */
@@ -1108,6 +1189,39 @@ object QueriesLlm {
     operators.TextIndex.searchPhrase(
       operators.TextIndex.buildPositionalPostings(docs(s, dir), "doc_id", "text"),
       Seq("table", "table", "key"))
+
+  /** DEPLOYMENT form of [[textPhrase]] (r16): the positional postings
+    * persist ONCE per (application, corpus) bucketed on `term` — the
+    * SURVEY row's own spec (TextIndex.scala: "persisted bucketed-by-
+    * term like the tf postings") finally exercised by a query. The
+    * probe's `isin` prunes to the phrase terms' buckets on the
+    * PERSISTED index (SelectedBucketsCount asserted in LlmOpsSpec —
+    * the 33g assertion remade on this artifact), so a phrase query
+    * against a 100 TB corpus reads k terms' posting buckets, never the
+    * index. Shares q_text_phrase's oracle verbatim: parquet
+    * round-trips (term, doc_id, pos) exactly, served ≡ inline by
+    * construction, the hash gate proves it. */
+  val textPhraseServed: Q = (s, dir) =>
+    operators.TextIndex.searchPhrase(
+      s.table(servedPosIndexTable(s, dir)), Seq("table", "table", "key"))
+
+  /** Build-once gate for the bucketed positional postings — the
+    * servedGramIndexTable convention (name keyed on (applicationId,
+    * md5(dir)); external data under /tmp; build serialized). */
+  private def servedPosIndexTable(s: SparkSession, dir: String): String = {
+    val key = servedKey(s, dir)
+    val table = s"graft_pos_idx_${key.replace('/', '_')}"
+    posIndexBuildLock.synchronized {
+      if (!s.catalog.tableExists(table))
+        graft.sources.Sinks.saveBucketed(
+          operators.TextIndex.buildPositionalPostings(
+            docs(s, dir), "doc_id", "text"),
+          table, Seq("term"), 32,
+          path = Some(s"/tmp/graft_pos_index/$key"))
+    }
+    table
+  }
+  private val posIndexBuildLock = new Object
 
   /** Rarity-weighted OR search: top 20 docs by Σ tf·((N·10^6) DIV df) —
     * the IDF shape in exact BIGINT arithmetic, so the ranking (tie
@@ -1480,6 +1594,7 @@ object QueriesLlm {
     "q_text_search"         -> textSearch,
     "q_text_search_ranked"  -> textSearchRanked,
     "q_text_phrase"         -> textPhrase,
+    "q_text_phrase_served"  -> textPhraseServed,
     "q_trim_outliers"       -> trimOutliers,
     "q_text_langid"         -> textLangid,
     "q_text_quality"        -> textQuality,
@@ -1489,6 +1604,7 @@ object QueriesLlm {
     "q_text_perplexity"     -> textPerplexity,
     "q_text_perplexity_served" -> textPerplexityServed,
     "q_text_ppl_buckets"    -> textPplBuckets,
+    "q_lm_gate_recall"      -> lmGateRecall,
     "q_text_repetition"     -> textRepetition,
     "q_decontaminate"       -> decontaminate,
     "q_sim_topk"            -> simTopk,
@@ -1867,6 +1983,26 @@ sym AS (
     * the output is representation-free, so one SQL grades both the
     * explode-join-aggregate corpus shape and the embedded compiled
     * model table. */
+  private lazy val phraseOracle: String =
+    """WITH p AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, a[i] AS term
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents) d,
+      |       unnest(generate_series(1, len(a))) t(i)
+      |  WHERE len(a[i]) > 0
+      |), s(term, slot) AS (
+      |  VALUES ('table', 0), ('table', 1), ('key', 2)
+      |), m AS (
+      |  SELECT p.doc_id, p.pos - s.slot AS anchor, s.slot
+      |  FROM p JOIN s ON p.term = s.term
+      |  WHERE p.pos - s.slot >= 0
+      |), g AS (
+      |  SELECT doc_id, anchor FROM m GROUP BY doc_id, anchor
+      |  HAVING COUNT(DISTINCT slot) = 3
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+      |  CAST(MIN(anchor) AS BIGINT) AS first_pos
+      |FROM g GROUP BY 1""".stripMargin
+
   private lazy val perplexityOracle: String =
     """WITH tri AS (
   SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tri
@@ -2677,26 +2813,11 @@ FROM agg"""
     // positional twin: pos numbers the split array (empty tokens keep
     // their slot, emit no posting — same as the Spark build); anchor
     // voting with COUNT(DISTINCT slot), the repeated probe term filling
-    // two slots exactly as the broadcast slot-table fan-out does
-    "q_text_phrase" ->
-      """WITH p AS (
-        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, a[i] AS term
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents) d,
-        |       unnest(generate_series(1, len(a))) t(i)
-        |  WHERE len(a[i]) > 0
-        |), s(term, slot) AS (
-        |  VALUES ('table', 0), ('table', 1), ('key', 2)
-        |), m AS (
-        |  SELECT p.doc_id, p.pos - s.slot AS anchor, s.slot
-        |  FROM p JOIN s ON p.term = s.term
-        |  WHERE p.pos - s.slot >= 0
-        |), g AS (
-        |  SELECT doc_id, anchor FROM m GROUP BY doc_id, anchor
-        |  HAVING COUNT(DISTINCT slot) = 3
-        |)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
-        |  CAST(MIN(anchor) AS BIGINT) AS first_pos
-        |FROM g GROUP BY 1""".stripMargin,
+    // two slots exactly as the broadcast slot-table fan-out does.
+    // The SERVED row shares it verbatim: parquet round-trips
+    // (term, doc_id, pos) exactly, so served ≡ inline by construction.
+    "q_text_phrase" -> phraseOracle,
+    "q_text_phrase_served" -> phraseOracle,
 
     // single-window twin of the two-phase value-axis ranking; the
     // integer keep rule (rank·100 in (lo·n, hi·n]) has no float
@@ -3073,6 +3194,66 @@ SELECT s.doc_id, s.lang, s.surprisal_mb,
        WHEN s.surprisal_mb <= t.t2 THEN 'middle'
        ELSE 'tail' END AS ppl_bucket
 FROM s JOIN th t ON s.lang = t.lang"""),
+
+    // the LM gate's quality grade: the SAME trigram scoring chain as
+    // perplexityOracle, but the model trains on the standing-corpus
+    // split and the scored batch is the four planted classes (the
+    // plants are pure SQL over the held-out ids — md5 chains and a
+    // literal phrase — so both engines grade byte-identical text)
+    "q_lm_gate_recall" -> (
+      s"""WITH held AS (
+  SELECT * FROM documents WHERE doc_id % 10 = 0
+), batch AS (
+  SELECT 'clean' AS class, doc_id, text FROM held WHERE lang = 'en'
+  UNION ALL
+  SELECT 'nonref' AS class, doc_id, text FROM held WHERE lang <> 'en'
+  UNION ALL
+  SELECT 'gibberish' AS class, doc_id,
+    md5(CAST(doc_id AS VARCHAR)) || ' ' || md5(CAST(doc_id + 1 AS VARCHAR))
+      || ' ' || md5(CAST(doc_id + 2 AS VARCHAR)) || ' ' || md5(CAST(doc_id + 3 AS VARCHAR))
+      || ' ' || md5(CAST(doc_id + 4 AS VARCHAR)) || ' ' || md5(CAST(doc_id + 5 AS VARCHAR))
+      || ' ' || md5(CAST(doc_id + 6 AS VARCHAR)) || ' ' || md5(CAST(doc_id + 7 AS VARCHAR))
+      AS text
+  FROM held
+  UNION ALL
+  SELECT 'boilerplate' AS class, doc_id, '$LmGateBoiler' AS text FROM held
+), ctri AS (
+  SELECT substr(text, CAST(i AS INT), 3) AS tri
+  FROM documents, unnest(generate_series(1, length(text) - 2)) t(i)
+  WHERE doc_id % 10 <> 0 AND length(text) >= 3 AND lang = 'en'
+), model AS (
+  SELECT tri, COUNT(*) AS cnt FROM ctri GROUP BY 1
+), tot AS (
+  SELECT SUM(cnt) AS tot, COUNT(*) AS v FROM model
+), btri AS (
+  SELECT class, doc_id, substr(text, CAST(i AS INT), 3) AS tri
+  FROM batch, unnest(generate_series(1, length(text) - 2)) t(i)
+  WHERE length(text) >= 3
+), scored AS (
+  SELECT b.class, b.doc_id, COUNT(*) AS n_tri,
+    CAST(SUM(length(bin(COALESCE(m.cnt, 0) + 1))) AS BIGINT) AS sum_bl
+  FROM btri b LEFT JOIN model m ON b.tri = m.tri
+  GROUP BY 1, 2
+), fin AS (
+  SELECT s.class,
+    CAST((length(bin(t.tot + t.v)) * s.n_tri - s.sum_bl) * 1000 // s.n_tri
+      AS BIGINT) AS surprisal_mb
+  FROM scored s, tot t
+), th AS (
+  SELECT CAST(keep_below_mb AS BIGINT) AS keep_below_mb
+  FROM (VALUES $lmGateSweepSql) v(keep_below_mb)
+)
+SELECT th.keep_below_mb, f.class,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN f.surprisal_mb < th.keep_below_mb THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_kept,
+  f.class = 'clean' AS truth_keep,
+  CAST(CASE WHEN f.class = 'clean'
+    THEN (COUNT(*) - SUM(CASE WHEN f.surprisal_mb < th.keep_below_mb THEN 1 ELSE 0 END)) * 100 // COUNT(*)
+    ELSE SUM(CASE WHEN f.surprisal_mb < th.keep_below_mb THEN 1 ELSE 0 END) * 100 // COUNT(*)
+  END AS BIGINT) AS err_pct
+FROM fin f, th
+GROUP BY 1, 2"""),
 
     "q_text_tokens" -> (
       s"""SELECT lang, COUNT(*) AS n_docs,

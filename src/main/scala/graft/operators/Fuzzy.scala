@@ -57,28 +57,17 @@ object Fuzzy {
     * shuffled once. Short strings (length ≤ k) co-bucket at "" — not a
     * pathology: any two such strings are genuinely within distance k,
     * so the bucket is all true candidates. Mass-duplicate buckets cap
-    * at `maxBucket` exactly as at k=1. */
+    * at `maxBucket` exactly as at k=1 — and the RECALL LOSS from the
+    * cap GROWS with the radius: k=2 buckets are far denser (every
+    * length ≤ 2 string co-buckets at "", single-char signatures
+    * aggregate huge families), so a bucket over the cap drops more
+    * true pairs than the same cap at k=1. Size the cap to the data's
+    * duplicate structure, or measure the loss with the capped-bucket
+    * property test's posture (FuzzyProps). */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, maxBucket: Int = 10000): DataFrame = {
-    require(maxDist >= 1 && maxDist <= 2,
-      s"editDistancePairs: maxDist=$maxDist not in {1, 2} (the signature " +
-        "stream grows ~|s|^k — wire wider k deliberately, not by default)")
     require(maxBucket >= 2, s"editDistancePairs: maxBucket=$maxBucket")
-    val base = df.select(col(idCol).cast("long").as("_id"), col(strCol).as("_s"))
-    // one single-deletion step over the current variant column: i = 0
-    // keeps the variant (so iterating yields {s} ∪ D1 ∪ ... ∪ Dk);
-    // deduplicated per string ("aab" yields "ab" twice)
-    def delStep(in: DataFrame): DataFrame = in
-      .select(col("_id"), col("_s"), col("_sig").as("_v"),
-        explode(sequence(lit(0), length(col("_sig")))).as("_i"))
-      .select(col("_id"), col("_s"),
-        when(col("_i") === 0, col("_v"))
-          .otherwise(concat(
-            col("_v").substr(lit(1), col("_i") - 1),
-            col("_v").substr(col("_i") + 1, length(col("_v"))))).as("_sig"))
-      .distinct()
-    val sigs = (1 to maxDist).foldLeft(base.withColumn("_sig", col("_s")))(
-      (acc, _) => delStep(acc))
+    val sigs = deletionSignatures(df, idCol, strCol, maxDist)
     // bucket-size window and bucket group-by share one signature shuffle
     val surviving = sigs
       .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_sig"))))
@@ -94,5 +83,86 @@ object Fuzzy {
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** The ≤`maxDist`-deletion family of every string as flat signature
+    * rows (_id, _s, _sig), deduplicated per string — the candidate
+    * stream [[editDistancePairs]] buckets and [[signatureIndex]]
+    * persists. Each iteration is one row-local explode over the
+    * previous family plus a `.distinct()`: the per-step dedup is an
+    * extra full shuffle of the variant stream, PAID DELIBERATELY —
+    * within-string collisions are common ("aab" deletes to "ab" two
+    * ways; at k=2 the same grandchild arises via many deletion orders),
+    * so deduping before the next explode shrinks step 2's input and
+    * the final stream the bucket window shuffles. A/B-measured at
+    * sf0.1 (r16, q_fuzzy_join2, 15k dense names, min-of-3 steady):
+    * per-step distinct 9.3 s vs one distinct after both steps 12.2 s —
+    * the second explode over an undeduplicated family costs more than
+    * the extra shuffle saves, so the per-step form stands. At k=1 the
+    * step distinct IS the only dedup (identical plans either way). */
+  private def deletionSignatures(df: DataFrame, idCol: String,
+      strCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"deletionSignatures: maxDist=$maxDist not in {1, 2} (the signature " +
+        "stream grows ~|s|^k — wire wider k deliberately, not by default)")
+    val base = df.select(col(idCol).cast("long").as("_id"), col(strCol).as("_s"))
+    // one single-deletion step over the current variant column: i = 0
+    // keeps the variant (so iterating yields {s} ∪ D1 ∪ ... ∪ Dk)
+    def delStep(in: DataFrame): DataFrame = in
+      .select(col("_id"), col("_s"), col("_sig").as("_v"),
+        explode(sequence(lit(0), length(col("_sig")))).as("_i"))
+      .select(col("_id"), col("_s"),
+        when(col("_i") === 0, col("_v"))
+          .otherwise(concat(
+            col("_v").substr(lit(1), col("_i") - 1),
+            col("_v").substr(col("_i") + 1, length(col("_v"))))).as("_sig"))
+      .distinct()
+    (1 to maxDist).foldLeft(base.withColumn("_sig", col("_s")))(
+      (acc, _) => delStep(acc))
+  }
+
+  /** The SERVED form's standing artifact (r16): the reference table's
+    * deletion-signature index — (id, s, sig, bsz) with `bsz` the
+    * signature's index-side bucket size, PRECOMPUTED so probe time
+    * never windows over the index. Persist bucketed+sorted on `sig`
+    * ([[graft.sources.Sinks.saveBucketed]]): a delta probe then joins
+    * with ZERO index-side exchange and every per-invocation cost is
+    * delta-sized — the entity-resolution deployment shape (a standing
+    * 10⁹-row reference of canonical names, nightly batches of dirty
+    * ones), the gram-index/band-index/IVF-PQ convention applied to the
+    * fuzzy family. */
+  def signatureIndex(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame =
+    deletionSignatures(df, idCol, strCol, maxDist)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("_sig"))))
+      .select(col("_id").as("id"), col("_s").as("s"), col("_sig").as("sig"),
+        col("bsz"))
+
+  /** Probe a persisted [[signatureIndex]] with a DELTA of dirty
+    * strings: all (id_d, id_c, dist) with levenshtein ≤ `maxDist`
+    * between a delta string and a reference string, id_d from the
+    * delta, id_c from the indexed reference. Distance-0 rows report
+    * exact hits. The delta's own ≤k-deletion family joins the index on
+    * `sig` (zero index-side exchange when the index is bucketed on it;
+    * the delta side shuffles delta×~|s|^k rows — delta-sized); index
+    * buckets over `maxBucket` are mass-duplicate clusters and drop
+    * exactly as in [[editDistancePairs]] (same growing-with-radius
+    * recall caveat). The delta side is never capped — a batch is small
+    * by contract, and capping it would silently drop a dirty string's
+    * every candidate. */
+  def probeSignatureIndex(delta: DataFrame, idCol: String, strCol: String,
+      index: DataFrame, maxDist: Int, maxBucket: Int = 10000): DataFrame = {
+    require(maxBucket >= 1, s"probeSignatureIndex: maxBucket=$maxBucket")
+    val probeSigs = deletionSignatures(delta, idCol, strCol, maxDist)
+      .select(col("_id").as("_did"), col("_s").as("_ds"),
+        col("_sig").as("sig"))
+    probeSigs
+      .join(index.filter(col("bsz") <= maxBucket), Seq("sig"))
+      .select(col("_did").as("id_d"), col("_ds").as("s_d"),
+        col("id").as("id_c"), col("s").as("s_c"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_d"), col("s_c")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_d"), col("id_c"), col("dist"))
   }
 }

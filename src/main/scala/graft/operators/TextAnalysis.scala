@@ -207,6 +207,26 @@ object TextAnalysis {
     * Σbl(cnt+1)`, so per-trigram rows never need the totals). */
   def trigramSurprisal(docs: DataFrame, refLang: String = "en",
       keepBelowMb: Long = 7340L): DataFrame = {
+    // the KB–MB model is consumed twice (totals + the scoring join):
+    // localCheckpoint stands in for the PERSISTED model a deployment
+    // scores against (the pqCodebook convention), so the reference
+    // slice's trigram pass runs once, not per consumer
+    val model = trigramModel(docs, refLang).localCheckpoint()
+    surprisalScore(docs, model, Seq("doc_id", "lang"))
+      .withColumn("keep", col("surprisal_mb") < lit(keepBelowMb))
+  }
+
+  /** The scoring chain of [[trigramSurprisal]] against an EXPLICIT
+    * model relation — the factored form the gate-quality eval
+    * ([[graft.QueriesLlm]] q_lm_gate_recall) needs, where the model
+    * trains on the standing corpus and the scored batch is a DIFFERENT
+    * relation (planted classes). `keyCols` are the per-row identity the
+    * scores aggregate under (doc_id+lang for the corpus row, class+
+    * doc_id for the planted batch). Same plan as ever: explode →
+    * broadcast model join → one keyCols-grouped shuffle of 40-byte
+    * rows → broadcast totals. */
+  def surprisalScore(docs: DataFrame, model: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
     // compiled one-pass extraction (plans/CharNgramCodes): the HOF
     // transform+substring walk is interpreted and O(len²) per doc, and
     // at the multi-billion-trigram scale even compiled STRING slices
@@ -218,23 +238,18 @@ object TextAnalysis {
     // on trigram TEXT and the hash gate proves the keyings equivalent.
     val tris = call_function("graft_char_ngram_codes", col("text"), lit(3))
     val long3 = docs.filter(length(col("text")) >= 3)
-    // the KB–MB model is consumed twice (totals + the scoring join):
-    // localCheckpoint stands in for the PERSISTED model a deployment
-    // scores against (the pqCodebook convention), so the reference
-    // slice's trigram pass runs once, not per consumer
-    val model = trigramModel(docs, refLang).localCheckpoint()
     val totals = model.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
-    long3.select(col("doc_id"), col("lang"), explode(tris).as("tri"))
+    val keys = keyCols.map(col)
+    long3.select(keys :+ explode(tris).as("tri"): _*)
       .join(broadcast(model), Seq("tri"), "left")
-      .groupBy(col("doc_id"), col("lang"))
+      .groupBy(keys: _*)
       .agg(count(lit(1)).as("n_tri"),
         count(when(col("cnt").isNull, 1)).as("n_oov"),
         sum(length(bin(coalesce(col("cnt"), lit(0L)) + 1)).cast("long")).as("sum_bl"))
       .crossJoin(broadcast(totals))
-      .select(col("doc_id"), col("lang"), col("n_tri"), col("n_oov"),
+      .select(keys ++ Seq(col("n_tri"), col("n_oov"),
         expr("(length(bin(tot + v)) * n_tri - sum_bl) * 1000L div n_tri")
-          .as("surprisal_mb"))
-      .withColumn("keep", col("surprisal_mb") < lit(keepBelowMb))
+          .as("surprisal_mb")): _*)
   }
 
   /** The [[trigramSurprisal]] model alone: (tri BIGINT code, cnt) over

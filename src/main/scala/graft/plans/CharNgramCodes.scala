@@ -79,7 +79,18 @@ case class CharNgramCodes(left: Expression, right: Expression)
 
 object CharNgramCodes {
 
-  /** NOT named `eval` — the GramHashes static-forwarder rule. */
+  /** NOT named `eval` — the GramHashes static-forwarder rule.
+    *
+    * ARTIFACT COMPATIBILITY (r15 ADVICE): the r15 hardening changed
+    * malformed-UTF-8 decoding from keep-lead-byte to U+FFFD, which
+    * changes the packed codes this walk emits for invalid byte
+    * sequences. A trigram-model / gram store persisted BEFORE that
+    * change mismatches probes built after it — but only on corpora
+    * that carry invalid UTF-8 (parquet string columns written by Spark
+    * or DuckDB are valid by construction; the exposure is external /
+    * unvalidated writers). If such corpora must survive the upgrade,
+    * rebuild their stores; there is no in-band format marker because
+    * the affected inputs are outside every oracle-checked path. */
   def codes(s: UTF8String, n: Int): GenericArrayData = {
     if (n <= 0 || n > 3) return null
     val bytes = s.getBytes

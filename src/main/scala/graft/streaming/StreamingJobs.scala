@@ -273,7 +273,23 @@ object StreamingJobs {
     * ([[graft.operators.Dedup.cutColumns]]), not a reimplementation. */
   def gramProbeStream(docs: DataFrame, index: DataFrame, spanWords: Int,
       watermarkDelay: String, windowDur: String, minDf: Long = 1L,
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil): DataFrame =
+    gramProbeStreamReleasable(docs, index, spanWords, watermarkDelay,
+      windowDur, minDf, carry)._1
+
+  /** [[gramProbeStream]] plus the RELEASE handle for its lane-snapshot
+    * cache (r16, the r15 ADVICE): the snapshot's lifetime is the
+    * stream's, but the DataFrame API gives the transform no way to see
+    * query termination — a long-lived driver that rebuilds the stream
+    * per index refresh accretes MEMORY_AND_DISK entries unless it
+    * releases the previous one. Call the handle after the query built
+    * on the returned frame terminates (idempotent; blocking=false, so
+    * it never stalls a restart). The plain [[gramProbeStream]] keeps
+    * the one-stream-per-application contract where the cache dies with
+    * the session. */
+  def gramProbeStreamReleasable(docs: DataFrame, index: DataFrame,
+      spanWords: Int, watermarkDelay: String, windowDur: String,
+      minDf: Long = 1L, carry: Seq[String] = Nil): (DataFrame, () => Unit) = {
     graft.operators.Dedup.requireSpanWords(index, spanWords, "gramProbeStream")
     val wm = docs.withWatermark("ts", watermarkDelay)
     val words = wm.withColumn("w", split(col("text"), " "))
@@ -305,12 +321,10 @@ object StreamingJobs {
     // keeps the per-batch plan from re-broadcasting a corpus-sized
     // build. MEMORY_AND_DISK: lane sets that outgrow memory spill,
     // exactly the band-key-cache convention — including its lifetime:
-    // cache entries live until the application ends (the query object
-    // gives callers no unpersist handle), so a long-lived driver that
-    // reconstructs this stream per index refresh should recycle the
-    // SparkSession at the same cadence, or spark.catalog.clearCache()
-    // between constructions; one stream per application — the probe
-    // and deployment shape — never notices.
+    // the stream's, which is why the Releasable form returns an
+    // unpersist handle for drivers that rebuild the stream per index
+    // refresh (r15 ADVICE); one stream per application — the probe
+    // and deployment shape — never needs it.
     val lanes = index.filter(col("df") >= minDf)
       .select(col("h1"), col("h2"))
       .repartition(col("h1"), col("h2"))
@@ -335,10 +349,11 @@ object StreamingJobs {
           carry.map(c => first(col(c), ignoreNulls = true).as(c)): _*)
       .select(col("window.start").as("w_start") +: col("doc_id") +:
         col("rm") +: col("text") +: carry.map(col): _*)
-    graft.operators.Dedup.cutColumns(
+    val out = graft.operators.Dedup.cutColumns(
         agg.withColumn("w", split(col("text"), " ")), spanWords)
       .select(col("w_start") +: col("doc_id") +: col("clean_text") +:
         col("n_removed") +: col("n_spans") +: carry.map(col): _*)
+    (out, () => { lanes.unpersist(blocking = false); () })
   }
 
   /** STREAMING 4-gate ingest admission (r13) — the composed ONLINE
@@ -371,7 +386,20 @@ object StreamingJobs {
   def ingestGateStream(docs: DataFrame, bits: DataFrame, bandIndex: DataFrame,
       gramIndex: DataFrame, k: Int, perms: Int, bands: Int, spanWords: Int,
       watermarkDelay: String, windowDur: String, maxBucket: Int = 10000,
-      bloomK: Int = 3, bloomWidth: Int = 1 << 20): DataFrame = {
+      bloomK: Int = 3, bloomWidth: Int = 1 << 20): DataFrame =
+    ingestGateStreamReleasable(docs, bits, bandIndex, gramIndex, k, perms,
+      bands, spanWords, watermarkDelay, windowDur, maxBucket, bloomK,
+      bloomWidth)._1
+
+  /** [[ingestGateStream]] plus the release handle for ITS stream-static
+    * caches — the `bands` per-band key sets and gate 3's lane snapshot
+    * (the [[gramProbeStreamReleasable]] contract, applied to the
+    * composition that persists `bands`+1 relations per construction). */
+  def ingestGateStreamReleasable(docs: DataFrame, bits: DataFrame,
+      bandIndex: DataFrame, gramIndex: DataFrame, k: Int, perms: Int,
+      bands: Int, spanWords: Int, watermarkDelay: String, windowDur: String,
+      maxBucket: Int = 10000, bloomK: Int = 3,
+      bloomWidth: Int = 1 << 20): (DataFrame, () => Unit) = {
     require(perms % bands == 0, s"perms ($perms) must be a multiple of bands ($bands)")
     val rows = perms / bands
     val fresh = graft.operators.Freq.bloomProbe(
@@ -398,17 +426,22 @@ object StreamingJobs {
     // distincts every 625-doc batch and dominated the gate cost; the
     // cache is the canonical stream-static-side treatment, spills to
     // disk if the key sets outgrow memory)
+    val keySets = (0 until bands).map(b =>
+      capped.filter(col("band") === b)
+        .select(col("bk").as(s"_bk$b")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val novel = (0 until bands).foldLeft(withKeys) { (df, b) =>
-      df.join(capped.filter(col("band") === b)
-          .select(col("bk").as(s"_bk$b")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-        Seq(s"_bk$b"), "left_anti")
+      df.join(keySets(b), Seq(s"_bk$b"), "left_anti")
     }.drop("_sig" +: (0 until bands).map(b => s"_bk$b"): _*)
-    gramProbeStream(novel, gramIndex, spanWords, watermarkDelay, windowDur,
-        carry = Seq("source"))
+    val (cut, releaseLanes) = gramProbeStreamReleasable(novel, gramIndex,
+      spanWords, watermarkDelay, windowDur, carry = Seq("source"))
+    val out = cut
       .withColumn("text", col("clean_text"))
       .drop("clean_text")
       .filter(length(col("text")) > 0)
+    (out, () => {
+      keySets.foreach(_.unpersist(blocking = false)); releaseLanes()
+    })
   }
 
   /** Streaming trigram-LM QUALITY gate — the online face of

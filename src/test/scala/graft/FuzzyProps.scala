@@ -48,6 +48,56 @@ object FuzzyProps extends Properties("FuzzyJoinSemantics") {
       Prop(got == want) :| s"xs=$xs got=$got want=$want"
     }
 
+  property("probeSignatureIndex == brute-force delta x corpus levenshtein") =
+    // r16 (served form): the delta probe against the signature index
+    // must find exactly the true cross pairs at both radii — including
+    // distance-0 exact hits and empty/short strings
+    Prop.forAll(genStrings, Gen.oneOf(1, 2)) { (xs, k) =>
+      import TestSpark.spark.implicits._
+      val rows = xs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val (corpus, delta) = rows.partition(_._1 % 2 == 0)
+      val got =
+        if (delta.isEmpty || corpus.isEmpty) Set.empty[(Long, Long, Long)]
+        else Fuzzy.probeSignatureIndex(
+            delta.toDF("id", "s"), idCol = "id", strCol = "s",
+            index = Fuzzy.signatureIndex(
+              corpus.toDF("id", "s"), "id", "s", maxDist = k),
+            maxDist = k, maxBucket = 1000000)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (id, sd) <- delta; (ic, sc) <- corpus
+        d = lev(sd, sc) if d <= k
+      } yield (id, ic, d.toLong)).toSet
+      Prop(got == want) :| s"k=$k xs=$xs got=$got want=$want"
+    }
+
+  property("maxBucket cap drops dense-family pairs at maxDist=2 (and only those)") =
+    // the r15 ADVICE test: at k=2 every single-char string co-buckets
+    // at "" (a family of 8 here), so with the cap below 8 their pairs
+    // drop — mass-duplicate semantics — while a pair whose shared
+    // buckets are small survives. Uncapped, the same input returns the
+    // full brute-force answer (the cap is the ONLY loss).
+    Prop.secure {
+      import TestSpark.spark.implicits._
+      val singles = ('a' to 'h').map(_.toString)
+      val rows = (singles ++ Seq("xyzzy", "xyzza")).zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }
+      val df = rows.toDF("id", "s")
+      val capped = Fuzzy.editDistancePairs(df, "id", "s", maxDist = 2,
+          maxBucket = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val survivor = (8L, 9L, 1L) // xyzzy/xyzza share only size-2 buckets
+      val uncapped = Fuzzy.editDistancePairs(df, "id", "s", maxDist = 2,
+          maxBucket = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+        d = lev(sa, sb) if d <= 2
+      } yield (ia, ib, d.toLong)).toSet
+      Prop(capped == Set(survivor) && uncapped == want) :|
+        s"capped=$capped uncapped=$uncapped want=$want"
+    }
+
   property("editDistancePairs(maxDist=2) == brute-force pairwise levenshtein <= 2") =
     // r15 (FastSS k=2): the iterated single-deletion family must be a
     // COMPLETE candidate rule at the wider radius — every true <=2 pair

@@ -1913,6 +1913,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hits.forall(t => t.split(" ").contains("hash") && t.split(" ").contains("window")))
   }
 
+  test("served phrase search: bucket-pruned probe on the persisted positional index == inline") {
+    import graft.operators.TextIndex
+    import graft.sources.Sinks
+    // the 33g assertion remade on the POSITIONAL artifact (r16): the
+    // phrase probe against a term-bucketed persisted index must prune
+    // to the probe terms' buckets and reproduce the inline build+search
+    spark.sql("DROP TABLE IF EXISTS b_pos_index")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("spark-warehouse/b_pos_index"))
+    Sinks.saveBucketed(
+      TextIndex.buildPositionalPostings(docs, "doc_id", "text"),
+      "b_pos_index", Seq("term"), 8)
+    val phrase = Seq("table", "table", "key")
+    val served = TextIndex.searchPhrase(spark.table("b_pos_index"), phrase)
+    // bucket pruning: the isin on term selects the phrase terms'
+    // buckets, never the full index (autoBucketedScan off for the
+    // check, the SourcesSpec caveat: the planner drops bucketed scans
+    // for plans with no bucket-aligned join, forfeiting the pruning)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val plan = physicalPlan(TextIndex.searchPhrase(
+        spark.table("b_pos_index"), phrase))
+      val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+        .findFirstMatchIn(plan)
+      assert(sel.exists(_.group(1).toInt <= 2),
+        s"phrase probe must prune to the probe terms' buckets:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    val inline = TextIndex.searchPhrase(
+      TextIndex.buildPositionalPostings(docs, "doc_id", "text"), phrase)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val s1 = rows(served)
+    assert(s1 == rows(inline) && s1.nonEmpty)
+  }
+
   test("term drift: the injected token tops the ranking; counts are exact") {
     import spark.implicits._
     import graft.operators.Snapshot

@@ -25,6 +25,58 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("l_partkey"), s"ReadSchema not pruned:\n$plan")
   }
 
+  test("a persisted bucketed fuzzy signature index probes with zero index-side shuffle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Fuzzy
+    import graft.sources.Sinks
+    // the Fuzzy.probeSignatureIndex claim, asserted the way the gram
+    // index's is: persist the reference names' deletion-signature index
+    // bucketed+sorted on sig, then probe with a delta — every remaining
+    // exchange is DELTA-sized
+    val corpus = (0L until 60L).map(i => (i, f"Customer#$i%09d")).toDF("id", "s")
+    val delta = Seq((1000L, "Customer#000000007"), // exact hit, dist 0
+      (1001L, "Customer#00000003"),                // one digit dropped, dist 1
+      (1002L, "Nobody#Like#This")).toDF("id", "s")
+    spark.sql("DROP TABLE IF EXISTS b_fuzzy_index")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("spark-warehouse/b_fuzzy_index"))
+    Sinks.saveBucketed(Fuzzy.signatureIndex(corpus, "id", "s", maxDist = 1),
+      "b_fuzzy_index", Seq("sig"), 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probed = Fuzzy.probeSignatureIndex(delta, "id", "s",
+        spark.table("b_fuzzy_index"), maxDist = 1)
+      val plan = physicalPlan(probed)
+      // three DELTA-sized exchanges — the signature-family distinct, the
+      // re-key onto sig for the join, the surviving-pair distinct — and
+      // the INDEX side reads its buckets with no exchange at all
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 3, plan)
+      assert(plan.contains("Bucketed: true"),
+        s"index side must read its bucket layout:\n$plan")
+      val got = probed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // brute force: every (delta, corpus) pair within distance 1
+      val want = (for {
+        (di, ds) <- Seq((1000L, "Customer#000000007"),
+          (1001L, "Customer#00000003"), (1002L, "Nobody#Like#This"))
+        ci <- 0L until 60L
+        d = {
+          val cs = f"Customer#$ci%09d"
+          val m = Array.tabulate(ds.length + 1, cs.length + 1) { (i, j) =>
+            if (i == 0) j else if (j == 0) i else 0
+          }
+          for (i <- 1 to ds.length; j <- 1 to cs.length)
+            m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+              m(i - 1)(j - 1) + (if (ds(i - 1) == cs(j - 1)) 0 else 1))
+          m(ds.length)(cs.length)
+        } if (d <= 1)
+      } yield (di, ci, d.toLong)).toSet
+      assert(got == want, s"got=$got want=$want")
+      assert(got.contains((1000L, 7L, 0L)) && got.exists(_._1 == 1001L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (64L * 1024 * 1024).toString)
+  }
+
   test("q_topk_per_group gets the rank-limit pushdown (WindowGroupLimit)") {
     val plan = physicalPlan(QueriesCore.qTopkPerGroup(spark, sfDir))
     assert(plan.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$plan")

@@ -680,8 +680,10 @@ class StreamingSpec extends AnyFunSuite {
     val index = graft.operators.Dedup.gramIndex(corpus, 10).localCheckpoint()
     val in = MemoryStream[(Long, Timestamp, String)]
     val df = in.toDF().toDF("doc_id", "ts", "text")
-    val q = StreamingJobs.gramProbeStream(df, index, spanWords = 10,
-        watermarkDelay = "10 minutes", windowDur = "1 hour")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val (probe, release) = StreamingJobs.gramProbeStreamReleasable(df, index,
+      spanWords = 10, watermarkDelay = "10 minutes", windowDur = "1 hour")
+    val q = probe
       .writeStream.format("memory").queryName("gramprobe_out").outputMode("append").start()
     try {
       val deltaRows = delta.select("doc_id", "text").collect()
@@ -700,6 +702,17 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == batch)
       assert(got.exists(_._3 > 0), "the synthetic corpus plants shared passages across the split")
       assert(got.size == deltaRows.size, "every arriving doc comes back exactly once")
+      // the release handle (r16, the r15 ADVICE): the lane snapshot
+      // materialized while the query ran; releasing after termination
+      // returns the persistent-RDD set to its pre-construction size, so
+      // a driver rebuilding the stream per index refresh does not
+      // accrete MEMORY_AND_DISK entries
+      q.stop(); q.awaitTermination()
+      assert(spark.sparkContext.getPersistentRDDs.size > cachedBefore,
+        "the lane snapshot should be cached while the stream lives")
+      release()
+      assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+        "release() must unpersist the lane snapshot")
     } finally q.stop()
   }
 
