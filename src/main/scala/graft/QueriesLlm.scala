@@ -779,13 +779,18 @@ object QueriesLlm {
   val textPplBuckets: Q = (s, dir) =>
     TextAnalysis.surprisalBuckets(docs(s, dir))
 
-  /** The LM gate's threshold sweep — `keep_below_mb` values chosen to
-    * straddle the measured class distributions at the test scales
-    * (clean held-out docs spread ≈7200–7520 mb, the boilerplate class
-    * sits at ≈7500, gibberish at ≈15000): 7300 refuses part of clean,
-    * 7420/7500 bracket the boilerplate boundary, 8000 admits everything
-    * but gibberish. Shared with the oracle via [[lmGateSweepSql]]. */
-  private val LmGateSweep = Seq(7300L, 7340L, 7420L, 7500L, 8000L)
+  /** The LM gate's threshold sweep, in CALIBRATION-PERCENTILE space:
+    * each sweep point keeps docs scoring ≤ the trusted (training)
+    * slice's own p-th percentile surprisal. ABSOLUTE millibit
+    * thresholds are scale-DEPENDENT (measured r16: the clean band sits
+    * at ≈7340 mb at sf0.01 but ≈8330 at sf0.1 — `blv = bitlen(tot+v)`
+    * grows a bit-level faster than the mean per-trigram bitlen as the
+    * model's counts grow), so a fixed sweep flips meaning with corpus
+    * size; percentile-of-trusted-slice is CCNet's actual recipe
+    * ("calibrated on a trusted slice") and is scale-free by
+    * construction — held-out in-distribution docs keep at ≈p% at ANY
+    * corpus size. Shared with the oracle via [[lmGateSweepSql]]. */
+  private val LmGateSweep = Seq(25L, 50L, 75L, 90L, 99L)
   private def lmGateSweepSql: String =
     LmGateSweep.map(t => s"($t)").mkString(", ")
   /** The boilerplate plant: a corpus-common 4-word phrase repeated —
@@ -811,27 +816,42 @@ object QueriesLlm {
     *    shared-alphabet corpus; langId (q_pipeline_prep stage 1) is.
     *  - `gibberish` — 8 chained md5 hex blocks per doc id: OOV-heavy
     *    character noise, truth = REFUSE. Separates by ~2× the clean
-    *    band's surprisal (≈15000 vs ≈7340 mb).
+    *    band's surprisal (≈15000 vs the clean band's ≈7300–8400 —
+    *    the band itself drifts with model scale, see the sweep note).
     *  - `boilerplate` — one common phrase repeated 18×, truth = REFUSE.
     *    CCNet's documented blind spot is low-perplexity junk; on this
-    *    corpus the plant lands ~150 mb ABOVE the clean median (its
+    *    corpus the plant lands in the clean band's upper tail (its
     *    trigram mix is commoner than average per trigram but the
     *    doc-mean is dominated by the phrase boundary trigrams), so the
-    *    7420/7500 sweep points bracket exactly where the gate starts
+    *    upper sweep points bracket exactly where the gate starts
     *    falsely admitting it — the repetition filter (q_text_repetition)
-    *    exists because thresholds this tight also eat clean docs.
+    *    exists because thresholds tight enough to refuse it also eat
+    *    clean docs.
     *
-    * Output: one row per (keep_below_mb ∈ sweep, class) with n_docs,
-    * n_kept, the planted truth and the class's error rate at that
-    * threshold (false-refuse% for truth-keep, false-admit% for
-    * truth-refuse) — the confusion matrix AND the threshold sweep in
-    * one integer-exact table, so keepBelowMb's default (7340) is a
-    * read-off-the-table choice instead of a magic number. Scale shape:
-    * the plants are scan-speed projections of the held-out slice, the
-    * scoring chain is the shared [[TextAnalysis.surprisalScore]] (one
-    * batch-sized shuffle), and the sweep is a 5-row broadcast. */
+    * The sweep CALIBRATES itself on the trusted slice (the model's own
+    * training docs self-scored through the same chain): each point p
+    * keeps batch docs scoring ≤ the training distribution's exact p-th
+    * percentile value — the thresholds come out of the same KB-scale
+    * integer histogram + cumulative-window machinery as the 35c3
+    * terciles (value-bucketed ties, engine-portable, never a corpus
+    * sort), so the row reads the same at every corpus size where a
+    * fixed millibit sweep flips meaning (measured: the clean band
+    * drifts ≈7340 → ≈8330 mb from sf0.01 to sf0.1 as the model's
+    * counts grow).
+    *
+    * Output: one row per (cal_pct ∈ sweep, class) carrying the
+    * calibrated keep_below_mb, n_docs, n_kept, the planted truth and
+    * the class's error rate at that point (false-refuse% for
+    * truth-keep, false-admit% for truth-refuse) — the confusion matrix
+    * AND the threshold sweep in one integer-exact table, so the
+    * operating point is a read-off-the-table choice instead of a magic
+    * number. Scale shape: calibration is one corpus-slice scoring pass
+    * (the perplexity row's own cost — in deployment it runs once
+    * beside the model build) collapsing to a KB histogram; the plants
+    * are scan-speed projections of the held-out slice; the batch
+    * scoring is the shared [[TextAnalysis.surprisalScore]] (one
+    * batch-sized shuffle); the sweep is a 5-row broadcast. */
   val lmGateRecall: Q = (s, dir) => {
-    import s.implicits._
     val d = docs(s, dir)
     val corpus = d.filter(col("doc_id") % 10 =!= 0)
     val held = d.filter(col("doc_id") % 10 === 0)
@@ -848,11 +868,35 @@ object QueriesLlm {
           lit(LmGateBoiler).as("text")))
     // persisted-model stand-in, the trigramSurprisal convention
     val model = TextAnalysis.trigramModel(corpus).localCheckpoint()
+    // calibration: the trusted slice self-scored, collapsed to the
+    // KB-scale integer histogram; the single-partition window is
+    // provably bounded (distinct millibit scores, hundreds of rows —
+    // the 35c3 argument with one global domain instead of per-lang)
+    val trainHist = TextAnalysis
+      .surprisalScore(corpus.filter(col("lang") === "en"), model,
+        Seq("doc_id"))
+      .groupBy(col("surprisal_mb")).agg(count(lit(1)).as("_c"))
+    val W = org.apache.spark.sql.expressions.Window
+    val cum = trainHist
+      .withColumn("_cum", sum(col("_c")).over(
+        W.orderBy(col("surprisal_mb"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("_n", sum(col("_c")).over(
+        W.orderBy(col("surprisal_mb"))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    val thCols = LmGateSweep.map(p =>
+      min(when(col("_cum") * 100 >= col("_n") * lit(p),
+        col("surprisal_mb"))).as(s"_t$p"))
+    val th = cum.agg(thCols.head, thCols.tail: _*)
+      .select(explode(array(LmGateSweep.map(p =>
+        struct(lit(p).as("cal_pct"), col(s"_t$p").as("keep_below_mb"))): _*))
+        .as("_th"))
+      .select(col("_th.cal_pct"), col("_th.keep_below_mb"))
     val scored = TextAnalysis.surprisalScore(batch, model, Seq("class", "doc_id"))
-    scored.crossJoin(broadcast(LmGateSweep.toDF("keep_below_mb")))
-      .groupBy(col("keep_below_mb"), col("class"))
+    scored.crossJoin(broadcast(th))
+      .groupBy(col("cal_pct"), col("keep_below_mb"), col("class"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("surprisal_mb") < col("keep_below_mb"), 1L).otherwise(0L))
+        sum(when(col("surprisal_mb") <= col("keep_below_mb"), 1L).otherwise(0L))
           .as("n_kept"))
       .withColumn("truth_keep", col("class") === "clean")
       .withColumn("err_pct",
@@ -3197,9 +3241,11 @@ FROM s JOIN th t ON s.lang = t.lang"""),
 
     // the LM gate's quality grade: the SAME trigram scoring chain as
     // perplexityOracle, but the model trains on the standing-corpus
-    // split and the scored batch is the four planted classes (the
-    // plants are pure SQL over the held-out ids — md5 chains and a
-    // literal phrase — so both engines grade byte-identical text)
+    // split, the thresholds CALIBRATE on that slice's own score
+    // distribution (exact percentile via the 35c3 histogram+cumulative
+    // machinery), and the scored batch is the four planted classes
+    // (pure SQL over the held-out ids — md5 chains and a literal
+    // phrase — so both engines grade byte-identical text)
     "q_lm_gate_recall" -> (
       s"""WITH held AS (
   SELECT * FROM documents WHERE doc_id % 10 = 0
@@ -3218,13 +3264,31 @@ FROM s JOIN th t ON s.lang = t.lang"""),
   UNION ALL
   SELECT 'boilerplate' AS class, doc_id, '$LmGateBoiler' AS text FROM held
 ), ctri AS (
-  SELECT substr(text, CAST(i AS INT), 3) AS tri
+  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS tri
   FROM documents, unnest(generate_series(1, length(text) - 2)) t(i)
   WHERE doc_id % 10 <> 0 AND length(text) >= 3 AND lang = 'en'
 ), model AS (
   SELECT tri, COUNT(*) AS cnt FROM ctri GROUP BY 1
 ), tot AS (
   SELECT SUM(cnt) AS tot, COUNT(*) AS v FROM model
+), trsc AS (
+  SELECT c.doc_id, COUNT(*) AS n_tri,
+    CAST(SUM(length(bin(m.cnt + 1))) AS BIGINT) AS sum_bl
+  FROM ctri c JOIN model m ON c.tri = m.tri
+  GROUP BY 1
+), trfin AS (
+  SELECT CAST((length(bin(t.tot + t.v)) * s.n_tri - s.sum_bl) * 1000 // s.n_tri
+    AS BIGINT) AS smb
+  FROM trsc s, tot t
+), h AS (
+  SELECT smb, COUNT(*) AS c FROM trfin GROUP BY 1
+), cum AS (
+  SELECT smb, SUM(c) OVER (ORDER BY smb) AS cm, SUM(c) OVER () AS n FROM h
+), th AS (
+  SELECT CAST(p AS BIGINT) AS cal_pct,
+    MIN(CASE WHEN cm * 100 >= p * n THEN smb END) AS keep_below_mb
+  FROM cum, (VALUES $lmGateSweepSql) pp(p)
+  GROUP BY 1
 ), btri AS (
   SELECT class, doc_id, substr(text, CAST(i AS INT), 3) AS tri
   FROM batch, unnest(generate_series(1, length(text) - 2)) t(i)
@@ -3239,21 +3303,18 @@ FROM s JOIN th t ON s.lang = t.lang"""),
     CAST((length(bin(t.tot + t.v)) * s.n_tri - s.sum_bl) * 1000 // s.n_tri
       AS BIGINT) AS surprisal_mb
   FROM scored s, tot t
-), th AS (
-  SELECT CAST(keep_below_mb AS BIGINT) AS keep_below_mb
-  FROM (VALUES $lmGateSweepSql) v(keep_below_mb)
 )
-SELECT th.keep_below_mb, f.class,
+SELECT th.cal_pct, th.keep_below_mb, f.class,
   COUNT(*) AS n_docs,
-  CAST(SUM(CASE WHEN f.surprisal_mb < th.keep_below_mb THEN 1 ELSE 0 END)
+  CAST(SUM(CASE WHEN f.surprisal_mb <= th.keep_below_mb THEN 1 ELSE 0 END)
     AS BIGINT) AS n_kept,
   f.class = 'clean' AS truth_keep,
   CAST(CASE WHEN f.class = 'clean'
-    THEN (COUNT(*) - SUM(CASE WHEN f.surprisal_mb < th.keep_below_mb THEN 1 ELSE 0 END)) * 100 // COUNT(*)
-    ELSE SUM(CASE WHEN f.surprisal_mb < th.keep_below_mb THEN 1 ELSE 0 END) * 100 // COUNT(*)
+    THEN (COUNT(*) - SUM(CASE WHEN f.surprisal_mb <= th.keep_below_mb THEN 1 ELSE 0 END)) * 100 // COUNT(*)
+    ELSE SUM(CASE WHEN f.surprisal_mb <= th.keep_below_mb THEN 1 ELSE 0 END) * 100 // COUNT(*)
   END AS BIGINT) AS err_pct
 FROM fin f, th
-GROUP BY 1, 2"""),
+GROUP BY 1, 2, 3"""),
 
     "q_text_tokens" -> (
       s"""SELECT lang, COUNT(*) AS n_docs,

@@ -64,8 +64,27 @@ object ScaleUp {
       (if (fanOut) df.repartition(32) else df)
         .write.mode("overwrite").parquet(s"$out/$n.parquet")
 
-    for (d <- Seq("region", "nation", "customer", "supplier", "part") if wanted(d))
+    // Dim replication mode (r16). Default keeps every dim unreplicated
+    // (FKs into them stay valid). "scale-customer" replicates CUSTOMER
+    // with shifted keys and REWRITTEN names (the name re-derives from
+    // the shifted key, so the scaled name space keeps the dense
+    // ≤2-digit-edit structure the fuzzy-join rows stress) — the corpus
+    // for the fuzzy family's at-scale points; the fact tables' FKs into
+    // customer then only cover replica 0, so scale-customer corpora are
+    // for name-space queries, not join benchmarks.
+    val dimMode = args.lift(6).getOrElse("dims-asis")
+    require(dimMode == "dims-asis" || dimMode == "scale-customer",
+      s"unknown dim mode: $dimMode")
+    val plainDims =
+      if (dimMode == "scale-customer") Seq("region", "nation", "supplier", "part")
+      else Seq("region", "nation", "customer", "supplier", "part")
+    for (d <- plainDims if wanted(d))
       write(raw(d), d, fanOut = false)
+    if (dimMode == "scale-customer" && wanted("customer"))
+      write(scaled(raw("customer"),
+        "c_custkey" -> "c_custkey + rep * 1000000",
+        "c_name" -> "concat('Customer#', lpad(CAST(c_custkey + rep * 1000000 AS STRING), 9, '0'))"),
+        "customer")
     if (wanted("lineitem")) write(scaled(raw("lineitem"),
       "l_orderkey" -> "l_orderkey + rep * 1000000000"), "lineitem")
     if (wanted("orders")) write(scaled(raw("orders"),
