@@ -74,7 +74,13 @@ object SparkEntry {
       // round-15: SemDeDup with cell probing — the nprobe=2 mitigation
       // for the measured cross-cell miss class, priced next to the
       // top-1 row it improves on
-      "q_dedup_semdedup_probe2")
+      "q_dedup_semdedup_probe2",
+      // round-16: the LM gate's quality row (self-calibrating threshold
+      // sweep), phrase search inline + served (the positional index
+      // persisted bucketed-by-term builds in the cold run), and the
+      // fuzzy family's served probe (signature index likewise)
+      "q_lm_gate_recall", "q_text_phrase", "q_text_phrase_served",
+      "q_fuzzy_join_served")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs

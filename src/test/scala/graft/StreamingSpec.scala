@@ -680,7 +680,7 @@ class StreamingSpec extends AnyFunSuite {
     val index = graft.operators.Dedup.gramIndex(corpus, 10).localCheckpoint()
     val in = MemoryStream[(Long, Timestamp, String)]
     val df = in.toDF().toDF("doc_id", "ts", "text")
-    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val (probe, release) = StreamingJobs.gramProbeStreamReleasable(df, index,
       spanWords = 10, watermarkDelay = "10 minutes", windowDur = "1 hour")
     val q = probe
@@ -704,14 +704,17 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.size == deltaRows.size, "every arriving doc comes back exactly once")
       // the release handle (r16, the r15 ADVICE): the lane snapshot
       // materialized while the query ran; releasing after termination
-      // returns the persistent-RDD set to its pre-construction size, so
-      // a driver rebuilding the stream per index refresh does not
-      // accrete MEMORY_AND_DISK entries
+      // removes exactly the entries this construction added, so a
+      // driver rebuilding the stream per index refresh does not accrete
+      // MEMORY_AND_DISK entries. Id-SET delta, not a count: the shared
+      // test session's ContextCleaner reclaims other suites' unreferenced
+      // cache entries concurrently, so absolute counts are racy
       q.stop(); q.awaitTermination()
-      assert(spark.sparkContext.getPersistentRDDs.size > cachedBefore,
+      val added = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+      assert(added.nonEmpty,
         "the lane snapshot should be cached while the stream lives")
       release()
-      assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty,
         "release() must unpersist the lane snapshot")
     } finally q.stop()
   }
