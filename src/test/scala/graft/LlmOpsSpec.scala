@@ -1913,34 +1913,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hits.forall(t => t.split(" ").contains("hash") && t.split(" ").contains("window")))
   }
 
-  test("served phrase search: bucket-pruned probe on the persisted positional index == inline") {
+  test("served phrase search: partition-pruned probe on the persisted positional index == inline") {
     import graft.operators.TextIndex
-    import graft.sources.Sinks
-    // the 33g assertion remade on the POSITIONAL artifact (r16): the
-    // phrase probe against a term-bucketed persisted index must prune
-    // to the probe terms' buckets and reproduce the inline build+search
-    spark.sql("DROP TABLE IF EXISTS b_pos_index")
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File("spark-warehouse/b_pos_index"))
-    Sinks.saveBucketed(
-      TextIndex.buildPositionalPostings(docs, "doc_id", "text"),
-      "b_pos_index", Seq("term"), 8)
+    // the 33g idea remade on the POSITIONAL artifact (r16): the phrase
+    // probe against the term-digest-partitioned persisted index must
+    // prune to the probe terms' DIRECTORIES (not a bucketed table —
+    // bucket = one scan task, the measured parallelism wall at 5M
+    // docs) and reproduce the inline build+search
+    val idxDir = "/tmp/graft_pos_part_test/" + spark.sparkContext.applicationId
+    TextIndex.writePositionalIndex(
+      TextIndex.buildPositionalPostings(docs, "doc_id", "text"), idxDir)
+    // the driver-side digest must agree with the in-plan one — the
+    // contract prunePositionalIndex stands on
+    val sparkSide = TextIndex.buildPositionalPostings(docs, "doc_id", "text")
+      .select(col("term"), TextIndex.termBucket(col("term"), 64).as("tb"))
+      .distinct().collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(sparkSide.nonEmpty)
+    sparkSide.foreach { case (t, tb) =>
+      assert(TextIndex.termBucketOf(t, 64) == tb, s"digest mismatch for '$t'")
+    }
     val phrase = Seq("table", "table", "key")
-    val served = TextIndex.searchPhrase(spark.table("b_pos_index"), phrase)
-    // bucket pruning: the isin on term selects the phrase terms'
-    // buckets, never the full index (autoBucketedScan off for the
-    // check, the SourcesSpec caveat: the planner drops bucketed scans
-    // for plans with no bucket-aligned join, forfeiting the pruning)
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    try {
-      val plan = physicalPlan(TextIndex.searchPhrase(
-        spark.table("b_pos_index"), phrase))
-      val sel = "SelectedBucketsCount: (\\d+) out of 8".r
-        .findFirstMatchIn(plan)
-      assert(sel.exists(_.group(1).toInt <= 2),
-        s"phrase probe must prune to the probe terms' buckets:\n$plan")
-    } finally
-      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    val idx = spark.read.parquet(idxDir)
+    val served = TextIndex.searchPhrase(
+      TextIndex.prunePositionalIndex(idx, phrase), phrase)
+    // static partition pruning: the tb filter reaches the scan as a
+    // PartitionFilter and the scan reads <= 2 of the term directories
+    val plan = formattedPlan(served)
+    assert(plan.contains("PartitionFilters: [tb"),
+      s"tb filter must prune partitions:\n$plan")
     val inline = TextIndex.searchPhrase(
       TextIndex.buildPositionalPostings(docs, "doc_id", "text"), phrase)
     def rows(df: org.apache.spark.sql.DataFrame) =
