@@ -192,14 +192,27 @@ object Bench {
     // driver's BENCH_r{N}.json artifact truncates the line and loses
     // the steady per-query map every round (r15 verdict "what's wrong"
     // #1) — this file is committed with the round, self-contained, and
-    // append-only so local at-scale runs never clobber the sf0.1 row
-    try {
-      val stamped = s"""{"ts":"${java.time.Instant.now()}",""" + line.drop(1) + "\n"
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full_log.jsonl"),
-        stamped.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-    } catch { case e: Throwable => System.err.println(s"bench log append failed: $e") }
+    // append-only so local at-scale runs never clobber the sf0.1 row.
+    // Anchored to the repo root (build.sbt as the landmark), not bare
+    // cwd: launched from elsewhere, a cwd-relative append would land
+    // the row outside the repo and silently lose it — the exact
+    // failure this log exists to prevent. SPARK_GRAFT_BENCH_LOG
+    // overrides; with neither, the append is skipped loudly.
+    val logPath = sys.env.get("SPARK_GRAFT_BENCH_LOG")
+      .orElse(if (new java.io.File("build.sbt").isFile)
+        Some("BENCH_full_log.jsonl") else None)
+    logPath match {
+      case Some(lp) =>
+        try {
+          val stamped = s"""{"ts":"${java.time.Instant.now()}",""" + line.drop(1) + "\n"
+          java.nio.file.Files.write(java.nio.file.Paths.get(lp),
+            stamped.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        } catch { case e: Throwable => System.err.println(s"bench log append failed: $e") }
+      case None => System.err.println(
+        "bench log skipped: cwd is not the repo root and SPARK_GRAFT_BENCH_LOG is unset")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -504,10 +504,7 @@ object QueriesCore {
     * (tmp-cleaner reclaimed; the warehouse would accrete across
     * harness runs); build serialized per JVM. */
   private def servedFuzzyIndexTable(s: SparkSession, dir: String): String = {
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val key = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
-      "/" + dirKey
+    val key = graft.sources.Sinks.servedKey(s, dir)
     val table = s"graft_fuzzy_idx_${key.replace('/', '_')}"
     fuzzyIndexBuildLock.synchronized {
       if (!s.catalog.tableExists(table))

@@ -43,13 +43,9 @@ object QueriesEvents {
     * transition query never re-scans the corpus to ask who is heavy. */
   val transitions: Q = (s, dir) => {
     // per-application path: concurrent harness runs must not race on a
-    // shared stats dir (the simIvfPqServed convention). The corpus key
-    // is an md5 of the RAW dir string — a sanitizing replaceAll would
-    // collide distinct corpora (/data/sf0.1 vs /data-sf0.1) onto one
-    // stats file (round-11 ADVICE).
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val store = "/tmp/graft_user_stats/" + s.sparkContext.applicationId + "/" + dirKey
+    // shared stats dir (the simIvfPqServed convention); the shared
+    // served-store key (Sinks.servedKey — one definition, r16 review)
+    val store = "/tmp/graft_user_stats/" + graft.sources.Sinks.servedKey(s, dir)
     // Build-once gate, serialized per JVM: concurrent invocations in one
     // application must not race overwrite-mode writes to the same path.
     statsBuildLock.synchronized {

@@ -374,14 +374,10 @@ object QueriesLlm {
     table
   }
 
-  /** (applicationId, corpus-dir md5) key shared by the served ingest
-    * artifacts — concurrent harness runs must not race one store, and
-    * a sanitizing replaceAll would collide distinct corpora. */
-  private def servedKey(s: SparkSession, dir: String): String = {
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") + "/" + dirKey
-  }
+  /** The shared served-store key — one definition for every family
+    * (r16 review), see [[graft.sources.Sinks.servedKey]]. */
+  private def servedKey(s: SparkSession, dir: String): String =
+    graft.sources.Sinks.servedKey(s, dir)
 
   /** DEDUP QUALITY evaluation (r12) — the q_sim_recall posture applied
     * to the near-dup family: pair-level recall AND precision of the
@@ -1250,9 +1246,10 @@ object QueriesLlm {
     * served ≡ inline by construction, the hash gate proves it. */
   val textPhraseServed: Q = (s, dir) => {
     val phrase = Seq("table", "table", "key")
+    val (idx, buckets) = operators.TextIndex.openPositionalIndex(
+      s, servedPosIndexPath(s, dir))
     operators.TextIndex.searchPhrase(
-      operators.TextIndex.prunePositionalIndex(
-        s.read.parquet(servedPosIndexPath(s, dir)), phrase), phrase)
+      operators.TextIndex.prunePositionalIndex(idx, phrase, buckets), phrase)
   }
 
   /** Build-once gate for the partitioned positional index — the

@@ -80,11 +80,25 @@ object ScaleUp {
       else Seq("region", "nation", "customer", "supplier", "part")
     for (d <- plainDims if wanted(d))
       write(raw(d), d, fanOut = false)
-    if (dimMode == "scale-customer" && wanted("customer"))
+    if (dimMode == "scale-customer" && wanted("customer")) {
+      // guards (r16 review): lpad TRUNCATES strings longer than its
+      // target, so a shifted key >= 1e9 would silently collapse 10
+      // distinct keys onto one 9-digit name; and a base key >= the 1e6
+      // shift would make replica key ranges overlap (duplicate
+      // c_custkey rows). Both corrupt the fuzzy corpus undetectably —
+      // refuse loudly instead.
+      val maxBase = raw("customer").agg(max(col("c_custkey"))).head().getLong(0)
+      require(maxBase < 1000000L,
+        s"scale-customer: base c_custkey up to $maxBase overlaps the 1e6 " +
+          "replica shift (source SF too large for this mode)")
+      require(maxBase + (reps - 1L) * 1000000L < 1000000000L,
+        s"scale-customer: shifted keys exceed 9 digits (reps=$reps) - " +
+          "lpad(9) would truncate and collapse names")
       write(scaled(raw("customer"),
         "c_custkey" -> "c_custkey + rep * 1000000",
         "c_name" -> "concat('Customer#', lpad(CAST(c_custkey + rep * 1000000 AS STRING), 9, '0'))"),
         "customer")
+    }
     if (wanted("lineitem")) write(scaled(raw("lineitem"),
       "l_orderkey" -> "l_orderkey + rep * 1000000000"), "lineitem")
     if (wanted("orders")) write(scaled(raw("orders"),

@@ -110,8 +110,35 @@ object TextIndex {
       .repartition(buckets * filesPerDir, col("tb"),
         pmod(col("doc_id"), lit(filesPerDir)))
       .write.mode("overwrite").partitionBy("tb").parquet(path)
+    // the marker carries the bucket count: a probe pruning under a
+    // different modulus would silently read the WRONG directories and
+    // return incomplete results, so the artifact records the one
+    // number the probe must agree on and openPositionalIndex reads it
+    // back instead of trusting a parameter
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "_GRAFT_DONE"), Array.empty[Byte])
+      java.nio.file.Paths.get(path, "_GRAFT_DONE"),
+      s"buckets=$buckets\n".getBytes("UTF-8"))
+  }
+
+  /** Open a [[writePositionalIndex]] artifact: the frame plus the
+    * bucket count its directories were keyed with (from the
+    * `_GRAFT_DONE` marker — pass THAT to [[prunePositionalIndex]],
+    * never a caller-side constant; a mismatched modulus prunes to
+    * directories that don't hold the probe terms and returns silently
+    * incomplete hits). Fails loudly on an unmarked/incomplete store. */
+  def openPositionalIndex(spark: SparkSession, path: String)
+      : (DataFrame, Int) = {
+    val marker = new java.io.File(path, "_GRAFT_DONE")
+    require(marker.isFile,
+      s"openPositionalIndex: no _GRAFT_DONE under $path (incomplete or " +
+        "not a writePositionalIndex artifact)")
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+    val buckets = "buckets=(\\d+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(
+        s"openPositionalIndex: marker under $path carries no bucket count"))
+    (spark.read.parquet(path), buckets)
   }
 
   /** Prune a [[writePositionalIndex]] artifact to the directories the
