@@ -1270,6 +1270,50 @@ object QueriesLlm {
   }
   private val posIndexBuildLock = new Object
 
+  /** INCREMENTAL form of [[textPhraseServed]] (r16): the standing
+    * corpus (doc_id % 10 ≠ 0) persists its positional index ONCE; the
+    * delta batch (doc_id % 10 = 0) APPENDS its postings at delta cost
+    * ([[graft.operators.TextIndex.appendPositionalIndex]] —
+    * log-structured files into the existing term directories, the
+    * standing index never rewritten, the 31c4 gram-append convention
+    * applied to the phrase family); the probe then searches the
+    * build+append artifact exactly as the served row does. Results ≡
+    * rebuilding over corpus∪delta by construction (same rows, two
+    * writes), so it shares q_text_phrase's oracle VERBATIM and the
+    * hash gate proves the append lost and invented nothing. */
+  val textPhraseIncremental: Q = (s, dir) => {
+    val phrase = Seq("table", "table", "key")
+    val (idx, buckets) = operators.TextIndex.openPositionalIndex(
+      s, servedPosIncIndexPath(s, dir))
+    operators.TextIndex.searchPhrase(
+      operators.TextIndex.prunePositionalIndex(idx, phrase, buckets), phrase)
+  }
+
+  /** Build-once gate for the build-then-append positional index — the
+    * servedPosIndexPath convention with a SECOND marker: the corpus
+    * build's own `_GRAFT_DONE` cannot gate the pair (it exists before
+    * the append lands, and a crash between the two would serve a
+    * corpus-only index as if complete), so the delta append is
+    * committed by `_GRAFT_INC_DONE` and the probe gates on THAT. */
+  private def servedPosIncIndexPath(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/graft_pos_index_inc/${servedKey(s, dir)}"
+    posIndexBuildLock.synchronized {
+      if (!new java.io.File(path, "_GRAFT_INC_DONE").isFile) {
+        val d = docs(s, dir)
+        operators.TextIndex.writePositionalIndex(
+          operators.TextIndex.buildPositionalPostings(
+            d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"), path)
+        operators.TextIndex.appendPositionalIndex(
+          operators.TextIndex.buildPositionalPostings(
+            d.filter(col("doc_id") % 10 === 0), "doc_id", "text"), path)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, "_GRAFT_INC_DONE"),
+          "ok\n".getBytes("UTF-8"))
+      }
+    }
+    path
+  }
+
   /** Rarity-weighted OR search: top 20 docs by Σ tf·((N·10^6) DIV df) —
     * the IDF shape in exact BIGINT arithmetic, so the ranking (tie
     * boundary included) hash-matches. N (the corpus doc count) is a
@@ -1642,6 +1686,7 @@ object QueriesLlm {
     "q_text_search_ranked"  -> textSearchRanked,
     "q_text_phrase"         -> textPhrase,
     "q_text_phrase_served"  -> textPhraseServed,
+    "q_text_phrase_incremental" -> textPhraseIncremental,
     "q_trim_outliers"       -> trimOutliers,
     "q_text_langid"         -> textLangid,
     "q_text_quality"        -> textQuality,
@@ -2865,6 +2910,7 @@ FROM agg"""
     // (term, doc_id, pos) exactly, so served ≡ inline by construction.
     "q_text_phrase" -> phraseOracle,
     "q_text_phrase_served" -> phraseOracle,
+    "q_text_phrase_incremental" -> phraseOracle,
 
     // single-window twin of the two-phase value-axis ranking; the
     // integer keep rule (rank·100 in (lo·n, hi·n]) has no float

@@ -80,7 +80,12 @@ object SparkEntry {
       // persisted bucketed-by-term builds in the cold run), and the
       // fuzzy family's served probe (signature index likewise)
       "q_lm_gate_recall", "q_text_phrase", "q_text_phrase_served",
-      "q_fuzzy_join_served")
+      "q_fuzzy_join_served",
+      // round-16b: the phrase index's MAINTENANCE row — the standing
+      // corpus' index built in the cold run, the delta APPENDED
+      // log-structured at delta cost (the 31c4 convention applied to
+      // the phrase family); steady runs price probe-after-append
+      "q_text_phrase_incremental")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs

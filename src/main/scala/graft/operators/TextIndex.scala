@@ -120,6 +120,25 @@ object TextIndex {
       s"buckets=$buckets\n".getBytes("UTF-8"))
   }
 
+  /** The bucket count a [[writePositionalIndex]] artifact was keyed
+    * with, read back from its `_GRAFT_DONE` marker — the one number
+    * every later reader AND writer must agree on (a mismatched modulus
+    * prunes probes to directories that don't hold their terms, and
+    * appends deltas into directories probes will never read). Fails
+    * loudly on an unmarked/incomplete store. */
+  def positionalIndexBuckets(path: String): Int = {
+    val marker = new java.io.File(path, "_GRAFT_DONE")
+    require(marker.isFile,
+      s"positionalIndexBuckets: no _GRAFT_DONE under $path (incomplete " +
+        "or not a writePositionalIndex artifact)")
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+    "buckets=(\\d+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(
+        s"positionalIndexBuckets: marker under $path carries no bucket count"))
+  }
+
   /** Open a [[writePositionalIndex]] artifact: the frame plus the
     * bucket count its directories were keyed with (from the
     * `_GRAFT_DONE` marker — pass THAT to [[prunePositionalIndex]],
@@ -127,18 +146,31 @@ object TextIndex {
     * directories that don't hold the probe terms and returns silently
     * incomplete hits). Fails loudly on an unmarked/incomplete store. */
   def openPositionalIndex(spark: SparkSession, path: String)
-      : (DataFrame, Int) = {
-    val marker = new java.io.File(path, "_GRAFT_DONE")
-    require(marker.isFile,
-      s"openPositionalIndex: no _GRAFT_DONE under $path (incomplete or " +
-        "not a writePositionalIndex artifact)")
-    val txt = new String(
-      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-    val buckets = "buckets=(\\d+)".r.findFirstMatchIn(txt)
-      .map(_.group(1).toInt)
-      .getOrElse(sys.error(
-        s"openPositionalIndex: marker under $path carries no bucket count"))
-    (spark.read.parquet(path), buckets)
+      : (DataFrame, Int) =
+    (spark.read.parquet(path), positionalIndexBuckets(path))
+
+  /** Append a DELTA's positional postings to a standing
+    * [[writePositionalIndex]] artifact — the nightly-maintenance form
+    * (the gram-index 31c4 convention applied to the phrase family):
+    * the write is DELTA-sized, log-structured into the existing term
+    * directories (new parquet files land inside the `tb=` dirs the
+    * marker's OWN bucket count selects — never a caller constant, the
+    * silent-modulus-mismatch failure mode), and the standing index is
+    * never rewritten. Probe cost is unchanged: directory pruning reads
+    * the same `tb` slice and the appended files split by row group
+    * like the originals. Files accumulate one-per-touched-dir per
+    * append (the LSM trade); compaction is a periodic
+    * [[writePositionalIndex]] rebuild — the keep-two retention
+    * discipline of the served stores applies. New TERMS are new rows
+    * inside existing directories (the digest space is fixed at build
+    * time), so no append can create an unprunable directory. */
+  def appendPositionalIndex(postings: DataFrame, path: String,
+      filesPerDir: Int = 2): Unit = {
+    val buckets = positionalIndexBuckets(path)
+    postings.withColumn("tb", termBucket(col("term"), buckets))
+      .repartition(buckets * filesPerDir, col("tb"),
+        pmod(col("doc_id"), lit(filesPerDir)))
+      .write.mode("append").partitionBy("tb").parquet(path)
   }
 
   /** Prune a [[writePositionalIndex]] artifact to the directories the

@@ -1949,6 +1949,48 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(s1 == rows(inline) && s1.nonEmpty)
   }
 
+  test("positional index append: build+append == rebuild; the delta write honors the marker's bucket count") {
+    import graft.operators.TextIndex
+    // the 31c4 convention on the phrase family: the standing corpus
+    // builds once, the delta APPENDS at delta cost, and the probe over
+    // the appended artifact must reproduce a full rebuild exactly
+    val idxDir = "/tmp/graft_pos_append_test/" + spark.sparkContext.applicationId
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta  = docs.filter(col("doc_id") % 10 === 0)
+    // NON-default bucket count: the append must read the modulus from
+    // the marker (a default-64 append into a 16-dir layout would land
+    // postings in directories the probe never prunes to)
+    TextIndex.writePositionalIndex(
+      TextIndex.buildPositionalPostings(corpus, "doc_id", "text"),
+      idxDir, buckets = 16)
+    TextIndex.appendPositionalIndex(
+      TextIndex.buildPositionalPostings(delta, "doc_id", "text"), idxDir)
+    val (idx, buckets) = TextIndex.openPositionalIndex(spark, idxDir)
+    assert(buckets == 16)
+    // a phrase with hits on BOTH sides of the split at sf0.001 (5
+    // delta / 42 corpus docs), so the delta-contribution assert bites
+    val phrase = Seq("order", "fast")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val appended = rows(TextIndex.searchPhrase(
+      TextIndex.prunePositionalIndex(idx, phrase, buckets), phrase))
+    val rebuilt = rows(TextIndex.searchPhrase(
+      TextIndex.buildPositionalPostings(docs, "doc_id", "text"), phrase))
+    assert(appended == rebuilt && appended.nonEmpty)
+    // delta-only hits must be present (the append really contributed)
+    val corpusOnly = rows(TextIndex.searchPhrase(
+      TextIndex.buildPositionalPostings(corpus, "doc_id", "text"), phrase))
+    assert((appended -- corpusOnly).nonEmpty,
+      "test corpus has no delta-side phrase hit — weaken the split")
+    // appending into an unmarked path must fail loudly, never write
+    val err = intercept[IllegalArgumentException] {
+      TextIndex.appendPositionalIndex(
+        TextIndex.buildPositionalPostings(delta, "doc_id", "text"),
+        idxDir + "_nomarker")
+    }
+    assert(err.getMessage.contains("_GRAFT_DONE"))
+  }
+
   test("term drift: the injected token tops the ranking; counts are exact") {
     import spark.implicits._
     import graft.operators.Snapshot
