@@ -204,6 +204,10 @@ object Bench {
     logPath match {
       case Some(lp) =>
         try {
+          // fail loudly on format drift rather than corrupting the
+          // append-only committed log with malformed JSONL (r16 ADVICE)
+          require(line.startsWith("{") && line.endsWith("}"),
+            s"bench line is not a JSON object: ${line.take(80)}")
           val stamped = s"""{"ts":"${java.time.Instant.now()}",""" + line.drop(1) + "\n"
           java.nio.file.Files.write(java.nio.file.Paths.get(lp),
             stamped.getBytes("UTF-8"),

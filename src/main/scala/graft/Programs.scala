@@ -294,10 +294,10 @@ object Programs {
     * still on disk: Spark replays at most the last uncommitted batch. */
   private def latestVersion(storeDir: String, name: String,
       upTo: Long = Long.MaxValue): String = {
-    val versions = Option(new java.io.File(storeDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith(s"${name}_v") &&
-        new java.io.File(f, "_SUCCESS").isFile)
-      .map(f => f.getName.stripPrefix(s"${name}_v").toLong)
+    val versions = graft.sources.Fs.listDirNames(storeDir)
+      .filter(n => n.startsWith(s"${name}_v") &&
+        graft.sources.Fs.exists(s"$storeDir/$n/_SUCCESS"))
+      .map(_.stripPrefix(s"${name}_v").toLong)
       .filter(_ <= upTo)
     require(versions.nonEmpty,
       s"store $storeDir has no complete $name version <= $upTo. A stream " +
@@ -318,12 +318,13 @@ object Programs {
     * incomplete (markerless) versions are never the retained set and
     * get reclaimed too. */
   private def pruneVersions(storeDir: String, name: String): Unit = {
-    val all = Option(new java.io.File(storeDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith(s"${name}_v"))
-    val complete = all.filter(f => new java.io.File(f, "_SUCCESS").isFile)
-      .sortBy(f => f.getName.stripPrefix(s"${name}_v").toLong)
+    val all = graft.sources.Fs.listDirNames(storeDir)
+      .filter(_.startsWith(s"${name}_v"))
+    val complete = all
+      .filter(n => graft.sources.Fs.exists(s"$storeDir/$n/_SUCCESS"))
+      .sortBy(_.stripPrefix(s"${name}_v").toLong)
     val keep = complete.takeRight(2).toSet
-    all.filterNot(keep).foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    all.filterNot(keep).foreach(n => graft.sources.Fs.delete(s"$storeDir/$n"))
   }
 
   /** ONLINE ingest with CLOSED maintenance loop (r14) — the streaming
@@ -439,17 +440,17 @@ object Programs {
       .write.mode("overwrite").parquet(s"$storeDir/bits_v${batchId + 1}")
     pruneVersions(storeDir, "bits")
     if ((batchId + 1) % maintainEvery == 0 &&
-        new java.io.File(s"$storeDir/pending").isDirectory) {
+        graft.sources.Fs.isDir(s"$storeDir/pending")) {
       // skip-if-complete: a fold whose target version already carries
       // its _SUCCESS marker committed before a crash — re-running it
       // against the accumulated pending would double df counts (and a
       // post-clear replay, whose pending holds only the replayed
       // batch, would UNDERfold). Either way the committed version is
       // the correct one; only the clear re-runs.
-      val gramDone = new java.io.File(
-        s"$storeDir/gram_index_v${batchId + 1}/_SUCCESS").isFile
-      val bandDone = new java.io.File(
-        s"$storeDir/band_index_v${batchId + 1}/_SUCCESS").isFile
+      val gramDone = graft.sources.Fs.exists(
+        s"$storeDir/gram_index_v${batchId + 1}/_SUCCESS")
+      val bandDone = graft.sources.Fs.exists(
+        s"$storeDir/band_index_v${batchId + 1}/_SUCCESS")
       val pending = spark.read.parquet(s"$storeDir/pending")
         .select(col("doc_id"), col("text")).localCheckpoint()
       if (!pending.isEmpty || gramDone || bandDone) {
@@ -464,8 +465,7 @@ object Programs {
             .parquet(s"$storeDir/band_index_v${batchId + 1}")
         pruneVersions(storeDir, "gram_index")
         pruneVersions(storeDir, "band_index")
-        org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(s"$storeDir/pending"))
+        graft.sources.Fs.delete(s"$storeDir/pending")
       }
     }
     ()
@@ -553,9 +553,9 @@ object Programs {
     admitted.select(col("doc_id"), col("lang"), col("text"))
       .write.mode("overwrite").parquet(s"$storeDir/pending/batch=$batchId")
     if ((batchId + 1) % maintainEvery == 0 &&
-        new java.io.File(s"$storeDir/pending").isDirectory) {
-      val done = new java.io.File(
-        s"$storeDir/lm_model_v${batchId + 1}/_SUCCESS").isFile
+        graft.sources.Fs.isDir(s"$storeDir/pending")) {
+      val done = graft.sources.Fs.exists(
+        s"$storeDir/lm_model_v${batchId + 1}/_SUCCESS")
       val pending = spark.read.parquet(s"$storeDir/pending")
         .select(col("doc_id"), col("lang"), col("text")).localCheckpoint()
       if (!pending.isEmpty || done) {
@@ -565,8 +565,7 @@ object Programs {
             .write.mode("overwrite")
             .parquet(s"$storeDir/lm_model_v${batchId + 1}")
         pruneVersions(storeDir, "lm_model")
-        org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(s"$storeDir/pending"))
+        graft.sources.Fs.delete(s"$storeDir/pending")
       }
     }
     ()
@@ -580,17 +579,10 @@ object Programs {
 
   /** Driver-side md5 of a directory's sorted (path, length, mtime)
     * listing — metadata only; any rewrite changes it (the
-    * QueriesLlm.corpusFingerprint convention). */
-  private def dirFingerprint(dir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    val listing = walk(new java.io.File(dir))
-      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("\n")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+    * QueriesLlm.corpusFingerprint convention, via the Hadoop
+    * FileSystem listing so the store can live anywhere Spark reads). */
+  private def dirFingerprint(dir: String): String =
+    graft.sources.Fs.listingFingerprint(dir)
 
   /** Streaming curation program: the watermark-bounded pipeline twin
     * (StreamingJobs.curationPipeline) as a deployable unit over a

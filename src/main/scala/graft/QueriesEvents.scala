@@ -49,7 +49,7 @@ object QueriesEvents {
     // Build-once gate, serialized per JVM: concurrent invocations in one
     // application must not race overwrite-mode writes to the same path.
     statsBuildLock.synchronized {
-      if (!new java.io.File(store, "_SUCCESS").isFile)
+      if (!graft.sources.Fs.exists(s"$store/_SUCCESS"))
         Tables(s, dir).events.groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"))
           .write.mode("overwrite").parquet(store)

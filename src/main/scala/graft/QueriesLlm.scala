@@ -349,7 +349,7 @@ object QueriesLlm {
   private def servedBloomBitsPath(s: SparkSession, dir: String): String = {
     val path = s"/tmp/graft_bloom_bits/${servedKey(s, dir)}"
     gramIndexBuildLock.synchronized {
-      if (!new java.io.File(s"$path/_SUCCESS").isFile)
+      if (!graft.sources.Fs.exists(s"$path/_SUCCESS"))
         graft.operators.Freq.bloomBuild(
             ingestCorpus(s, dir).select(md5(col("text")).as("item")),
             k = 3, width = 1 << 20)
@@ -753,17 +753,11 @@ object QueriesLlm {
 
   /** Driver-side fingerprint of `dir`'s documents table: md5 over the
     * sorted (path, length, mtime) listing — cheap (metadata only), and
-    * any rewrite (new part files, new sizes, new mtimes) changes it. */
-  private def corpusFingerprint(dir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    val listing = walk(new java.io.File(dir, "documents.parquet"))
-      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("\n")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+    * any rewrite (new part files, new sizes, new mtimes) changes it.
+    * Via the Hadoop FileSystem listing ([[graft.sources.Fs]]) so the
+    * corpus can live on any store Spark itself can read. */
+  private def corpusFingerprint(dir: String): String =
+    graft.sources.Fs.listingFingerprint(s"$dir/documents.parquet")
 
   /** CCNet head/middle/tail perplexity bucketing (r15) — the published
     * recipe's final step ([[TextAnalysis.surprisalBuckets]]): exact
@@ -1135,7 +1129,7 @@ object QueriesLlm {
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     // coarse is written LAST by the builder, so its marker implies the
     // codes and pq stores are complete (partitionBy leaves no _SUCCESS)
-    if (!new java.io.File(store + "/coarse/_SUCCESS").isFile)
+    if (!graft.sources.Fs.exists(store + "/coarse/_SUCCESS"))
       operators.Ann.buildIvfPqIndex(
         Tables(s, dir).embeddings.filter(col("vec_id") >= 5)
           .select(col("vec_id").as("corpus_id"), col("embedding").as("ce")),
@@ -1261,7 +1255,7 @@ object QueriesLlm {
   private def servedPosIndexPath(s: SparkSession, dir: String): String = {
     val path = s"/tmp/graft_pos_index/${servedKey(s, dir)}"
     posIndexBuildLock.synchronized {
-      if (!new java.io.File(path, "_GRAFT_DONE").isFile)
+      if (!graft.sources.Fs.exists(s"$path/_GRAFT_DONE"))
         operators.TextIndex.writePositionalIndex(
           operators.TextIndex.buildPositionalPostings(
             docs(s, dir), "doc_id", "text"), path)
@@ -1298,7 +1292,7 @@ object QueriesLlm {
   private def servedPosIncIndexPath(s: SparkSession, dir: String): String = {
     val path = s"/tmp/graft_pos_index_inc/${servedKey(s, dir)}"
     posIndexBuildLock.synchronized {
-      if (!new java.io.File(path, "_GRAFT_INC_DONE").isFile) {
+      if (!graft.sources.Fs.exists(s"$path/_GRAFT_INC_DONE")) {
         val d = docs(s, dir)
         operators.TextIndex.writePositionalIndex(
           operators.TextIndex.buildPositionalPostings(
@@ -1306,9 +1300,7 @@ object QueriesLlm {
         operators.TextIndex.appendPositionalIndex(
           operators.TextIndex.buildPositionalPostings(
             d.filter(col("doc_id") % 10 === 0), "doc_id", "text"), path)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(path, "_GRAFT_INC_DONE"),
-          "ok\n".getBytes("UTF-8"))
+        graft.sources.Fs.writeString(s"$path/_GRAFT_INC_DONE", "ok\n")
       }
     }
     path
@@ -1635,7 +1627,7 @@ object QueriesLlm {
     // shared model dir (the simIvfProbe2 convention)
     val store = "/tmp/graft_bpe_model/" + s.sparkContext.applicationId + "/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
-    if (!new java.io.File(store, "_SUCCESS").isFile)
+    if (!graft.sources.Fs.exists(s"$store/_SUCCESS"))
       operators.Tokenize.bpeMerges(docs(s, dir), nMerges = 8)
         .write.mode("overwrite").parquet(store)
     val model = s.read.parquet(store)

@@ -106,6 +106,16 @@ object TextIndex {
     * `_GRAFT_DONE` after the commit — gate on that. */
   def writePositionalIndex(postings: DataFrame, path: String,
       buckets: Int = 64, filesPerDir: Int = 8): Unit = {
+    // a REBUILD must start from an empty tree: GraftSession pins
+    // partitionOverwriteMode=dynamic, so the overwrite below only
+    // replaces `tb=` directories present in the NEW postings — leftover
+    // files from a crashed append in an untouched bucket would survive
+    // the rebuild and silently duplicate postings for any tf-weighted
+    // consumer (searchPhrase happens to be duplicate-insensitive, the
+    // artifact contract is not). Deleting the target (marker included)
+    // also closes the crash window: a rebuild that dies mid-write
+    // leaves no stale _GRAFT_DONE claiming completeness.
+    graft.sources.Fs.delete(path)
     postings.withColumn("tb", termBucket(col("term"), buckets))
       .repartition(buckets * filesPerDir, col("tb"),
         pmod(col("doc_id"), lit(filesPerDir)))
@@ -115,9 +125,7 @@ object TextIndex {
     // return incomplete results, so the artifact records the one
     // number the probe must agree on and openPositionalIndex reads it
     // back instead of trusting a parameter
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "_GRAFT_DONE"),
-      s"buckets=$buckets\n".getBytes("UTF-8"))
+    graft.sources.Fs.writeString(s"$path/_GRAFT_DONE", s"buckets=$buckets\n")
   }
 
   /** The bucket count a [[writePositionalIndex]] artifact was keyed
@@ -127,12 +135,11 @@ object TextIndex {
     * appends deltas into directories probes will never read). Fails
     * loudly on an unmarked/incomplete store. */
   def positionalIndexBuckets(path: String): Int = {
-    val marker = new java.io.File(path, "_GRAFT_DONE")
-    require(marker.isFile,
+    val marker = s"$path/_GRAFT_DONE"
+    require(graft.sources.Fs.exists(marker),
       s"positionalIndexBuckets: no _GRAFT_DONE under $path (incomplete " +
         "or not a writePositionalIndex artifact)")
-    val txt = new String(
-      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+    val txt = graft.sources.Fs.readString(marker)
     "buckets=(\\d+)".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt)
       .getOrElse(sys.error(
@@ -176,9 +183,14 @@ object TextIndex {
   /** Prune a [[writePositionalIndex]] artifact to the directories the
     * probe terms can live in — static partition pruning; the returned
     * frame feeds [[searchPhrase]]/[[searchAll]] unchanged (their term
-    * `isin` filters inside the pruned directories). */
+    * `isin` filters inside the pruned directories). `buckets` has NO
+    * default deliberately (r16 ADVICE): the modulus must come from the
+    * artifact's own marker ([[openPositionalIndex]]) — a caller-side
+    * constant that disagrees with the layout prunes to directories
+    * that don't hold the probe terms and returns silently incomplete
+    * hits. */
   def prunePositionalIndex(index: DataFrame, terms: Seq[String],
-      buckets: Int = 64): DataFrame =
+      buckets: Int): DataFrame =
     index.filter(col("tb").isin(
       terms.map(termBucketOf(_, buckets)).distinct.map(Long.box): _*))
 

@@ -1933,9 +1933,13 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(TextIndex.termBucketOf(t, 64) == tb, s"digest mismatch for '$t'")
     }
     val phrase = Seq("table", "table", "key")
-    val idx = spark.read.parquet(idxDir)
+    // modulus from the artifact's own marker, never a caller constant
+    // (r16 ADVICE: the default-64 shortcut was the one remaining caller
+    // that could silently disagree with a non-64 layout)
+    val (idx, idxBuckets) = TextIndex.openPositionalIndex(spark, idxDir)
+    assert(idxBuckets == 64)
     val served = TextIndex.searchPhrase(
-      TextIndex.prunePositionalIndex(idx, phrase), phrase)
+      TextIndex.prunePositionalIndex(idx, phrase, idxBuckets), phrase)
     // static partition pruning: the tb filter reaches the scan as a
     // PartitionFilter and the scan reads <= 2 of the term directories
     val plan = formattedPlan(served)

@@ -43,15 +43,19 @@ class PlanSpec extends AnyFunSuite {
       new java.io.File("spark-warehouse/b_fuzzy_index"))
     Sinks.saveBucketed(Fuzzy.signatureIndex(corpus, "id", "s", maxDist = 1),
       "b_fuzzy_index", Seq("sig"), 8)
+    val savedThreshold =
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val probed = Fuzzy.probeSignatureIndex(delta, "id", "s",
         spark.table("b_fuzzy_index"), maxDist = 1)
       val plan = physicalPlan(probed)
-      // three DELTA-sized exchanges — the signature-family distinct, the
-      // re-key onto sig for the join, the surviving-pair distinct — and
-      // the INDEX side reads its buckets with no exchange at all
-      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 3, plan)
+      // the property that matters: the INDEX side reads its bucket
+      // layout with no exchange at all, and every remaining exchange is
+      // DELTA-sized (the signature-family distinct, the re-key onto sig
+      // for the join, the surviving-pair distinct — an upper bound, not
+      // an exact count: AQE/version drift may fuse but must never ADD)
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 3, plan)
       assert(plan.contains("Bucketed: true"),
         s"index side must read its bucket layout:\n$plan")
       val got = probed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -73,8 +77,10 @@ class PlanSpec extends AnyFunSuite {
       } yield (di, ci, d.toLong)).toSet
       assert(got == want, s"got=$got want=$want")
       assert(got.contains((1000L, 7L, 0L)) && got.exists(_._1 == 1001L))
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-      (64L * 1024 * 1024).toString)
+    } finally savedThreshold match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("q_topk_per_group gets the rank-limit pushdown (WindowGroupLimit)") {
