@@ -520,6 +520,61 @@ object QueriesCore {
   }
   private val fuzzyIndexBuildLock = new Object
 
+  /** INCREMENTAL form of [[qFuzzyJoinServed]] (r17) — the fuzzy
+    * family's maintenance arm, the last standing artifact without one
+    * (band 31c10, gram 31c4, LM 52f, phrase 33g5 all had theirs). The
+    * standing reference (c_custkey % 10 ∉ {0, 5}) persists its
+    * signature index ONCE; a later reference batch (% 10 = 5) lands as
+    * a delta-sized log-structured SEGMENT — the standing index is never
+    * rewritten — and the dirty-name delta (% 10 = 0) probes the union
+    * via [[operators.Fuzzy.probeSignatureSegments]], which recomputes
+    * per-signature bucket counts at probe time (delta-sized) instead of
+    * trusting the stored `bsz` the append left stale (the half-dropped-
+    * bucket failure mode, see the operator's docstring). The union IS
+    * the served row's corpus (% 10 ≠ 0), so this row shares
+    * q_fuzzy_join_served's oracle VERBATIM: the hash gate proves
+    * append ≡ rebuild, drop set included. */
+  val qFuzzyJoinIncremental: Q = (s, dir) => {
+    val (baseTable, segPath) = servedFuzzyIncStores(s, dir)
+    operators.Fuzzy.probeSignatureSegments(
+      Tables(s, dir).customer.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name")),
+      idCol = "c_custkey", strCol = "c_name",
+      segments = Seq(s.table(baseTable), s.read.parquet(segPath)),
+      maxDist = 1)
+  }
+
+  /** Build-once gate for the base+segment pair: the base index persists
+    * bucketed on `sig` (the servedFuzzyIndexTable convention); the
+    * append segment is a plain delta-sized parquet — the probe's
+    * broadcast semi-side needs no bucket layout on either, and a
+    * bucketed rewrite per append would BE the rebuild the arm avoids.
+    * `_SUCCESS` commits the segment (flat parquet write). */
+  private def servedFuzzyIncStores(s: SparkSession, dir: String)
+      : (String, String) = {
+    val key = graft.sources.Sinks.servedKey(s, dir)
+    val table = s"graft_fuzzy_idx_inc_${key.replace('/', '_')}"
+    val segPath = s"/tmp/graft_fuzzy_seg/$key"
+    fuzzyIndexBuildLock.synchronized {
+      if (!s.catalog.tableExists(table))
+        graft.sources.Sinks.saveBucketed(
+          operators.Fuzzy.signatureIndex(
+            Tables(s, dir).customer
+              .filter(col("c_custkey") % 10 =!= 0 && col("c_custkey") % 10 =!= 5)
+              .select(col("c_custkey"), col("c_name")),
+            idCol = "c_custkey", strCol = "c_name", maxDist = 1),
+          table, Seq("sig"), 32,
+          path = Some(s"/tmp/graft_fuzzy_index_inc/$key"))
+      if (!graft.sources.Fs.exists(s"$segPath/_SUCCESS"))
+        operators.Fuzzy.signatureIndex(
+            Tables(s, dir).customer.filter(col("c_custkey") % 10 === 5)
+              .select(col("c_custkey"), col("c_name")),
+            idCol = "c_custkey", strCol = "c_name", maxDist = 1)
+          .write.mode("overwrite").parquet(segPath)
+    }
+    (table, segPath)
+  }
+
   /** Incremental aggregate maintenance over orders: the per-customer
     * pricing state (count/sum/min/max of scale-2 unscaled totalprice)
     * materializes over the pre-2000 base — localCheckpoint stands in
@@ -560,6 +615,7 @@ object QueriesCore {
     "q_fuzzy_join"     -> qFuzzyJoin,
     "q_fuzzy_join2"    -> qFuzzyJoin2,
     "q_fuzzy_join_served" -> qFuzzyJoinServed,
+    "q_fuzzy_join_incremental" -> qFuzzyJoinIncremental,
     "q_zorder"         -> qZorder,
     "q_asof_join"      -> qAsofJoin,
     "q_asof_join_chunked" -> qAsofJoinChunked,
@@ -575,6 +631,38 @@ object QueriesCore {
     "q_skew_agg"       -> qSkewAgg)
 
   // ---- DuckDB oracles ------------------------------------------------------
+
+  /** Shared by q_fuzzy_join_served AND q_fuzzy_join_incremental: the
+    * (% 10 ≠ 0) reference's signature index (bucket sizes included)
+    * probed by the (% 10 = 0) delta's own deletion family. The
+    * incremental row's base∪segment union IS this corpus and its probe
+    * recomputes the union's bucket counts, so both rows must
+    * hash-match this one inline recompute. */
+  private val fuzzyServedOracleSql: String =
+    """WITH cs AS (SELECT c_custkey AS id, c_name AS name FROM customer
+      |            WHERE c_custkey % 10 <> 0),
+      |csig0 AS (
+      |  SELECT DISTINCT id, name,
+      |         CASE WHEN i = 0 THEN name
+      |              ELSE substr(name, 1, i - 1) || substr(name, i + 1) END AS sg
+      |  FROM cs, unnest(generate_series(0, length(name))) AS t(i)),
+      |csig AS (
+      |  SELECT id, name, sg, count(*) OVER (PARTITION BY sg) AS bsz
+      |  FROM csig0),
+      |ds AS (SELECT c_custkey AS id, c_name AS name FROM customer
+      |       WHERE c_custkey % 10 = 0),
+      |dsig AS (
+      |  SELECT DISTINCT id, name,
+      |         CASE WHEN i = 0 THEN name
+      |              ELSE substr(name, 1, i - 1) || substr(name, i + 1) END AS sg
+      |  FROM ds, unnest(generate_series(0, length(name))) AS t(i)),
+      |cand AS (
+      |  SELECT DISTINCT d.id AS id_d, d.name AS name_d,
+      |                  c.id AS id_c, c.name AS name_c
+      |  FROM dsig d JOIN csig c ON d.sg = c.sg
+      |  WHERE c.bsz <= 10000)
+      |SELECT id_d, id_c, CAST(levenshtein(name_d, name_c) AS BIGINT) AS dist
+      |FROM cand WHERE levenshtein(name_d, name_c) <= 1""".stripMargin
 
   /** Bit-interleave arithmetic of Layout.zkey2 in portable SQL: term i
     * contributes bit i of ux at position 2i and bit i of uy at 2i+1 —
@@ -796,31 +884,15 @@ object QueriesCore {
     // exactly what the persisted artifact carries) x the delta's own
     // deletion family — parquet round-trips both exactly, so this SQL
     // is the inline recompute the served row must hash-match
-    "q_fuzzy_join_served" ->
-      """WITH cs AS (SELECT c_custkey AS id, c_name AS name FROM customer
-        |            WHERE c_custkey % 10 <> 0),
-        |csig0 AS (
-        |  SELECT DISTINCT id, name,
-        |         CASE WHEN i = 0 THEN name
-        |              ELSE substr(name, 1, i - 1) || substr(name, i + 1) END AS sg
-        |  FROM cs, unnest(generate_series(0, length(name))) AS t(i)),
-        |csig AS (
-        |  SELECT id, name, sg, count(*) OVER (PARTITION BY sg) AS bsz
-        |  FROM csig0),
-        |ds AS (SELECT c_custkey AS id, c_name AS name FROM customer
-        |       WHERE c_custkey % 10 = 0),
-        |dsig AS (
-        |  SELECT DISTINCT id, name,
-        |         CASE WHEN i = 0 THEN name
-        |              ELSE substr(name, 1, i - 1) || substr(name, i + 1) END AS sg
-        |  FROM ds, unnest(generate_series(0, length(name))) AS t(i)),
-        |cand AS (
-        |  SELECT DISTINCT d.id AS id_d, d.name AS name_d,
-        |                  c.id AS id_c, c.name AS name_c
-        |  FROM dsig d JOIN csig c ON d.sg = c.sg
-        |  WHERE c.bsz <= 10000)
-        |SELECT id_d, id_c, CAST(levenshtein(name_d, name_c) AS BIGINT) AS dist
-        |FROM cand WHERE levenshtein(name_d, name_c) <= 1""".stripMargin,
+    "q_fuzzy_join_served" -> fuzzyServedOracleSql,
+
+    // the incremental probe's union (base % 10 NOT IN (0,5) plus the
+    // appended % 10 = 5 segment) IS the served corpus (% 10 <> 0) and
+    // probeSignatureSegments recomputes the union's bucket counts, so
+    // append ≡ rebuild by construction and the row shares the served
+    // oracle VERBATIM — the hash gate proves the append lost and
+    // invented nothing, drop set included
+    "q_fuzzy_join_incremental" -> fuzzyServedOracleSql,
 
     "q_gapfill" ->
       """WITH e AS (

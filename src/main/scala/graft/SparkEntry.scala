@@ -85,7 +85,14 @@ object SparkEntry {
       // corpus' index built in the cold run, the delta APPENDED
       // log-structured at delta cost (the 31c4 convention applied to
       // the phrase family); steady runs price probe-after-append
-      "q_text_phrase_incremental")
+      "q_text_phrase_incremental",
+      // round-17: the fuzzy family's MAINTENANCE row — new reference
+      // strings land as delta-sized signature segments, the probe
+      // recomputes bucket counts over the union (stored bsz is stale
+      // after any append — trusting it half-drops a bucket that
+      // crosses the cap only via the append); steady runs price
+      // probe-after-append, the cold run pays base+segment builds
+      "q_fuzzy_join_incremental")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs

@@ -165,4 +165,62 @@ object Fuzzy {
       .filter(col("dist") <= maxDist)
       .select(col("id_d"), col("id_c"), col("dist"))
   }
+
+  /** Probe a standing [[signatureIndex]] PLUS log-structured append
+    * SEGMENTS — the fuzzy family's maintenance arm (r17). New reference
+    * strings land as additional [[signatureIndex]] segments (each a
+    * delta-sized write; the standing index is never rewritten), and the
+    * probe reads their union. Same contract as [[probeSignatureIndex]]:
+    * all (id_d, id_c, dist) with levenshtein ≤ `maxDist` between a
+    * delta string and ANY segment's reference string.
+    *
+    * Why this is not [[probeSignatureIndex]] over a union, and why the
+    * naive append is silently WRONG: `signatureIndex` PRECOMPUTES each
+    * signature's bucket size at build time, so after an append every
+    * row's stored `bsz` is stale — a bucket crossing `maxBucket` only
+    * once the append lands would be HALF-dropped (standing rows pass
+    * their stale small bsz, appended rows fail their fresh large one):
+    * asymmetric, silent recall loss. This probe therefore IGNORES the
+    * stored `bsz` and recomputes per-signature counts over
+    * segments∪index at probe time, restricted to the PROBED signatures
+    * — a delta-sized recomputation (only the delta's own ≤k-deletion
+    * family can match), so append ≡ rebuild INCLUDING the cap's drop
+    * set (property-tested in FuzzyProps with a bucket that crosses the
+    * cap only via the append).
+    *
+    * Scale shape: the probed-signature set broadcasts (delta-sized by
+    * the same batch contract as [[probeSignatureIndex]]); every
+    * segment scan is exchange-free (broadcast semi-side, no index
+    * shuffle); the fresh-count window and the candidate join shuffle
+    * only MATCHED index rows — probed-bucket-sized, not corpus-sized.
+    * Compaction = fold the segments into a [[signatureIndex]] rebuild
+    * at cadence (the gram/band-index keep-two discipline), which also
+    * restores the cheaper stored-bsz probe. */
+  def probeSignatureSegments(delta: DataFrame, idCol: String, strCol: String,
+      segments: Seq[DataFrame], maxDist: Int,
+      maxBucket: Int = 10000): DataFrame = {
+    require(segments.nonEmpty, "probeSignatureSegments: need >= 1 segment")
+    require(maxBucket >= 1, s"probeSignatureSegments: maxBucket=$maxBucket")
+    val probeSigs = deletionSignatures(delta, idCol, strCol, maxDist)
+      .select(col("_id").as("_did"), col("_s").as("_ds"),
+        col("_sig").as("sig"))
+    val index = segments.map(_.select(col("id"), col("s"), col("sig")))
+      .reduce(_.unionByName(_))
+    val touched = probeSigs.select(col("sig")).distinct()
+    // fresh per-signature bucket size over ALL segments, computed only
+    // for probed signatures; each segment is one string's signatures
+    // exactly once (signatureIndex dedups per string), so the union
+    // count IS the rebuild's count
+    val matched = index.join(broadcast(touched), Seq("sig"))
+      .withColumn("bsz_fresh",
+        count(lit(1)).over(Window.partitionBy(col("sig"))))
+      .filter(col("bsz_fresh") <= maxBucket)
+    probeSigs.join(matched, Seq("sig"))
+      .select(col("_did").as("id_d"), col("_ds").as("s_d"),
+        col("id").as("id_c"), col("s").as("s_c"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_d"), col("s_c")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_d"), col("id_c"), col("dist"))
+  }
 }

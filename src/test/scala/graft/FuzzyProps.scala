@@ -98,6 +98,72 @@ object FuzzyProps extends Properties("FuzzyJoinSemantics") {
         s"capped=$capped uncapped=$uncapped want=$want"
     }
 
+  property("probeSignatureSegments(base, append) == rebuilt-index probe (any cap)") =
+    // r17 (maintenance arm): probing a standing index plus an append
+    // segment must equal probing an index REBUILT over the union —
+    // including the maxBucket drop set, which is where the naive
+    // stale-bsz union diverges
+    Prop.forAll(genStrings, Gen.oneOf(1, 2), Gen.choose(2, 8)) { (xs, k, cap) =>
+      import TestSpark.spark.implicits._
+      val rows = xs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val base    = rows.filter(_._1 % 3 == 0)
+      val segment = rows.filter(_._1 % 3 == 1)
+      val delta   = rows.filter(_._1 % 3 == 2)
+      if (base.isEmpty || segment.isEmpty || delta.isEmpty) Prop(true)
+      else {
+        def collect(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val got = collect(Fuzzy.probeSignatureSegments(
+          delta.toDF("id", "s"), "id", "s",
+          segments = Seq(
+            Fuzzy.signatureIndex(base.toDF("id", "s"), "id", "s", k),
+            Fuzzy.signatureIndex(segment.toDF("id", "s"), "id", "s", k)),
+          maxDist = k, maxBucket = cap))
+        val rebuilt = collect(Fuzzy.probeSignatureIndex(
+          delta.toDF("id", "s"), "id", "s",
+          index = Fuzzy.signatureIndex(
+            (base ++ segment).toDF("id", "s"), "id", "s", k),
+          maxDist = k, maxBucket = cap))
+        Prop(got == rebuilt) :| s"k=$k cap=$cap got=$got rebuilt=$rebuilt"
+      }
+    }
+
+  property("a bucket crossing the cap ONLY via the append drops whole, never half") =
+    // the failure mode the segments probe exists to prevent: the base's
+    // '' bucket holds 4 single-char strings (<= cap 5), the append adds
+    // 3 more (union 7 > 5). Stored bsz is now stale on BOTH sides
+    // (base rows say 4, segment rows say 3 — each under the cap), so a
+    // naive stale-bsz union probe KEEPS all 7 candidates; the rebuild
+    // drops all 7. probeSignatureSegments must match the rebuild, and
+    // the small-bucket pair must survive in both.
+    Prop.secure {
+      import TestSpark.spark.implicits._
+      val base = Seq("a", "b", "c", "d", "pqr").zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }
+      val segment = Seq("e", "f", "g").zipWithIndex
+        .map { case (s, i) => (100L + i, s) }
+      val delta = Seq((200L, "x"), (201L, "pqs"))
+      val cap = 5
+      def collect(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val baseIdx = Fuzzy.signatureIndex(base.toDF("id", "s"), "id", "s", 1)
+      val segIdx = Fuzzy.signatureIndex(segment.toDF("id", "s"), "id", "s", 1)
+      val got = collect(Fuzzy.probeSignatureSegments(delta.toDF("id", "s"),
+        "id", "s", Seq(baseIdx, segIdx), maxDist = 1, maxBucket = cap))
+      val rebuilt = collect(Fuzzy.probeSignatureIndex(delta.toDF("id", "s"),
+        "id", "s", Fuzzy.signatureIndex(
+          (base ++ segment).toDF("id", "s"), "id", "s", 1),
+        maxDist = 1, maxBucket = cap))
+      // the stale-bsz union (what a naive append would serve): every
+      // single-char pair wrongly survives its under-cap stale counts
+      val naive = collect(Fuzzy.probeSignatureIndex(delta.toDF("id", "s"),
+        "id", "s", baseIdx.unionByName(segIdx), maxDist = 1, maxBucket = cap))
+      val survivor = (201L, 4L, 1L) // pqs~pqr share only the tiny 'pq' bucket
+      Prop(got == rebuilt && got == Set(survivor) &&
+        naive.size == 8 && (naive -- got).forall(_._1 == 200L)) :|
+        s"got=$got rebuilt=$rebuilt naive=$naive"
+    }
+
   property("editDistancePairs(maxDist=2) == brute-force pairwise levenshtein <= 2") =
     // r15 (FastSS k=2): the iterated single-deletion family must be a
     // COMPLETE candidate rule at the wider radius — every true <=2 pair
