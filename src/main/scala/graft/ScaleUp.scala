@@ -41,6 +41,18 @@ object ScaleUp {
     // corpus is the adversarial 100%-duplication worst case (every gram
     // flagged, dup set corpus-sized); mixed bounds the typical ~20%
     // boilerplate regime a production dedup pass actually sees.
+    // "mixed-cal" (r17) is mixed with a DISTRIBUTION-PRESERVING
+    // held-out slice: mixed's byte-identical class (doc_id % 5 = 0)
+    // contains the whole doc_id % 10 = 0 held-out residue, so at scale
+    // the held-out docs carry only unmarked (corpus-common) trigrams
+    // while 80% of the training slice is rep-marked — held-out scores
+    // flood below the training slice's p25 BY CONSTRUCTION and the LM
+    // gate's calibration-tracking property becomes unverifiable
+    // (measured r16: lm_gate_scale_sf10m distribution_caveat). Here the
+    // held-out residue is interleave-marked LIKE THE BULK (the
+    // byte-identical class shrinks to doc_id % 10 = 5 — 10% of docs,
+    // stated), so held-out replicas stay in-distribution w.r.t. the
+    // scaled training slice at every rep.
     val textMode = args.lift(3).getOrElse("suffix")
     // optional table subset (comma list) — the mixed-regime corpora only
     // need documents.parquet; skip the 10 GB of facts they'd never read
@@ -129,6 +141,9 @@ object ScaleUp {
         s"CASE WHEN rep = 0 THEN text ELSE $interleaveExpr END"
       case "mixed" =>
         s"CASE WHEN rep = 0 OR doc_id % 5 = 0 THEN text ELSE $interleaveExpr END"
+      case "mixed-cal" =>
+        s"CASE WHEN rep = 0 OR (doc_id % 5 = 0 AND doc_id % 10 <> 0) THEN text" +
+          s" ELSE $interleaveExpr END"
       case other => sys.error(s"unknown text mode: $other")
     }
     if (wanted("documents")) write(scaled(raw("documents"),
