@@ -158,6 +158,63 @@ object Probe {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       spark.stop(); return
     }
+    if (args.headOption.contains("phrasecycle")) {
+      // r17 (r16 verdict task 3): the phrase index's COMPACTION cycle
+      // priced like the gram/band arms' (31c13 posture). Drive k
+      // log-structured appends, measure the probe-degradation curve vs
+      // accumulated file count, then the keep-two rebuild (compaction)
+      // and the probe after it — the numbers a nightly maintenance
+      // scheduler needs to pick its compaction cadence.
+      import org.apache.spark.sql.functions._
+      import graft.operators.TextIndex
+      val k = args.lift(1).map(_.toInt).getOrElse(6)
+      val d = graft.sources.Tables(spark, dir).documents
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      val root = s"/tmp/graft_phrasecycle/${spark.sparkContext.applicationId}"
+      val phrase = Seq("table", "table", "key")
+      def files(p: String): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(p))
+      }
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      def probe(p: String): (Long, Double) = {
+        val runs = (1 to 3).map { _ =>
+          timed {
+            val (idx, b) = TextIndex.openPositionalIndex(spark, p)
+            TextIndex.searchPhrase(
+              TextIndex.prunePositionalIndex(idx, phrase, b), phrase).count()
+          }
+        }
+        (runs.head._1, runs.map(_._2).min)
+      }
+      val v0 = s"$root/idx_v0"
+      val (_, tBuild) = timed(TextIndex.writePositionalIndex(
+        TextIndex.buildPositionalPostings(corpus, "doc_id", "text"), v0))
+      val (h0, p0) = probe(v0)
+      println(f"[probe] phrasecycle build corpus_secs=$tBuild%.2f files=${files(v0)} probe_min3=$p0%.2f hits=$h0")
+      for (i <- 0 until k) {
+        val batch = d.filter(col("doc_id") % 10 === 0 &&
+          pmod(col("doc_id") / 10, lit(k.toLong)) === i.toLong)
+        val (_, tApp) = timed(TextIndex.appendPositionalIndex(
+          TextIndex.buildPositionalPostings(batch, "doc_id", "text"), v0))
+        val (h, p) = probe(v0)
+        println(f"[probe] phrasecycle append$i append_secs=$tApp%.2f files=${files(v0)} probe_min3=$p%.2f hits=$h")
+      }
+      // compaction = keep-two rebuild over the union into a versioned
+      // sibling; readers cut over on the new marker, old version pruned
+      val v1 = s"$root/idx_v1"
+      val (_, tComp) = timed(TextIndex.writePositionalIndex(
+        TextIndex.buildPositionalPostings(d, "doc_id", "text"), v1))
+      val (h1, p1) = probe(v1)
+      println(f"[probe] phrasecycle compact rebuild_secs=$tComp%.2f files=${files(v1)} probe_min3=$p1%.2f hits=$h1")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      spark.stop(); return
+    }
     if (args.headOption.contains("semdedup")) {
       // r15: SemDeDup at PRODUCTION geometry — the r14 verdict's top
       // task. The shipped oracle row runs toy k=4; this sweep trains
