@@ -1120,6 +1120,48 @@ object QueriesLlm {
       .select(col("query_id"), col("cell"), col("corpus_id"), col("dist_q"),
         col("rnk").cast("long").as("rnk"))
 
+  /** INCREMENTAL form of [[simIvfPqServed]] (r17) — the ANN family's
+    * maintenance arm, completing the append ladder (band/gram/LM/
+    * phrase/fuzzy all have theirs): the standing index trains and
+    * builds on the base corpus (vec_id % 10 ≠ 0) ONCE; the delta batch
+    * (vec_id % 10 = 0) is encoded with the STORED codebooks and
+    * appended log-structured into the existing `cell=` directories
+    * ([[graft.operators.Ann.appendIvfPqIndex]] — delta-sized write, no
+    * retrain, the standing codes never rewritten); the probe serves
+    * the appended store exactly as the served row does. No stale-count
+    * hazard (the probe carries no per-cell statistics), but codebook
+    * DRIFT is the stated boundary: the delta quantizes against base
+    * centroids, so the oracle trains on the base slice and encodes the
+    * union — what build-then-append produces by construction. */
+  val simIvfPqIncremental: Q = (s, dir) =>
+    operators.Ann.searchIvfPqIndex(s, servedIvfPqIncStore(s, dir),
+        annQueries(s, dir), k = 5, nprobe = 2)
+      .select(col("query_id"), col("cell"), col("corpus_id"), col("dist_q"),
+        col("rnk").cast("long").as("rnk"))
+
+  /** Build-then-append gate for the incremental IVF-PQ store — the
+    * servedPosIncIndexPath convention: the build's own marker cannot
+    * gate the pair (it commits before the append lands), so the append
+    * is committed by `_GRAFT_INC_DONE` and the probe gates on THAT. */
+  private def servedIvfPqIncStore(s: SparkSession, dir: String): String = {
+    val store = "/tmp/graft_ivfpq_index_inc/" + servedKey(s, dir)
+    ivfPqIncBuildLock.synchronized {
+      if (!graft.sources.Fs.exists(store + "/_GRAFT_INC_DONE")) {
+        val e = Tables(s, dir).embeddings
+        operators.Ann.buildIvfPqIndex(
+          e.filter(col("vec_id") >= 5 && col("vec_id") % 10 =!= 0)
+            .select(col("vec_id").as("corpus_id"), col("embedding").as("ce")),
+          store, kCells = 4, iters = 2)
+        operators.Ann.appendIvfPqIndex(s, store,
+          e.filter(col("vec_id") >= 5 && col("vec_id") % 10 === 0)
+            .select(col("vec_id").as("corpus_id"), col("embedding").as("ce")))
+        graft.sources.Fs.writeString(store + "/_GRAFT_INC_DONE", "ok\n")
+      }
+    }
+    store
+  }
+  private val ivfPqIncBuildLock = new Object
+
   /** Build-once path for the persisted IVF-PQ index — per-application
     * (concurrent harness runs must not race on a shared index dir, the
     * bpeTokenizeServed convention), shared by the served search and its
@@ -1702,6 +1744,7 @@ object QueriesLlm {
     "q_sim_pq"              -> simPq,
     "q_sim_ivfpq"           -> simIvfPq,
     "q_sim_ivfpq_served"    -> simIvfPqServed,
+    "q_sim_ivfpq_incremental" -> simIvfPqIncremental,
     "q_sim_recall_pq"       -> simRecallPq,
     "q_sim_recall_ivfpq"    -> simRecallIvfPq,
     "q_pipeline_prep"       -> pipelinePrep,
@@ -2020,14 +2063,16 @@ sym AS (
       .mkString(" + ")
 
   /** One PQ ASSIGNMENT step in SQL (twin of Ann.pqAssign): subvector
-    * CTE `sv` × per-subspace codebook, argmin quantized L2, ties to
-    * the lower cell. */
-  private def pqAssignSql(cb: String): String =
+    * CTE `sv` (overridable — the incremental oracle encodes the FULL
+    * corpus's subvectors against the base-trained codebook) ×
+    * per-subspace codebook, argmin quantized L2, ties to the lower
+    * cell. */
+  private def pqAssignSql(cb: String, sv: String = "sv"): String =
     s"""SELECT corpus_id, sub, cell, d, sv FROM (
        |    SELECT v.corpus_id, v.sub, k.cell, ${pqDqSql("v.sv", "k.sc")} AS d, v.sv,
        |      ROW_NUMBER() OVER (PARTITION BY v.corpus_id, v.sub
        |                         ORDER BY ${pqDqSql("v.sv", "k.sc")} ASC, k.cell ASC) AS rk
-       |    FROM sv v JOIN $cb k ON k.sub = v.sub) x WHERE rk = 1""".stripMargin
+       |    FROM $sv v JOIN $cb k ON k.sub = v.sub) x WHERE rk = 1""".stripMargin
 
   /** One PQ UPDATE step in SQL (twin of Ann.pqMeans): per-(sub, cell)
     * per-dimension DECIMAL(27,10) means over the subvector slices. */
@@ -2040,14 +2085,15 @@ sym AS (
        |    GROUP BY 1, 2, 3) m GROUP BY 1, 2""".stripMargin
 
   /** One Lloyd ASSIGNMENT step in SQL (twin of Ann.assignCells): corpus
-    * CTE `c` × codebook CTE `cents`, argmax quantized cosine, ties to
-    * the lower cell. */
-  private def kmAssign(cents: String): String =
+    * CTE `c` (overridable — the incremental oracle assigns the FULL
+    * corpus against the base-trained centroids) × codebook CTE
+    * `cents`, argmax quantized cosine, ties to the lower cell. */
+  private def kmAssign(cents: String, corpus: String = "c"): String =
     s"""SELECT corpus_id, cell, score FROM (
        |  SELECT c.corpus_id, k.cell, ${cosSql("c.ce", "k.ce")} AS score,
        |    ROW_NUMBER() OVER (PARTITION BY c.corpus_id
        |                       ORDER BY ${cosSql("c.ce", "k.ce")} DESC, k.cell ASC) AS rk
-       |  FROM c, $cents k) x WHERE rk = 1""".stripMargin
+       |  FROM $corpus c, $cents k) x WHERE rk = 1""".stripMargin
 
   /** One Lloyd UPDATE step in SQL (twin of Ann.centroids): per-cell
     * per-dimension DECIMAL(27,10) means over the RAW float embeddings —
@@ -2255,6 +2301,79 @@ FROM scored s, tot t"""
          |), pa2 AS (${pqAssignSql("pk1")}
          |), pk2 AS MATERIALIZED (${pqMeansSql("SELECT * FROM pa2")}
          |), paf AS MATERIALIZED (${pqAssignSql("pk2")}
+         |), probe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.query_id, k.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |                         ORDER BY ${cosSql("q.qe", "k.ce")} DESC, k.cell ASC) AS crnk
+         |    FROM q, k2 k) x WHERE crnk <= 2
+         |), qs AS (
+         |  SELECT query_id, s.sub, qe[s.sub*8+1 : s.sub*8+8] AS qsv
+         |  FROM q, (SELECT unnest(generate_series(0, 7)) AS sub) s
+         |), lq AS (
+         |  SELECT g.query_id, k.sub, k.cell, ${pqDqSql("g.qsv", "k.sc")} AS lq
+         |  FROM qs g JOIN pk2 k ON k.sub = g.sub
+         |), d AS (
+         |  SELECT l.query_id, cf.cell, a.corpus_id,
+         |    CAST(SUM(l.lq) AS BIGINT) AS dist_q
+         |  FROM paf a
+         |  JOIN lq l ON l.sub = a.sub AND l.cell = a.cell
+         |  JOIN cellof cf ON cf.corpus_id = a.corpus_id
+         |  JOIN probe p ON p.query_id = l.query_id AND p.cell = cf.cell
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT query_id, cell, corpus_id, dist_q, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY dist_q ASC, corpus_id ASC) AS rnk
+         |  FROM d) t
+         |WHERE rnk <= 5""".stripMargin
+
+  /** The INCREMENTAL IVF-PQ oracle (r17): codebooks trained on the
+    * BASE slice only (vec_id % 10 ≠ 0 — the standing index), the FULL
+    * corpus encoded and cell-assigned against them, same probe/ADC/
+    * top-k. This IS what build-then-append produces (encode and
+    * assignment are deterministic given the codebooks), so the one SQL
+    * proves the append lost and invented nothing. */
+  private lazy val oracleIvfPqInc: String =
+      s"""WITH c AS (
+         |  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS ce
+         |  FROM embeddings WHERE vec_id >= 5 AND vec_id % 10 <> 0
+         |), ca AS (
+         |  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS ce
+         |  FROM embeddings WHERE vec_id >= 5
+         |), q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < 5
+         |), seeds AS (
+         |  SELECT corpus_id, ce, md5('km|' || CAST(corpus_id AS VARCHAR)) AS h
+         |  FROM c ORDER BY h, corpus_id LIMIT 4
+         |), k0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, corpus_id) - 1 AS INT) AS cell, ce
+         |  FROM seeds
+         |), a1 AS (${kmAssign("k0")}
+         |), k1 AS (${kmMeans("a1")}
+         |), a2 AS (${kmAssign("k1")}
+         |), k2 AS MATERIALIZED (${kmMeans("a2")}
+         |), cellof AS MATERIALIZED (${kmAssign("k2", "ca")}
+         |), sv AS MATERIALIZED (
+         |  SELECT corpus_id, s.sub, ce[s.sub*8+1 : s.sub*8+8] AS sv
+         |  FROM c, (SELECT unnest(generate_series(0, 7)) AS sub) s
+         |), pa0 AS (
+         |  SELECT corpus_id, sub,
+         |    CAST(strpos('0123456789abcdef',
+         |      substr(md5('pq|' || CAST(sub AS VARCHAR) || '|'
+         |                 || CAST(corpus_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS cell,
+         |    sv
+         |  FROM sv
+         |), pk0 AS MATERIALIZED (${pqMeansSql("SELECT * FROM pa0")}
+         |), pa1 AS (${pqAssignSql("pk0")}
+         |), pk1 AS MATERIALIZED (${pqMeansSql("SELECT * FROM pa1")}
+         |), pa2 AS (${pqAssignSql("pk1")}
+         |), pk2 AS MATERIALIZED (${pqMeansSql("SELECT * FROM pa2")}
+         |), sva AS MATERIALIZED (
+         |  SELECT corpus_id, s.sub, ce[s.sub*8+1 : s.sub*8+8] AS sv
+         |  FROM ca, (SELECT unnest(generate_series(0, 7)) AS sub) s
+         |), paf AS MATERIALIZED (${pqAssignSql("pk2", "sva")}
          |), probe AS (
          |  SELECT query_id, cell FROM (
          |    SELECT q.query_id, k.cell,
@@ -3989,5 +4108,6 @@ FROM c GROUP BY 1, 2"""),
     // bit-exactly), so the SAME unrolled train+probe oracle
     // adjudicates both formulations — the q_bpe_tokenize_served
     // convention applied to ANN serving
-    "q_sim_ivfpq_served" -> oracleIvfPq)
+    "q_sim_ivfpq_served" -> oracleIvfPq,
+    "q_sim_ivfpq_incremental" -> oracleIvfPqInc)
 }

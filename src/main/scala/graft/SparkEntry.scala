@@ -92,7 +92,13 @@ object SparkEntry {
       // after any append — trusting it half-drops a bucket that
       // crosses the cap only via the append); steady runs price
       // probe-after-append, the cold run pays base+segment builds
-      "q_fuzzy_join_incremental")
+      "q_fuzzy_join_incremental",
+      // round-17b: the ANN family's MAINTENANCE row, completing the
+      // append ladder — the delta encodes with the STORED codebooks
+      // into the existing cell directories (no retrain, no stale
+      // counts; codebook drift is the stated boundary); steady runs
+      // price the served probe, the cold run pays build+append
+      "q_sim_ivfpq_incremental")
     val missing = hs.filterNot(queries.contains)
     require(missing.isEmpty, s"headline queries not implemented: $missing")
     hs

@@ -459,6 +459,39 @@ object Ann {
     coarse.write.mode("overwrite").parquet(s"$dir/coarse")
   }
 
+  /** Append a DELTA of vectors to a [[buildIvfPqIndex]] store WITHOUT
+    * retraining — the ANN family's maintenance arm (r17, the FAISS
+    * add-with-trained-codebooks convention; the last standing artifact
+    * family to get one after band/gram/LM/phrase/fuzzy): the delta is
+    * PQ-encoded and cell-assigned with the STORED codebooks and its
+    * codes land log-structured inside the existing `cell=` directories
+    * (mode append — delta-sized write, the standing codes never
+    * rewritten; the cell space is fixed by the stored coarse codebook,
+    * so no append can create an unprunable directory, exactly the
+    * phrase index's fixed-digest-space argument). Unlike the fuzzy
+    * index there is NO stale-count hazard: the probe path carries no
+    * per-cell statistics — a code row scores independently through the
+    * ADC expression — so append ≡ rebuild-with-the-same-codebooks by
+    * construction (encode and assignment are deterministic given the
+    * codebooks; proven against the inline composition in LlmOpsSpec).
+    * What an append CANNOT fix is codebook drift: a delta from a
+    * shifted distribution still quantizes against the old centroids
+    * (recall erodes, monitored by q_corpus_drift / the recall rows);
+    * retraining = a fresh [[buildIvfPqIndex]] under the keep-two
+    * versioned-store discipline. Fails loudly on an unbuilt store (the
+    * codebook reads require the build's artifacts). */
+  def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      delta: DataFrame, dim: Int = 64, m: Int = 8): Unit = {
+    require(graft.sources.Fs.exists(s"$dir/coarse/_SUCCESS"),
+      s"appendIvfPqIndex: no complete buildIvfPqIndex store under $dir")
+    val coarse = spark.read.parquet(s"$dir/coarse")
+    val pqCb = spark.read.parquet(s"$dir/pq")
+    pqEncode(pqCb, delta, dim = dim, m = m)
+      .join(assignCells(coarse, delta).select(col("corpus_id"), col("cell")),
+        "corpus_id")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
   /** IVF-PQ serving against a [[buildIvfPqIndex]]-persisted index — the
     * deployment shape: both codebooks and the codes read from the
     * store, zero training in the query path. Parquet round-trips the

@@ -2153,4 +2153,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(one.groupBy(_.getLong(0)).forall(_._2.length == 1),
       s"nprobe=1 returned results from more than one cell: ${one.toSeq}")
   }
+
+  test("IVF-PQ append: build+append store == inline base-trained encode-all; no retrain") {
+    import spark.implicits._
+    import graft.operators.Ann
+    // the ANN maintenance arm (r17): a delta appended with the STORED
+    // codebooks must serve exactly what an inline composition trained
+    // on the base and encoding base∪delta produces — append ≡ rebuild
+    // given the codebooks, the no-retrain contract
+    def vec(i: Int): Seq[Double] =
+      (0 until 64).map(d => ((i * 31 + d * 7) % 97) / 97.0)
+    val base  = (10 until 40).map(i => (i.toLong, vec(i))).toDF("corpus_id", "ce")
+    val delta = (40 until 52).map(i => (i.toLong, vec(i))).toDF("corpus_id", "ce")
+    val queries = Seq((11L, vec(11)), (45L, vec(45))).toDF("query_id", "qe")
+    val store = "/tmp/graft_ivfpq_append_test/" + spark.sparkContext.applicationId
+    Ann.buildIvfPqIndex(base, store, kCells = 4, iters = 1)
+    Ann.appendIvfPqIndex(spark, store, delta)
+    val served = Ann.searchIvfPqIndex(spark, store, queries, k = 5, nprobe = 2)
+      .select($"query_id", $"cell", $"corpus_id", $"dist_q", $"rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    val coarse = Ann.kmeansCodebook(base, k = 4, iters = 1).localCheckpoint()
+    val pqcb = Ann.pqCodebook(base, iters = 1).localCheckpoint()
+    val all = base.unionByName(delta)
+    val codes = Ann.pqEncode(pqcb, all)
+      .join(Ann.assignCells(coarse, all).select($"corpus_id", $"cell"), "corpus_id")
+    val inline = Ann.ivfPqTopK(coarse, pqcb, codes, queries, k = 5, nprobe = 2)
+      .select($"query_id", $"cell", $"corpus_id", $"dist_q", $"rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    assert(served == inline, s"append diverged from rebuild:\n$served\nvs\n$inline")
+    // the appended rows must actually be retrievable (a query near a
+    // delta vector finds it)
+    assert(served.exists { case (q, _, cid, _, _) => q == 45L && cid == 45L },
+      s"query 45 did not retrieve its appended twin: $served")
+    // appending to an unbuilt store must fail loudly, never write
+    intercept[IllegalArgumentException] {
+      Ann.appendIvfPqIndex(spark, store + "_nope", delta)
+    }
+  }
 }
