@@ -191,8 +191,15 @@ object Bench {
     } catch { case _: Throwable => -1L }
     // the window self-describes (r16 verdict "what's wrong" #1): a
     // reader starting from the round artifact alone must see whether
-    // the run was contention-clean without cross-referencing the log
-    val windowStatus = if (nContended == 0) "clean" else "contended"
+    // the run was contention-clean without cross-referencing the log.
+    // "clean" requires the gate to have actually RUN on every row:
+    // unmeasured rows (unreadable /proc) are their own status — the
+    // r14 rule (n_contended 0 with others_unmeasured > 0 means the
+    // idle gate never ran) applied to the self-description itself.
+    val windowStatus =
+      if (nContended > 0) "contended"
+      else if (nUnmeasured > 0) "unmeasured"
+      else "clean"
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","window_status":"$windowStatus","n_queries":${names.size},"queries":$qs,"cold":$cs,"others_cores":$os,"n_contended":$nContended,"others_unmeasured":$nUnmeasured,"tmp_store_bytes":$tmpStoreBytes,"errors":$es,"n_failed":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"sf":${Jsons.str(sfDir)}}"""
     println(line)
@@ -212,9 +219,12 @@ object Bench {
           System.currentTimeMillis() - f.lastModified() < 6L * 3600 * 1000 && {
             val prev = new String(
               java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-            prev.contains(""""n_contended":0""") &&
+            // window_status (not bare n_contended) so an UNMEASURED
+            // artifact is never defended as clean; n_queries matched
+            // WITH its trailing comma so 5 cannot prefix-match 57
+            prev.contains(""""window_status":"clean"""") &&
               prev.contains(s""""sf":${Jsons.str(sfDir)}""") &&
-              prev.contains(s""""n_queries":${names.size}""")
+              prev.contains(s""""n_queries":${names.size},""")
           }
       } catch { case _: Throwable => false }
     }

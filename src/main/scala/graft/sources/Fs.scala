@@ -24,7 +24,10 @@ import org.apache.spark.sql.SparkSession
 object Fs {
   private def fsOf(path: String): (FileSystem, Path) = {
     val p = new Path(path)
-    (p.getFileSystem(SparkSession.active.sessionState.newHadoopConf()), p)
+    // the SparkContext's shared Hadoop conf, READ-ONLY — cloning via
+    // sessionState.newHadoopConf() per call would copy the full conf
+    // inside gates that run every steady bench execution (r17 review)
+    (p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration), p)
   }
 
   def exists(path: String): Boolean = {
