@@ -215,6 +215,48 @@ object Probe {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       spark.stop(); return
     }
+    if (args.headOption.contains("ivfpqcycle")) {
+      // r17: the ANN maintenance arm's economics at corpus scale —
+      // append (encode delta with STORED codebooks) vs full rebuild
+      // (retrain + encode all), plus the served probe after each, the
+      // phrasecycle posture applied to the IVF-PQ store.
+      import org.apache.spark.sql.functions._
+      val kCells = args.lift(1).map(_.toInt).getOrElse(64)
+      val e = graft.sources.Tables(spark, dir).embeddings
+      def slice(p: org.apache.spark.sql.Column) = e.filter(col("vec_id") >= 5 && p)
+        .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"))
+      val base  = slice(col("vec_id") % 10 =!= 0)
+      val delta = slice(col("vec_id") % 10 === 0)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val root = s"/tmp/graft_ivfpqcycle/${spark.sparkContext.applicationId}"
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      def probe(p: String): (Long, Double) = {
+        val runs = (1 to 3).map(_ => timed(
+          graft.operators.Ann.searchIvfPqIndex(spark, p, queries, k = 5,
+            nprobe = 2).count()))
+        (runs.head._1, runs.map(_._2).min)
+      }
+      val (nb, nd) = (base.count(), delta.count())
+      val (_, tBuild) = timed(
+        graft.operators.Ann.buildIvfPqIndex(base, s"$root/v0", kCells, iters = 2))
+      val (r0, p0) = probe(s"$root/v0")
+      println(f"[probe] ivfpqcycle build base=$nb kCells=$kCells secs=$tBuild%.2f probe_min3=$p0%.2f rows=$r0")
+      val (_, tApp) = timed(
+        graft.operators.Ann.appendIvfPqIndex(spark, s"$root/v0", delta))
+      val (r1, p1) = probe(s"$root/v0")
+      println(f"[probe] ivfpqcycle append delta=$nd secs=$tApp%.2f probe_min3=$p1%.2f rows=$r1")
+      val (_, tRebuild) = timed(
+        graft.operators.Ann.buildIvfPqIndex(base.unionByName(delta),
+          s"$root/v1", kCells, iters = 2))
+      val (r2, p2) = probe(s"$root/v1")
+      println(f"[probe] ivfpqcycle rebuild all=${nb + nd} secs=$tRebuild%.2f probe_min3=$p2%.2f rows=$r2")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      spark.stop(); return
+    }
     if (args.headOption.contains("semdedup")) {
       // r15: SemDeDup at PRODUCTION geometry — the r14 verdict's top
       // task. The shipped oracle row runs toy k=4; this sweep trains
