@@ -222,6 +222,7 @@ object Probe {
       // phrasecycle posture applied to the IVF-PQ store.
       import org.apache.spark.sql.functions._
       val kCells = args.lift(1).map(_.toInt).getOrElse(64)
+      val nprobe = args.lift(2).map(_.toInt).getOrElse(2)
       val e = graft.sources.Tables(spark, dir).embeddings
       def slice(p: org.apache.spark.sql.Column) = e.filter(col("vec_id") >= 5 && p)
         .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"))
@@ -237,8 +238,26 @@ object Probe {
       def probe(p: String): (Long, Double) = {
         val runs = (1 to 3).map(_ => timed(
           graft.operators.Ann.searchIvfPqIndex(spark, p, queries, k = 5,
-            nprobe = 2).count()))
+            nprobe = nprobe).count()))
         (runs.head._1, runs.map(_._2).min)
+      }
+      // recall@5 vs the exact cosine top-5 over base∪delta — the
+      // number that prices the no-retrain boundary: how much recall
+      // does serving appended vectors through BASE-trained codebooks
+      // cost vs codebooks retrained on the union? Evaluated over a
+      // ~100-query corpus sample (the 5 standard queries are too few
+      // for a recall claim; the timing probe keeps them)
+      val qeval = e.filter(col("vec_id") >= 5 && col("vec_id") % 1999 === 7)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .localCheckpoint()
+      val truth = graft.operators.Ann.bruteForceTopK(qeval,
+          base.unionByName(delta), k = 5)
+        .select(col("query_id"), col("corpus_id")).localCheckpoint()
+      val nTruth = truth.count()
+      def recall(p: String): Long = {
+        val cand = graft.operators.Ann.searchIvfPqIndex(spark, p, qeval,
+          k = 5, nprobe = nprobe).select(col("query_id"), col("corpus_id"))
+        truth.join(cand, Seq("query_id", "corpus_id")).count() * 100 / nTruth
       }
       val (nb, nd) = (base.count(), delta.count())
       val (_, tBuild) = timed(
@@ -248,12 +267,12 @@ object Probe {
       val (_, tApp) = timed(
         graft.operators.Ann.appendIvfPqIndex(spark, s"$root/v0", delta))
       val (r1, p1) = probe(s"$root/v0")
-      println(f"[probe] ivfpqcycle append delta=$nd secs=$tApp%.2f probe_min3=$p1%.2f rows=$r1")
+      println(f"[probe] ivfpqcycle append delta=$nd secs=$tApp%.2f probe_min3=$p1%.2f rows=$r1 recall5=${recall(s"$root/v0")}")
       val (_, tRebuild) = timed(
         graft.operators.Ann.buildIvfPqIndex(base.unionByName(delta),
           s"$root/v1", kCells, iters = 2))
       val (r2, p2) = probe(s"$root/v1")
-      println(f"[probe] ivfpqcycle rebuild all=${nb + nd} secs=$tRebuild%.2f probe_min3=$p2%.2f rows=$r2")
+      println(f"[probe] ivfpqcycle rebuild all=${nb + nd} secs=$tRebuild%.2f probe_min3=$p2%.2f rows=$r2 recall5=${recall(s"$root/v1")}")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       spark.stop(); return
     }
