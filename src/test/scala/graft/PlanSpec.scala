@@ -83,6 +83,47 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy segments probe: no segment-side shuffle, fresh counts over matched rows only") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Fuzzy
+    import graft.sources.Sinks
+    // the r17 maintenance arm's plan contract: the standing index and
+    // the append segment are both reached through the broadcast
+    // touched-signature semi side (no scan-side exchange), and the
+    // fresh-count window + candidate join shuffle only probed-bucket
+    // rows — the index scan keeps its bucket layout
+    val base = (0L until 40L).map(i => (i, f"Customer#$i%09d")).toDF("id", "s")
+    val seg = (40L until 60L).map(i => (i, f"Customer#$i%09d")).toDF("id", "s")
+    val delta = Seq((1000L, "Customer#000000047"), // dist 0 into the SEGMENT
+      (1001L, "Customer#00000003")).toDF("id", "s") // dist 1 into the base
+    spark.sql("DROP TABLE IF EXISTS b_fuzzy_seg_base")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("spark-warehouse/b_fuzzy_seg_base"))
+    Sinks.saveBucketed(Fuzzy.signatureIndex(base, "id", "s", maxDist = 1),
+      "b_fuzzy_seg_base", Seq("sig"), 8)
+    val segIdx = Fuzzy.signatureIndex(seg, "id", "s", maxDist = 1)
+      .localCheckpoint()
+    val probed = Fuzzy.probeSignatureSegments(delta, "id", "s",
+      Seq(spark.table("b_fuzzy_seg_base"), segIdx), maxDist = 1)
+    val plan = physicalPlan(probed)
+    // the touched-sig set and the fresh-count path must broadcast into
+    // the scans, never shuffle them: the scans' own subtrees carry no
+    // Exchange (all hash exchanges sit above, on delta-sized streams)
+    assert(plan.contains("BroadcastExchange"),
+      s"touched-sig semi side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // delta-sized exchange bound: signature distinct, touched distinct,
+    // fresh-count window, candidate join re-key, pair distinct — and
+    // nothing scan-sized (upper bound, AQE may fuse)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 5, plan)
+    val got = probed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((1000L, 47L, 0L)), s"segment hit missing: $got")
+    assert(got.exists(t => t._1 == 1001L && t._2 == 3L && t._3 == 1L),
+      s"base hit missing: $got")
+  }
+
   test("q_topk_per_group gets the rank-limit pushdown (WindowGroupLimit)") {
     val plan = physicalPlan(QueriesCore.qTopkPerGroup(spark, sfDir))
     assert(plan.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$plan")
