@@ -584,6 +584,130 @@ object Programs {
   private def dirFingerprint(dir: String): String =
     graft.sources.Fs.listingFingerprint(dir)
 
+  // ---- phrase-index store: streaming maintenance (r17) ---------------------
+
+  /** Bootstrap the standing PHRASE store: the corpus's positional
+    * index as base version 0 under `storeDir`, ready for
+    * [[phraseIndexProgramStream]] to grow and compact. */
+  def phraseStoreInit(docs: DataFrame, storeDir: String,
+      buckets: Int = 64): Unit =
+    graft.operators.TextIndex.writePositionalIndex(
+      graft.operators.TextIndex.buildPositionalPostings(docs, "doc_id", "text"),
+      s"$storeDir/base_v0", buckets)
+
+  /** ONLINE phrase-index maintenance with CLOSED compaction loop —
+    * the ingest/LM program convention applied to the phrase family,
+    * closing its lifecycle (build 33g3 → served 33g4 → batch append
+    * 33g5 → this streaming form):
+    *
+    *  - each micro-batch's postings land as a SEGMENT mini-index
+    *    (`seg_v{batchId}` — its own term-digest directories under the
+    *    base's modulus, committed by writePositionalIndex's own
+    *    `_GRAFT_DONE`). Unlike [[graft.operators.TextIndex
+    *    .appendPositionalIndex]] — which appends files INTO the
+    *    standing directories and therefore cannot be replayed without
+    *    duplicating postings — a segment is a per-batch-dir
+    *    delete-then-write: a batch replayed after a crash rewrites
+    *    its own segment and nothing else. tf-weighted consumers
+    *    (searchAll/searchRanked) stay exact across replays, which the
+    *    in-place append can only promise for duplicate-insensitive
+    *    phrase queries.
+    *  - at `compactEvery` cadence the base and its accumulated
+    *    segments COMPACT into a versioned base sibling
+    *    (`base_v{batchId+1}`) — read from the STORE's own postings,
+    *    never a corpus re-scan — with keep-two retention and the
+    *    folded segments cleared. Convention: `base_vN` folds every
+    *    segment with id < N, so readers and replays agree on the fold
+    *    set by arithmetic, not bookkeeping. Skip-if-complete: a
+    *    compaction that committed before a crash is not re-run (its
+    *    marker is the gate); only the clear re-runs.
+    *
+    * Between compactions a probe unions base + segments — file count
+    * grows one mini-index per batch, the measured LSM trade
+    * (BENCH_R17_OPS phrase_compaction_cycle: probe degradation is
+    * flat at hundreds of files; compact by file-count budget). */
+  def phraseIndexProgramStream(docs: DataFrame, storeDir: String,
+      checkpoint: String, compactEvery: Int = 4): StreamingQuery = {
+    require(compactEvery >= 1, s"compactEvery ($compactEvery) must be >= 1")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        phraseBatchStep(batch, storeDir, batchId, compactEvery)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[phraseIndexProgramStream]], factored like
+    * [[ingestBatchStep]] so tests can drive replay windows directly. */
+  private[graft] def phraseBatchStep(batch: DataFrame, storeDir: String,
+      batchId: Long, compactEvery: Int): Unit = {
+    val spark = batch.sparkSession
+    val TI = graft.operators.TextIndex
+    // deterministic replay: the modulus comes from the newest base the
+    // batch could have seen when it FIRST ran (versions ≤ batchId) —
+    // all bases share it, the bound just keeps the read set replayable
+    val baseVer = phraseVersions(storeDir, "base").filter(_ <= batchId).max
+    val buckets = TI.positionalIndexBuckets(s"$storeDir/base_v$baseVer")
+    val postings = TI.buildPositionalPostings(batch, "doc_id", "text")
+      .localCheckpoint()
+    // an empty batch writes no segment (an empty mini-index directory
+    // would hold only a marker and no readable schema); the listings
+    // enumerate what exists, so gaps in segment ids are expected
+    if (!postings.isEmpty)
+      TI.writePositionalIndex(postings, s"$storeDir/seg_v$batchId", buckets)
+    if ((batchId + 1) % compactEvery == 0) {
+      val target = s"$storeDir/base_v${batchId + 1}"
+      // read set excludes segments the base being read has already
+      // folded (ids < baseVer): a segment surviving a crashed CLEAR is
+      // garbage, not input — folding it again would double its
+      // postings into the new base
+      val folded = phraseVersions(storeDir, "seg")
+        .filter(j => j >= baseVer && j <= batchId)
+      if (!graft.sources.Fs.exists(s"$target/_GRAFT_DONE")) {
+        val parts = (s"$storeDir/base_v$baseVer" +:
+          folded.map(j => s"$storeDir/seg_v$j"))
+          .map(p => spark.read.parquet(p)
+            .select(col("doc_id"), col("pos"), col("term")))
+        TI.writePositionalIndex(parts.reduce(_.unionByName(_)), target, buckets)
+      }
+      // keep-two bases; clear EVERY segment at or below the fold point
+      // — the read-folded ones and any stale leftovers from a crashed
+      // earlier clear (deterministic on replay: base_vN folds ids < N)
+      val bases = phraseVersions(storeDir, "base").sorted
+      bases.dropRight(2).foreach(v =>
+        graft.sources.Fs.delete(s"$storeDir/base_v$v"))
+      phraseVersions(storeDir, "seg").filter(_ <= batchId)
+        .foreach(j => graft.sources.Fs.delete(s"$storeDir/seg_v$j"))
+    }
+    ()
+  }
+
+  /** Complete (marker-carrying) versions of a phrase-store artifact. */
+  private def phraseVersions(storeDir: String, name: String): Seq[Long] =
+    graft.sources.Fs.listDirNames(storeDir)
+      .filter(_.startsWith(s"${name}_v"))
+      .map(_.stripPrefix(s"${name}_v").toLong)
+      .filter(v => graft.sources.Fs.exists(
+        s"$storeDir/${name}_v$v/_GRAFT_DONE"))
+
+  /** The phrase store's current view: the newest complete base UNION
+    * every committed segment the base has not folded (`base_vN` folds
+    * ids < N), plus the store's bucket modulus — feed the pair to
+    * [[graft.operators.TextIndex.prunePositionalIndex]] /
+    * [[graft.operators.TextIndex.searchPhrase]]. A markerless segment
+    * is the in-flight batch (its offsets are uncommitted too) and is
+    * skipped — the store view is always a committed prefix. */
+  def phraseStorePostings(spark: SparkSession, storeDir: String)
+      : (DataFrame, Int) = {
+    val baseVer = phraseVersions(storeDir, "base").max
+    val paths = s"$storeDir/base_v$baseVer" +:
+      phraseVersions(storeDir, "seg").filter(_ >= baseVer)
+        .map(j => s"$storeDir/seg_v$j")
+    (paths.map(spark.read.parquet(_)).reduce(_.unionByName(_)),
+      graft.operators.TextIndex.positionalIndexBuckets(
+        s"$storeDir/base_v$baseVer"))
+  }
+
   /** Streaming curation program: the watermark-bounded pipeline twin
     * (StreamingJobs.curationPipeline) as a deployable unit over a
     * document stream — per-(window, language) token budgets into a

@@ -932,6 +932,92 @@ class StreamingSpec extends AnyFunSuite {
       keepBelowMb = Long.MaxValue, maintainEvery = 100, refLang = "en")
   }
 
+  test("phrase store: segment appends, compaction fold, replay windows leave no duplicate postings") {
+    // r17: the phrase family's streaming maintenance form. Drives
+    // Programs.phraseBatchStep directly (the stream's foreachBatch
+    // delegates to it verbatim) through append, compaction, BOTH
+    // replay windows, and an empty batch — asserting not just the
+    // phrase results (duplicate-insensitive by construction) but the
+    // raw posting multiset, which is what a replayed in-place append
+    // would corrupt for tf-weighted consumers.
+    implicit val ctx = spark.sqlContext
+    import ctx.sparkSession.implicits._
+    import graft.operators.TextIndex
+    val dir = s"/tmp/graft_phrase_store/${System.nanoTime()}"
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "x alpha beta"),
+      (3L, "beta alpha")).toDF("doc_id", "text")
+    Programs.phraseStoreInit(corpus, dir, buckets = 16)
+    def step(id: Long, rows: (Long, String)*): Unit =
+      Programs.phraseBatchStep(rows.toDF("doc_id", "text"), dir, id,
+        compactEvery = 2)
+    val phrase = Seq("alpha", "beta")
+    def served(): Set[(Long, Long, Long)] = {
+      val (postings, buckets) = Programs.phraseStorePostings(spark, dir)
+      TextIndex.searchPhrase(
+          TextIndex.prunePositionalIndex(postings, phrase, buckets), phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    def inline(extra: Seq[(Long, String)]): Set[(Long, Long, Long)] =
+      TextIndex.searchPhrase(TextIndex.buildPositionalPostings(
+          corpus.unionByName(extra.toDF("doc_id", "text")), "doc_id", "text"),
+          phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def storePostingRows(): Long = Programs.phraseStorePostings(spark, dir)
+      ._1.count()
+    def inlinePostingRows(extra: Seq[(Long, String)]): Long =
+      TextIndex.buildPositionalPostings(
+        corpus.unionByName(extra.toDF("doc_id", "text")), "doc_id", "text")
+        .count()
+    val b0 = Seq(10L -> "alpha beta alpha beta")
+    val b1 = Seq(11L -> "gg alpha beta")
+    val b3 = Seq(12L -> "alpha beta end")
+    // batch 0: segment append, no compaction yet
+    step(0, b0: _*)
+    assert(graft.sources.Fs.exists(s"$dir/seg_v0/_GRAFT_DONE"))
+    assert(served() == inline(b0) && served().exists(_._1 == 10L))
+    // batch 1: compaction fold — base_v2 commits, segments clear
+    step(1, b1: _*)
+    assert(graft.sources.Fs.exists(s"$dir/base_v2/_GRAFT_DONE"))
+    assert(!graft.sources.Fs.exists(s"$dir/seg_v0") &&
+      !graft.sources.Fs.exists(s"$dir/seg_v1"), "folded segments must clear")
+    assert(served() == inline(b0 ++ b1))
+    assert(storePostingRows() == inlinePostingRows(b0 ++ b1),
+      "compaction must not duplicate or lose postings")
+    // crash window (a): clear crashed — a stale already-folded segment
+    // survives; the replayed fold batch must skip the complete base,
+    // NOT re-fold the stale segment, and re-run the clear
+    TextIndex.writePositionalIndex(TextIndex.buildPositionalPostings(
+      b0.toDF("doc_id", "text"), "doc_id", "text"), s"$dir/seg_v0", 16)
+    step(1, b1: _*)
+    assert(!graft.sources.Fs.exists(s"$dir/seg_v0"),
+      "the replayed clear must remove the stale segment")
+    assert(served() == inline(b0 ++ b1) &&
+      storePostingRows() == inlinePostingRows(b0 ++ b1),
+      "replaying the fold batch must not change the store")
+    // empty batch: no segment written, store unchanged
+    step(2)
+    assert(!graft.sources.Fs.exists(s"$dir/seg_v2"))
+    assert(served() == inline(b0 ++ b1))
+    // batch 3: append + second compaction over base_v2 ∪ seg_v3
+    step(3, b3: _*)
+    assert(graft.sources.Fs.exists(s"$dir/base_v4/_GRAFT_DONE"))
+    assert(!graft.sources.Fs.exists(s"$dir/base_v0"),
+      "keep-two must prune the oldest base")
+    assert(served() == inline(b0 ++ b1 ++ b3) &&
+      storePostingRows() == inlinePostingRows(b0 ++ b1 ++ b3))
+    // crash window (b): checkpoint commit lost AFTER the segment write
+    // — replaying a plain batch rewrites its own segment in place
+    // (delete-then-write), leaving the posting multiset exact
+    val b4 = Seq(13L -> "alpha beta tail")
+    TextIndex.writePositionalIndex(TextIndex.buildPositionalPostings(
+      b4.toDF("doc_id", "text"), "doc_id", "text"), s"$dir/seg_v4", 16)
+    step(4, b4: _*)
+    step(4, b4: _*) // replay
+    assert(served() == inline(b0 ++ b1 ++ b3 ++ b4))
+    assert(storePostingRows() == inlinePostingRows(b0 ++ b1 ++ b3 ++ b4),
+      "a replayed segment write must not duplicate postings")
+  }
+
   test("ingest crash-replay at the fold boundary: re-running the fold batch neither double-folds nor loses admissions") {
     // r15 (the r14 verdict's wrong #3): the fold-vs-clear crash window.
     // Drives Programs.ingestBatchStep directly (the stream's
