@@ -615,12 +615,20 @@ object Programs {
     *  - at `compactEvery` cadence the base and its accumulated
     *    segments COMPACT into a versioned base sibling
     *    (`base_v{batchId+1}`) — read from the STORE's own postings,
-    *    never a corpus re-scan — with keep-two retention and the
-    *    folded segments cleared. Convention: `base_vN` folds every
-    *    segment with id < N, so readers and replays agree on the fold
-    *    set by arithmetic, not bookkeeping. Skip-if-complete: a
-    *    compaction that committed before a crash is not re-run (its
-    *    marker is the gate); only the clear re-runs.
+    *    never a corpus re-scan — with keep-two base retention.
+    *    Convention: `base_vN` folds every segment with id < N, so
+    *    readers and replays agree on the fold set by arithmetic, not
+    *    bookkeeping. Skip-if-complete: a compaction that committed
+    *    before a crash is not re-run (its marker is the gate). A fold
+    *    window with NO segments skips the rewrite entirely — an idle
+    *    stream must not pay a full-index rewrite per cadence for zero
+    *    change. Folded segments get ONE COMPACTION CYCLE of grace
+    *    before clearing (the clear removes segments the PREVIOUS fold
+    *    already absorbed): an in-flight reader that listed the old
+    *    base still finds them, the same reader-grace argument keep-two
+    *    makes for bases; readers on the new base skip them by the
+    *    ids < N rule, so retained-but-folded segments are invisible,
+    *    never double-counted.
     *
     * Between compactions a probe unions base + segments — file count
     * grows one mini-index per batch, the measured LSM trade
@@ -646,7 +654,12 @@ object Programs {
     // deterministic replay: the modulus comes from the newest base the
     // batch could have seen when it FIRST ran (versions ≤ batchId) —
     // all bases share it, the bound just keeps the read set replayable
-    val baseVer = phraseVersions(storeDir, "base").filter(_ <= batchId).max
+    val bases0 = phraseVersions(storeDir, "base").filter(_ <= batchId)
+    require(bases0.nonEmpty,
+      s"phrase store $storeDir has no complete base version <= $batchId - " +
+        "run phraseStoreInit first (or the init crashed before its marker; " +
+        "re-run it), or resume the store's original checkpoint")
+    val baseVer = bases0.max
     val buckets = TI.positionalIndexBuckets(s"$storeDir/base_v$baseVer")
     val postings = TI.buildPositionalPostings(batch, "doc_id", "text")
       .localCheckpoint()
@@ -658,25 +671,29 @@ object Programs {
     if ((batchId + 1) % compactEvery == 0) {
       val target = s"$storeDir/base_v${batchId + 1}"
       // read set excludes segments the base being read has already
-      // folded (ids < baseVer): a segment surviving a crashed CLEAR is
-      // garbage, not input — folding it again would double its
+      // folded (ids < baseVer): a retained-or-stale already-folded
+      // segment is not input — folding it again would double its
       // postings into the new base
       val folded = phraseVersions(storeDir, "seg")
         .filter(j => j >= baseVer && j <= batchId)
-      if (!graft.sources.Fs.exists(s"$target/_GRAFT_DONE")) {
+      // an empty fold window writes NO new base: an idle stream must
+      // not pay a full-index rewrite per cadence for zero change
+      if (folded.nonEmpty &&
+          !graft.sources.Fs.exists(s"$target/_GRAFT_DONE")) {
         val parts = (s"$storeDir/base_v$baseVer" +:
           folded.map(j => s"$storeDir/seg_v$j"))
           .map(p => spark.read.parquet(p)
             .select(col("doc_id"), col("pos"), col("term")))
         TI.writePositionalIndex(parts.reduce(_.unionByName(_)), target, buckets)
       }
-      // keep-two bases; clear EVERY segment at or below the fold point
-      // — the read-folded ones and any stale leftovers from a crashed
-      // earlier clear (deterministic on replay: base_vN folds ids < N)
+      // keep-two bases; clear only segments the PREVIOUS fold already
+      // absorbed (ids < baseVer) — the just-folded generation gets one
+      // compaction cycle of reader grace (see the program scaladoc);
+      // deterministic on replay: base_vN folds ids < N
       val bases = phraseVersions(storeDir, "base").sorted
       bases.dropRight(2).foreach(v =>
         graft.sources.Fs.delete(s"$storeDir/base_v$v"))
-      phraseVersions(storeDir, "seg").filter(_ <= batchId)
+      phraseVersions(storeDir, "seg").filter(_ < baseVer)
         .foreach(j => graft.sources.Fs.delete(s"$storeDir/seg_v$j"))
     }
     ()
@@ -699,7 +716,11 @@ object Programs {
     * skipped — the store view is always a committed prefix. */
   def phraseStorePostings(spark: SparkSession, storeDir: String)
       : (DataFrame, Int) = {
-    val baseVer = phraseVersions(storeDir, "base").max
+    val bases = phraseVersions(storeDir, "base")
+    require(bases.nonEmpty,
+      s"phrase store $storeDir has no complete base version - run " +
+        "phraseStoreInit first (or the init crashed before its marker)")
+    val baseVer = bases.max
     val paths = s"$storeDir/base_v$baseVer" +:
       phraseVersions(storeDir, "seg").filter(_ >= baseVer)
         .map(j => s"$storeDir/seg_v$j")

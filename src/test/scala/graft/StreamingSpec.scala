@@ -975,22 +975,20 @@ class StreamingSpec extends AnyFunSuite {
     step(0, b0: _*)
     assert(graft.sources.Fs.exists(s"$dir/seg_v0/_GRAFT_DONE"))
     assert(served() == inline(b0) && served().exists(_._1 == 10L))
-    // batch 1: compaction fold — base_v2 commits, segments clear
+    // batch 1: compaction fold — base_v2 commits; the just-folded
+    // segments are RETAINED one cycle for reader grace but must be
+    // invisible to the new base's readers (ids < N rule): the posting
+    // multiset proves no double counting
     step(1, b1: _*)
     assert(graft.sources.Fs.exists(s"$dir/base_v2/_GRAFT_DONE"))
-    assert(!graft.sources.Fs.exists(s"$dir/seg_v0") &&
-      !graft.sources.Fs.exists(s"$dir/seg_v1"), "folded segments must clear")
+    assert(graft.sources.Fs.exists(s"$dir/seg_v0") &&
+      graft.sources.Fs.exists(s"$dir/seg_v1"),
+      "just-folded segments keep one cycle of reader grace")
     assert(served() == inline(b0 ++ b1))
     assert(storePostingRows() == inlinePostingRows(b0 ++ b1),
-      "compaction must not duplicate or lose postings")
-    // crash window (a): clear crashed — a stale already-folded segment
-    // survives; the replayed fold batch must skip the complete base,
-    // NOT re-fold the stale segment, and re-run the clear
-    TextIndex.writePositionalIndex(TextIndex.buildPositionalPostings(
-      b0.toDF("doc_id", "text"), "doc_id", "text"), s"$dir/seg_v0", 16)
+      "retained folded segments must not double-count")
+    // replaying the fold batch: skip-if-complete, store unchanged
     step(1, b1: _*)
-    assert(!graft.sources.Fs.exists(s"$dir/seg_v0"),
-      "the replayed clear must remove the stale segment")
     assert(served() == inline(b0 ++ b1) &&
       storePostingRows() == inlinePostingRows(b0 ++ b1),
       "replaying the fold batch must not change the store")
@@ -998,13 +996,32 @@ class StreamingSpec extends AnyFunSuite {
     step(2)
     assert(!graft.sources.Fs.exists(s"$dir/seg_v2"))
     assert(served() == inline(b0 ++ b1))
-    // batch 3: append + second compaction over base_v2 ∪ seg_v3
+    // batch 3: append + second compaction over base_v2 ∪ seg_v3; the
+    // PREVIOUS generation's folded segments now clear, keep-two prunes
+    // the oldest base
     step(3, b3: _*)
     assert(graft.sources.Fs.exists(s"$dir/base_v4/_GRAFT_DONE"))
     assert(!graft.sources.Fs.exists(s"$dir/base_v0"),
       "keep-two must prune the oldest base")
+    assert(!graft.sources.Fs.exists(s"$dir/seg_v0") &&
+      !graft.sources.Fs.exists(s"$dir/seg_v1"),
+      "the previous generation's folded segments must clear")
+    assert(graft.sources.Fs.exists(s"$dir/seg_v3"),
+      "the just-folded generation keeps its grace cycle")
     assert(served() == inline(b0 ++ b1 ++ b3) &&
       storePostingRows() == inlinePostingRows(b0 ++ b1 ++ b3))
+    // crash window (a): clear crashed — a stale already-folded segment
+    // from a CLEARED generation reappears; the replayed fold batch must
+    // skip the complete base, keep it OUT of the read set (refolding
+    // would double its postings), and re-run the clear
+    TextIndex.writePositionalIndex(TextIndex.buildPositionalPostings(
+      b0.toDF("doc_id", "text"), "doc_id", "text"), s"$dir/seg_v0", 16)
+    step(3, b3: _*)
+    assert(!graft.sources.Fs.exists(s"$dir/seg_v0"),
+      "the replayed clear must remove the stale segment")
+    assert(served() == inline(b0 ++ b1 ++ b3) &&
+      storePostingRows() == inlinePostingRows(b0 ++ b1 ++ b3),
+      "a stale folded segment must never re-fold")
     // crash window (b): checkpoint commit lost AFTER the segment write
     // — replaying a plain batch rewrites its own segment in place
     // (delete-then-write), leaving the posting multiset exact
