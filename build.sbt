@@ -27,4 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage-codegen emits single methods past HotSpot's
+  // DontCompileHugeMethods limit (8000 bytecodes), which the JIT then
+  // NEVER compiles — the stage runs interpreted forever. Measured on
+  // this image (Spark 4.1.2 / JDK 17, sf0.1): prefixJaccardPairs'
+  // verify stage 49 s -> 4.3 s, q_pagerank 36 -> 3.4, q_sim_recall_pq
+  // 24 -> 4.2 once huge methods are JIT-eligible. The larger code cache
+  // keeps those big compiled bodies from evicting each other across a
+  // 58-query bench. Cluster twin: the same two flags belong in
+  // spark.executor.extraJavaOptions / spark.driver.extraJavaOptions.
+  "-XX:-DontCompileHugeMethods",
+  "-XX:ReservedCodeCacheSize=512m",
 )
