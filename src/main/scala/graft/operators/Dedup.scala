@@ -478,10 +478,10 @@ object Dedup {
     * is hotter), and any residual hot bucket — a cluster of
     * near-identical docs — rebalances through [[explodePairsBalanced]]
     * instead of being dropped: exactness is the contract, so there is no
-    * maxBucket cap here. Three corpus-token shuffles (df, per-doc rank,
-    * verify count) + the candidate-sized joins — the honest price of
-    * exact semantics over the LSH pipelines' two fixed-width shuffles,
-    * still never n². */
+    * maxBucket cap here. Two corpus-token shuffles (df, per-doc rank —
+    * the verify's per-doc arrays reuse the rank exchange) + the
+    * candidate-sized verify joins — the honest price of exact semantics
+    * over the LSH pipelines' two fixed-width shuffles, still never n². */
   def prefixJaccardPairs(docs: DataFrame, k: Int, minJaccardQ: Long,
       blockSize: Int = 1024): DataFrame = {
     require(minJaccardQ > 0 && minJaccardQ <= 1000000L,
@@ -528,13 +528,36 @@ object Dedup {
     // cannot spill). SMJ is the one join here that degrades to disk
     // instead of dying when BOTH sides are corpus-sized — exactness is
     // the operator's contract, so its worst case must spill, not OOM.
+    //
+    // r18: the verify counts |A ∩ B| per candidate over PER-DOC TOKEN
+    // ARRAYS instead of exploding candidates × tokens into a row-per-
+    // common-token join. The old shape shuffled and SMJ-sorted
+    // candidates × |doc| rows (sf0.1: 43k candidates fanned out to
+    // 3.18M rows, 107 MB — the operator's single most expensive stage)
+    // and re-aggregated them; this shape moves each doc's token set
+    // ONCE per candidate side as one array row, and n_common is a
+    // row-local array_intersect over ~doc-length arrays — no fan-out
+    // shuffle, no re-aggregation, |cands| rows end to end. The array
+    // elements stay the hex STRINGS: STRING has "proper equals", so
+    // array_intersect runs its hash-set O(na+nb) path — BinaryType does
+    // not, and its quadratic ordering path measured 185 CPU-seconds on
+    // the same 43k candidates this comment's numbers come from (30×
+    // worse than the fan-out it replaced). The per-doc arrays
+    // aggregate from `ranked`, whose window exchange already hash-
+    // partitions by doc_id, so the groupBy adds NO new corpus exchange
+    // (the operator stays at three corpus-token shuffles). A pair with
+    // zero common tokens now survives the joins with n_common = 0 and
+    // dies on the τ filter exactly as its absent row did before.
+    val docToks = ranked
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("hs"))
     cands
       .hint("merge")
-      .join(toks.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("h")).hint("merge"),
-        Seq("doc_b", "h"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("n_common"))
+      .join(docToks.select(col("doc_id").as("doc_a"), col("hs").as("_ha")), "doc_a")
+      .join(docToks.select(col("doc_id").as("doc_b"), col("hs").as("_hb"))
+        .hint("merge"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        size(array_intersect(col("_ha"), col("_hb"))).cast("long").as("n_common"))
       .filter(col("n_common") * lit(1000000L) >=
         lit(minJaccardQ) * (col("na") + col("nb") - col("n_common")))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
