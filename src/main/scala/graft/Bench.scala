@@ -212,7 +212,10 @@ object Bench {
     // (6 h, file mtime) keeps a stale clean file from a PREVIOUS round
     // masking this round's only measurement.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
-    val keepCleanExisting = nContended > 0 && {
+    // gate on windowStatus, not bare nContended (r17 ADVICE): an
+    // UNMEASURED window (idle gate never ran, quality unknown) must
+    // also defer to a recent clean artifact, not clobber it
+    val keepCleanExisting = windowStatus != "clean" && {
       try {
         val f = new java.io.File(outFile)
         f.isFile &&
@@ -229,8 +232,9 @@ object Bench {
       } catch { case _: Throwable => false }
     }
     if (keepCleanExisting)
-      System.err.println(s"bench: window contended (n_contended=$nContended); " +
-        s"keeping the recent clean artifact at $outFile (full log still appended)")
+      System.err.println(s"bench: window $windowStatus (n_contended=$nContended, " +
+        s"unmeasured=$nUnmeasured); keeping the recent clean artifact at " +
+        s"$outFile (full log still appended)")
     else try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (line + "\n").getBytes("UTF-8"))

@@ -254,6 +254,11 @@ object Probe {
           base.unionByName(delta), k = 5)
         .select(col("query_id"), col("corpus_id")).localCheckpoint()
       val nTruth = truth.count()
+      // the %1999 query sample is empty on corpora under ~2000 vectors;
+      // fail BEFORE the expensive builds instead of dividing by zero
+      // after them (r17 ADVICE)
+      require(nTruth > 0,
+        "ivfpqcycle: recall sample empty — corpus too small for %1999 sampling")
       def recall(p: String): Long = {
         val cand = graft.operators.Ann.searchIvfPqIndex(spark, p, qeval,
           k = 5, nprobe = nprobe).select(col("query_id"), col("corpus_id"))

@@ -118,6 +118,11 @@ object Ann {
     * equi-join into directory-level dynamic partition pruning: a query
     * batch reads only the probed cells' files, never the whole corpus. */
   def buildIndex(corpus: DataFrame, dir: String, dim: Int = 64): Unit = {
+    // a rebuild must start from an empty tree (the writePositionalIndex
+    // discipline): partitionOverwriteMode=dynamic only replaces `cell=`
+    // directories present in the NEW corpus, so leftover files from a
+    // crashed append/write in an untouched cell would survive and serve
+    graft.sources.Fs.delete(dir)
     centroids(corpus, dim).write.mode("overwrite").parquet(s"$dir/codebook")
     corpus.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
@@ -445,6 +450,16 @@ object Ann {
     * Training runs HERE, once; [[searchIvfPqIndex]] never trains. */
   def buildIvfPqIndex(corpus: DataFrame, dir: String, kCells: Int,
       iters: Int, dim: Int = 64, m: Int = 8): Unit = {
+    // a rebuild (retrain under keep-two lands HERE) must start from an
+    // empty tree: GraftSession pins partitionOverwriteMode=dynamic, so
+    // the codes overwrite below only replaces `cell=` directories
+    // present in the new encoding — part-files a crashed
+    // appendIvfPqIndex left in a cell the rebuild's data doesn't touch
+    // would survive and get served (and re-appended). Deleting the
+    // whole store (markers included) also closes the crash window: a
+    // rebuild that dies mid-write leaves no stale coarse/_SUCCESS or
+    // _GRAFT_INC_DONE claiming completeness.
+    graft.sources.Fs.delete(dir)
     val coarse = kmeansCodebook(corpus, k = kCells, iters = iters, dim = dim)
       .localCheckpoint()
     val pqCb = pqCodebook(corpus, iters = iters, dim = dim, m = m)
@@ -486,6 +501,19 @@ object Ann {
       s"appendIvfPqIndex: no complete buildIvfPqIndex store under $dir")
     val coarse = spark.read.parquet(s"$dir/coarse")
     val pqCb = spark.read.parquet(s"$dir/pq")
+    // the caller's (dim, m) must match the STORED pq codebook: an
+    // append encoded with a different m writes codes of a different
+    // packed length into the standing store, silently corrupting ADC
+    // distances for every later probe. The codebook is KB-scale, so the
+    // one-row geometry check costs nothing next to the encode.
+    val geom = pqCb.agg(
+      countDistinct(col("sub")).cast("int").as("m"),
+      max(size(col("sc"))).as("sd")).collect()(0)
+    require(geom.getInt(0) == m && geom.getInt(1) * m == dim,
+      s"appendIvfPqIndex: store under $dir was trained with " +
+        s"m=${geom.getInt(0)}, dim=${geom.getInt(1) * geom.getInt(0)} but the " +
+        s"append was called with m=$m, dim=$dim — codes would not be " +
+        "comparable to the standing ones")
     pqEncode(pqCb, delta, dim = dim, m = m)
       .join(assignCells(coarse, delta).select(col("corpus_id"), col("cell")),
         "corpus_id")

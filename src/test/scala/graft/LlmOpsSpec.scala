@@ -2189,5 +2189,43 @@ class LlmOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Ann.appendIvfPqIndex(spark, store + "_nope", delta)
     }
+    // a mismatched PQ geometry must fail loudly BEFORE writing: codes
+    // packed with a different m would silently corrupt ADC distances
+    // for every later probe (r17 ADVICE)
+    intercept[IllegalArgumentException] {
+      Ann.appendIvfPqIndex(spark, store, delta, dim = 64, m = 4)
+    }
+  }
+
+  test("IVF-PQ rebuild: crashed-append leftovers in untouched cells do not survive") {
+    import spark.implicits._
+    import graft.operators.Ann
+    // GraftSession pins partitionOverwriteMode=dynamic, so a rebuild's
+    // codes overwrite only replaces cell= directories present in the
+    // new encoding — the r17 verdict's crash window: part-files a
+    // crashed append left in a cell the rebuild's data doesn't touch
+    // would be served (and re-appended). buildIvfPqIndex now deletes
+    // the store first; this plants exactly that leftover and asserts
+    // the rebuild serves the exact rebuilt code set.
+    def vec(i: Int): Seq[Double] =
+      (0 until 64).map(d => ((i * 31 + d * 7) % 97) / 97.0)
+    val base = (10 until 40).map(i => (i.toLong, vec(i))).toDF("corpus_id", "ce")
+    val store = "/tmp/graft_ivfpq_rebuild_test/" + spark.sparkContext.applicationId
+    Ann.buildIvfPqIndex(base, store, kCells = 4, iters = 1)
+    // plant a crashed-append leftover: a code row in a cell id no
+    // rebuild of `base` will ever touch (cell ids are 0 until kCells)
+    Seq((999L, 0L)).toDF("corpus_id", "code").withColumn("cell", lit(99))
+      .write.mode("append").partitionBy("cell").parquet(s"$store/codes")
+    assert(graft.sources.Fs.exists(s"$store/codes/cell=99"),
+      "test setup: planted leftover missing")
+    // retrain = fresh build into the SAME store (keep-two aside) — the
+    // leftover must not survive it
+    Ann.buildIvfPqIndex(base, store, kCells = 4, iters = 1)
+    assert(!graft.sources.Fs.exists(s"$store/codes/cell=99"),
+      "crashed-append leftover survived the rebuild")
+    val servedIds = spark.read.parquet(s"$store/codes")
+      .select($"corpus_id").collect().map(_.getLong(0)).toSet
+    assert(servedIds == (10L until 40L).toSet,
+      s"rebuilt store does not serve exactly the rebuilt code set: $servedIds")
   }
 }
