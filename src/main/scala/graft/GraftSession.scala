@@ -37,6 +37,16 @@ object GraftSession {
       // re-running a window job replaces only the partitions it touches
       // (idempotent result sinks — see sources.Sinks)
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // The generated-class cache defaults to 100 entries (static conf,
+      // applies to the first session of the JVM). This engine's registry
+      // runs 58+ multi-stage queries per bench window — thousands of
+      // distinct codegen units — so at 100 the cache thrashes and STEADY
+      // runs recompile: sampled stacks showed executor tasks BLOCKED in
+      // ClassLoader.loadClass under Janino cook for whole seconds
+      // (r18, the q_ingest_gates 2.4 s-wall/0.3 s-CPU single-task
+      // stages). Sized to hold a full window's classes; compiled classes
+      // are KB-scale, so the ceiling is MBs of metaspace, not heap.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     // Cluster-deployable: under spark-submit (or any pre-configured
