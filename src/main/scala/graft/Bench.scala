@@ -32,7 +32,8 @@ object Bench {
     l
   }
 
-  /** (machine busy jiffies across all cores, this JVM's jiffies).
+  /** (machine busy jiffies across all cores, steal jiffies, this JVM's
+    * jiffies).
     * The PER-QUERY contention signal (r13): the start-of-run load gate
     * cannot see a neighbor arriving MID-run (r12's artifact carried one
     * such row, q_audio_pcm 3.42 s vs 0.31 s idle), and re-reading
@@ -41,25 +42,34 @@ object Bench {
     * self-load-free: on an idle host it is ~0 regardless of what the
     * bench itself burns, and any neighbor's CPU shows up in it
     * core-for-core. (-1, -1) where /proc is unavailable. */
-  private def cpuJiffies(): (Long, Long) =
+  private def cpuJiffies(): (Long, Long, Long) =
     try {
       val cpu = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/stat"))).linesIterator.next().split("\\s+")
-      // ALL non-idle fields (r14 ADVICE): user+nice+system alone is blind
-      // to neighbors landing in irq/softirq and especially steal (the
-      // shared-VM noisy-neighbor case this gate exists for). Fields after
-      // "cpu": user nice system idle iowait irq softirq steal [guest...] —
-      // sum 1-3 and 6-8; idle(4) is idle, iowait(5) stays out because the
-      // bench's own IO parks cores there (it would read as phantom
+      // Busy = user+nice+system+irq+softirq (r14 ADVICE: user+nice+system
+      // alone is blind to neighbors landing in irq/softirq). Fields after
+      // "cpu": user nice system idle iowait irq softirq steal [guest...]
+      // — sum 1-3 and 6-7; idle(4) is idle, iowait(5) stays out because
+      // the bench's own IO parks cores there (it would read as phantom
       // neighbors), and guest time is already accounted inside user.
-      val busy = (cpu.slice(1, 4) ++ cpu.slice(6, 9)).map(_.toLong).sum
+      // STEAL (8) is reported SEPARATELY (r18 measurement fix): it is
+      // hypervisor-level preemption, not an in-VM neighbor process — it
+      // SCALES WITH THE BENCH'S OWN LOAD (4% chronic steal × 32 busy
+      // cores ≈ 1.3 phantom "others" cores, measured on this round's
+      // host with the machine otherwise 99% idle), so counting it in
+      // `others` made the gate unpassable on a perfectly idle VM and
+      // every retry burned a window that could never come back clean.
+      // A reader still sees steal per query in the artifact and can
+      // reject a window whose hypervisor was pathological.
+      val busy = (cpu.slice(1, 4) ++ cpu.slice(6, 8)).map(_.toLong).sum
+      val steal = cpu(8).toLong
       val st = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/self/stat")))
       // comm (field 2) may contain spaces: fields 3.. start after the
       // last ')'; utime/stime are fields 14/15 -> offsets 11/12 there
       val rest = st.substring(st.lastIndexOf(')') + 2).split(" ")
-      (busy, rest(11).toLong + rest(12).toLong)
-    } catch { case _: Throwable => (-1L, -1L) }
+      (busy, steal, rest(11).toLong + rest(12).toLong)
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,17 +91,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     var errors = List.empty[(String, String)]
-    /** One timed execution: (wall sec, others-cores during the run). */
-    def once(name: String): (Double, Double) = {
-      val (b0, s0) = cpuJiffies()
+    /** One timed execution: (wall sec, others-cores, steal-cores). */
+    def once(name: String): (Double, Double, Double) = {
+      val (b0, st0, s0) = cpuJiffies()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      val (b1, s1) = cpuJiffies()
-      val others =
-        if (b0 < 0 || b1 < 0 || wall <= 0) -1.0
-        else ((b1 - b0) - (s1 - s0)) / 100.0 / wall // USER_HZ = 100
-      (wall, others)
+      val (b1, st1, s1) = cpuJiffies()
+      if (b0 < 0 || b1 < 0 || wall <= 0) (wall, -1.0, -1.0)
+      else ((wall,
+        ((b1 - b0) - (s1 - s0)) / 100.0 / wall, // USER_HZ = 100
+        (st1 - st0) / 100.0 / wall))
     }
     // Three executions per query: the first ("cold") pays JVM/codegen/JIT
     // warmup; the min of the remaining runs is steady-state engine
@@ -123,7 +133,7 @@ object Bench {
     require(steadyRuns >= 1, s"SPARK_GRAFT_BENCH_STEADY_RUNS=$steadyRuns")
     val timed = names.map { name =>
       try {
-        val (cold, _) = once(name)
+        val (cold, _, _) = once(name)
         var runs = List.fill(steadyRuns)(once(name))
         var retries = 0
         // others == -1 exactly means UNMEASURED (/proc unreadable), not
@@ -136,38 +146,42 @@ object Bench {
         // counted a -0.04 idle row as unmeasured and retried on it).
         def measured(o: Double) = o > -1.0
         while (runs.exists(r => measured(r._2)) &&
-            !runs.exists { case (_, o) => measured(o) && o < maxOthers } &&
+            !runs.exists { case (_, o, _) => measured(o) && o < maxOthers } &&
             retries < maxRetries) {
           System.err.println(f"bench: $name%s all steady runs contended " +
             f"(best others ${runs.map(_._2).min}%.2f cores), retrying...")
           retries += 1
           runs ::= once(name)
         }
-        val clean = runs.filter { case (_, o) => measured(o) && o < maxOthers }
-        val (steady, others) = (if (clean.nonEmpty) clean else runs).minBy(_._1)
-        (name, cold, steady, others)
+        val clean = runs.filter { case (_, o, _) => measured(o) && o < maxOthers }
+        val (steady, others, steal) = (if (clean.nonEmpty) clean else runs).minBy(_._1)
+        (name, cold, steady, others, steal)
       } catch {
         case e: Throwable =>
           errors ::= (name -> e.toString.take(200))
-          (name, -1.0, -1.0, -1.0)
+          (name, -1.0, -1.0, -1.0, -1.0)
       }
     }
-    val results = timed.map { case (n, _, s, _) => n -> s }
-    val colds = timed.map { case (n, c, _, _) => n -> c }
-    val otherRows = timed.map { case (n, _, _, o) => n -> o }
+    val results = timed.map { case (n, _, s, _, _) => n -> s }
+    val colds = timed.map { case (n, c, _, _, _) => n -> c }
+    val otherRows = timed.map { case (n, _, _, o, _) => n -> o }
+    val stealRows = timed.map { case (n, _, _, _, st) => n -> st }
 
     val qs = results.map { case (k, v) => s"${Jsons.str(k)}:$v" }.mkString("{", ",", "}")
     val cs = colds.map { case (k, v) => s"${Jsons.str(k)}:$v" }.mkString("{", ",", "}")
     val os = otherRows.map { case (k, v) =>
       s"${Jsons.str(k)}:${"%.2f".formatLocal(java.util.Locale.ROOT, v)}"
     }.mkString("{", ",", "}")
+    val sts = stealRows.map { case (k, v) =>
+      s"${Jsons.str(k)}:${"%.2f".formatLocal(java.util.Locale.ROOT, v)}"
+    }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${Jsons.str(k)}:${Jsons.str(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val nContended = timed.count { case (_, _, s, o) => s >= 0 && o >= maxOthers }
+    val nContended = timed.count { case (_, _, s, o, _) => s >= 0 && o >= maxOthers }
     // a row whose contention could not be read is UNMEASURED, distinct
     // from clean: n_contended 0 with others_unmeasured > 0 means the
     // idle gate did not actually run for those rows (r14 ADVICE)
-    val nUnmeasured = timed.count { case (_, _, s, o) => s >= 0 && o <= -1.0 }
+    val nUnmeasured = timed.count { case (_, _, s, o, _) => s >= 0 && o <= -1.0 }
     // load_start/load_end make a contended window visible IN the artifact:
     // a reader comparing rounds can reject a run whose load_start exceeded
     // the gate instead of grading a measurement of the neighbors' work.
@@ -201,7 +215,7 @@ object Bench {
       else if (nUnmeasured > 0) "unmeasured"
       else "clean"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","window_status":"$windowStatus","n_queries":${names.size},"queries":$qs,"cold":$cs,"others_cores":$os,"n_contended":$nContended,"others_unmeasured":$nUnmeasured,"tmp_store_bytes":$tmpStoreBytes,"errors":$es,"n_failed":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"sf":${Jsons.str(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","window_status":"$windowStatus","n_queries":${names.size},"queries":$qs,"cold":$cs,"others_cores":$os,"steal_cores":$sts,"n_contended":$nContended,"others_unmeasured":$nUnmeasured,"tmp_store_bytes":$tmpStoreBytes,"errors":$es,"n_failed":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"sf":${Jsons.str(sfDir)}}"""
     println(line)
     // also land the line in a file, so the harness never has to scrape it
     // out of the sbt log tail (overridable for concurrent runs).

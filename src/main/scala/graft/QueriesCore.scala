@@ -410,7 +410,12 @@ object QueriesCore {
     val li = Tables(s, dir).lineitem
       .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
     val sym = li.unionByName(li.select(col("dst").as("src"), col("src").as("dst")))
-    operators.Graph.pageRank(sym, "src", "dst", iters = 3)
+    // cadence = iters: only the final rank materializes (r18) — at 3
+    // iterations over a dim-bound vertex set the per-round
+    // localCheckpoint job costs more than the deeper 3-round plan it
+    // truncates; values are cadence-independent (checkpointing never
+    // changes arithmetic)
+    operators.Graph.pageRank(sym, "src", "dst", iters = 3, checkpointEvery = 3)
   }
 
   /** PageRank over a USER-scale graph — the measurement the supply-graph

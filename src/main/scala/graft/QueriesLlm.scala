@@ -1093,10 +1093,14 @@ object QueriesLlm {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     // both codebooks are consumed twice (index build + query path):
     // localCheckpoint stands in for the PERSISTED codebooks a serving
-    // deployment reads — training runs once, not per consumer
-    val coarse = operators.Ann.kmeansCodebook(corpus, k = 4, iters = 2)
-      .localCheckpoint()
-    val pqcb = operators.Ann.pqCodebook(corpus, iters = 2).localCheckpoint()
+    // deployment reads — training runs once, not per consumer. The two
+    // trainings are independent chains of small jobs; they run
+    // CONCURRENTLY (r18, guide §2.6) so the second back-fills the
+    // first's idle cores — results are hash-seeded-deterministic
+    // either way.
+    val (coarse, pqcb) = operators.Ann.trainBoth(
+      operators.Ann.kmeansCodebook(corpus, k = 4, iters = 2),
+      operators.Ann.pqCodebook(corpus, iters = 2))
     // the composed index: (corpus_id, cell, code) — in deployment
     // written partitionBy("cell") like Ann.buildIndex
     val codes = operators.Ann.pqEncode(pqcb, corpus)

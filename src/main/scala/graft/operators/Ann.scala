@@ -460,10 +460,15 @@ object Ann {
     // rebuild that dies mid-write leaves no stale coarse/_SUCCESS or
     // _GRAFT_INC_DONE claiming completeness.
     graft.sources.Fs.delete(dir)
-    val coarse = kmeansCodebook(corpus, k = kCells, iters = iters, dim = dim)
-      .localCheckpoint()
-    val pqCb = pqCodebook(corpus, iters = iters, dim = dim, m = m)
-      .localCheckpoint()
+    // the two trainings are independent and each is a chain of small
+    // sequential jobs that leaves most cores idle — overlap them
+    // (guide §2.6: submit independent jobs from separate threads; the
+    // scheduler back-fills). localCheckpoint is eager, so running the
+    // two checkpoints concurrently overlaps the full training chains;
+    // results are deterministic either way (hash-seeded Lloyd's).
+    val (coarse, pqCb) = trainBoth(
+      kmeansCodebook(corpus, k = kCells, iters = iters, dim = dim),
+      pqCodebook(corpus, iters = iters, dim = dim, m = m))
     pqEncode(pqCb, corpus, dim = dim, m = m)
       .join(assignCells(coarse, corpus).select(col("corpus_id"), col("cell")),
         "corpus_id")
@@ -472,6 +477,21 @@ object Ann {
     // written LAST: a partitionBy write leaves no _SUCCESS marker, so
     // coarse/_SUCCESS is the build-complete gate callers test
     coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+  }
+
+  /** Run two independent training chains concurrently and return both
+    * as eager localCheckpoints — each chain is a sequence of small jobs
+    * that cannot fill the cluster on its own, so the second chain
+    * back-fills the first's idle capacity (guide §2.6). Used by the
+    * IVF-PQ compositions, whose coarse and fine quantizers share no
+    * state until the encode joins them. */
+  private[graft] def trainBoth(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a.localCheckpoint())
+    val fb = Future(b.localCheckpoint())
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
   }
 
   /** Append a DELTA of vectors to a [[buildIvfPqIndex]] store WITHOUT
