@@ -213,10 +213,12 @@ class PlanSpec extends AnyFunSuite {
       // deployment appends from the materialized store anyway (the
       // Probe `maintain` cycle prices that shape)
       "q_ingest_index_update" -> 29,
-      // r14 quality row (audited 32): the exact prefix-join truth
-      // (q_simjoin_prefix's chain) + the staged gate chain + the
-      // six per-doc decision joins of the confusion matrix
-      "q_ingest_recall" -> 32,
+      // r14 quality row (audited 33, re-read 2026-08-18 after the r18
+      // prefix-verify rewrite): the exact prefix-join truth
+      // (q_simjoin_prefix's chain, now array-verify shaped — see that
+      // entry) + the staged gate chain + the six per-doc decision
+      // joins of the confusion matrix
+      "q_ingest_recall" -> 33,
       "q_sim_topk" -> 1, "q_sim_ivf" -> 3, "q_sim_ivf_probe2" -> 3,
       "q_text_langid" -> 0, "q_text_quality" -> 0, "q_text_tokens" -> 1,
       "q_text_fingerprint" -> 1, "q_multimodal_meta" -> 0,
@@ -334,20 +336,24 @@ class PlanSpec extends AnyFunSuite {
       // the base side is a localCheckpointed state TABLE (its lineage,
       // and its corpus scan, are gone from this plan by design)
       "q_agg_incremental" -> 2,
-      // prefix join, audited 11 (plan read 2026-08-14): token df agg +
-      // the df join-back re-key + per-doc rank window + prefix bucket
-      // agg + the block-pair rebalancing repartition + candidate dedup
-      // (doc_a,doc_b) + the SORT-MERGE verify chain's four re-keys
-      // (cands→doc_a, toks→doc_a, mid→(doc_b,h), toks→(doc_b,h)) + the
-      // final verify agg. The verify joins are deliberately SMJ, not
-      // broadcast and not SHUFFLE_HASH: a post-aggregate candidate
+      // prefix join, audited 14 (plan re-read 2026-08-18, r18 verify
+      // rewrite): token df agg + the df join-back re-key + per-doc rank
+      // window + prefix bucket agg + the block-pair rebalancing
+      // repartition + candidate dedup (doc_a,doc_b) + the per-doc
+      // token-ARRAY branch (its own ranked subtree re-key + window +
+      // doc_id agg — plan-time duplicates of the rank chain that AQE
+      // exchange-reuse serves at runtime) + the SMJ verify re-keys
+      // (cands→doc_a, arrays→doc_a, mid→doc_b, arrays→doc_b). MORE
+      // exchanges than the pre-r18 fan-out shape (11) but far fewer
+      // BYTES: the old chain shuffled candidates × tokens rows (sf0.1:
+      // 3.18M rows / 107 MB) into a re-aggregation; the new ones are
+      // candidate-sized or per-doc-sized. The verify joins stay SMJ,
+      // never broadcast / SHUFFLE_HASH: a post-aggregate candidate
       // table's size is a planner guess, and on a mass-duplicate corpus
       // the true count is quadratic in clique size — a wrong broadcast
       // is a driver OOM and SHJ's non-spilling build side dies too
-      // (both measured); SMJ degrades to disk. The 11th exchange vs the
-      // old SHJ plan is the cands→doc_a re-key SMJ needs — the price of
-      // the only join strategy whose worst case spills instead of OOMs
-      "q_simjoin_prefix" -> 11,
+      // (both measured); SMJ degrades to disk
+      "q_simjoin_prefix" -> 14,
       // PQ: the checkpointed codebook hides training's 5 eager exchanges
       // (init means + 2×(assign + means)); the LAZY plan is encode's
       // single corpus exchange + the two query-sized ones (lut agg,
