@@ -478,10 +478,10 @@ object Dedup {
     * is hotter), and any residual hot bucket — a cluster of
     * near-identical docs — rebalances through [[explodePairsBalanced]]
     * instead of being dropped: exactness is the contract, so there is no
-    * maxBucket cap here. Two corpus-token shuffles (df, per-doc rank —
-    * the verify's per-doc arrays reuse the rank exchange) + the
-    * candidate-sized verify joins — the honest price of exact semantics
-    * over the LSH pipelines' two fixed-width shuffles, still never n². */
+    * maxBucket cap here. Three corpus-token shuffles (df, per-doc rank,
+    * verify count) + the candidate-sized joins — the honest price of
+    * exact semantics over the LSH pipelines' two fixed-width shuffles,
+    * still never n²; all of them key/carry the 16-byte binary digest. */
   def prefixJaccardPairs(docs: DataFrame, k: Int, minJaccardQ: Long,
       blockSize: Int = 1024): DataFrame = {
     require(minJaccardQ > 0 && minJaccardQ <= 1000000L,
@@ -491,10 +491,24 @@ object Dedup {
     // md5(shingled(...)) (asserted), minus the interpreted per-window
     // transform/concat_ws/array_distinct walk that dominated the
     // token-stream stage of this operator and every recall-truth row
-    // built on it
+    // built on it.
+    // r18: the digest rides as 16-BYTE BINARY (unhex of the lowercase
+    // hex md5 — injective, and byte order ≡ the hex string's
+    // lexicographic order, so the (df, h) prefix ranking is unchanged).
+    // Every corpus-token shuffle of this operator keys or carries `h`,
+    // and the verify fan-out below carries one per candidate×token row
+    // — halving the digest halves the dominant shuffle's payload.
+    // Binary is safe everywhere h goes here (join keys, group keys,
+    // sort keys all compare UnsafeRow bytes); the one BinaryType trap —
+    // array_intersect's quadratic no-proper-equals path — has no
+    // array-typed h anywhere in this plan (the r18 array-verify
+    // experiment hit exactly that, then regressed the mass-duplicate
+    // worst case 10×+ carrying per-candidate arrays through the doc_b
+    // sort, and was reverted; see OPTIMIZATION_r18.md).
     val toks = docs
       .select(col("doc_id"), explode(call_function("graft_shingle_md5s",
-        split(col("text"), " "), lit(k))).as("h"))
+        split(col("text"), " "), lit(k))).as("hx"))
+      .select(col("doc_id"), unhex(col("hx")).as("h"))
     val dfs = toks.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("doc_id"))
     // the df join-back is pinned sort-merge for the same reason as the
@@ -528,36 +542,19 @@ object Dedup {
     // cannot spill). SMJ is the one join here that degrades to disk
     // instead of dying when BOTH sides are corpus-sized — exactness is
     // the operator's contract, so its worst case must spill, not OOM.
-    //
-    // r18: the verify counts |A ∩ B| per candidate over PER-DOC TOKEN
-    // ARRAYS instead of exploding candidates × tokens into a row-per-
-    // common-token join. The old shape shuffled and SMJ-sorted
-    // candidates × |doc| rows (sf0.1: 43k candidates fanned out to
-    // 3.18M rows, 107 MB — the operator's single most expensive stage)
-    // and re-aggregated them; this shape moves each doc's token set
-    // ONCE per candidate side as one array row, and n_common is a
-    // row-local array_intersect over ~doc-length arrays — no fan-out
-    // shuffle, no re-aggregation, |cands| rows end to end. The array
-    // elements stay the hex STRINGS: STRING has "proper equals", so
-    // array_intersect runs its hash-set O(na+nb) path — BinaryType does
-    // not, and its quadratic ordering path measured 185 CPU-seconds on
-    // the same 43k candidates this comment's numbers come from (30×
-    // worse than the fan-out it replaced). The per-doc arrays
-    // aggregate from `ranked`, whose window exchange already hash-
-    // partitions by doc_id, so the groupBy adds NO new corpus exchange
-    // (the operator stays at three corpus-token shuffles). A pair with
-    // zero common tokens now survives the joins with n_common = 0 and
-    // dies on the τ filter exactly as its absent row did before.
-    val docToks = ranked
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("h")).as("hs"))
+    // (An r18 per-doc-token-ARRAY verify — one array_intersect row per
+    // candidate instead of this fan-out — won 2× at sf0.1 but carried
+    // two ~doc-sized arrays per candidate through the doc_b sort and
+    // regressed the 30-clique/2.2M-candidate worst case from minutes
+    // to >30 min of multi-GB sort spill; reverted. The fan-out's
+    // skinny rows are what keeps the adversarial sort spillable.)
     cands
       .hint("merge")
-      .join(docToks.select(col("doc_id").as("doc_a"), col("hs").as("_ha")), "doc_a")
-      .join(docToks.select(col("doc_id").as("doc_b"), col("hs").as("_hb"))
-        .hint("merge"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
-        size(array_intersect(col("_ha"), col("_hb"))).cast("long").as("n_common"))
+      .join(toks.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("h")).hint("merge"),
+        Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") * lit(1000000L) >=
         lit(minJaccardQ) * (col("na") + col("nb") - col("n_common")))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
