@@ -63,20 +63,45 @@ object Ann {
   }
 
   /** Per-cell mean centroids ("trained" coarse quantizer — the given
-    * cell assignment plays the role of a k-means codebook). Sums run in
-    * exact DECIMAL per dimension so centroid doubles are independent of
-    * aggregation order; the `dim` per-dimension means are parallel
-    * aggregates in ONE groupBy(cell) — a posexplode would 64× the corpus
-    * and add a (cell, pos) shuffle before the per-cell one. */
+    * cell assignment plays the role of a k-means codebook). Means are
+    * exact DECIMAL(27,10) arithmetic per dimension so centroid doubles
+    * are independent of aggregation order; since r18 the decimal runs
+    * as BIGINT tick sums ([[graft.plans.DecTicks]]: 21-bit-split
+    * unscaled sums, exact for ≤2^42 rows per cell — far beyond any
+    * training sample — recombined per GROUP by
+    * [[graft.plans.TicksMeanDouble]], bit-identical by construction
+    * and property-proven against the decimal-cast chain). The measured
+    * win: the old per-row×dim `cast(double as decimal(27,10))` bottomed
+    * out in Double.toString → BigDecimal parse plus a non-compact
+    * Decimal buffer rewrite per update. The `dim` per-dimension means
+    * stay parallel aggregates in ONE groupBy(cell) — a posexplode would
+    * 64× the corpus and add a (cell, pos) shuffle before the per-cell
+    * one. */
   def centroids(corpus: DataFrame, dim: Int = 64): DataFrame = {
-    val means = (0 until dim).map(i =>
-      (sum(element_at(col("ce"), i + 1).cast("decimal(27,10)")).cast("double") /
-        count(lit(1))).as(s"c$i"))
+    val aggs = tickSumCols(i => element_at(col("ce"), i + 1), dim) :+
+      count(lit(1)).as("_tn")
     corpus
       .groupBy(col("cell"))
-      .agg(means.head, means.tail: _*)
-      .select(col("cell"), array((0 until dim).map(i => col(s"c$i")): _*).as("ce"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("cell"),
+        array((0 until dim).map(i => tickMean(i, col("_tn"))): _*).as("ce"))
   }
+
+  private val TickM21 = (1L << 21) - 1
+
+  /** The three split-tick BIGINT sums per dimension lane (see
+    * [[centroids]]); `elem(i)` supplies the lane's double. */
+  private def tickSumCols(elem: Int => Column, dim: Int): Seq[Column] =
+    (0 until dim).flatMap { i =>
+      val t = call_function("graft_dec_ticks", elem(i).cast("double"))
+      Seq(sum(shiftright(t, 42)).as(s"_ts0_$i"),
+        sum(shiftright(t, 21).bitwiseAND(lit(TickM21))).as(s"_ts1_$i"),
+        sum(t.bitwiseAND(lit(TickM21))).as(s"_ts2_$i"))
+    }
+
+  private def tickMean(i: Int, n: Column): Column =
+    call_function("graft_ticks_mean",
+      col(s"_ts0_$i"), col(s"_ts1_$i"), col(s"_ts2_$i"), n)
 
   /** IVF-style ANN: probe the nearest `nprobe` centroid cells only, then
     * exact top-k within the probed cells. The centroid table (cells ×
@@ -339,16 +364,16 @@ object Ann {
         col("m.d").as("d"), col("sv"))
 
   /** Per-(sub, cell) DECIMAL(27,10) means — [[centroids]] keyed by
-    * subspace; a cell that loses every member drops out (codes never
-    * reference it, search fills its lut slot with a sentinel). */
+    * subspace (same BIGINT tick-sum form, same exactness argument); a
+    * cell that loses every member drops out (codes never reference it,
+    * search fills its lut slot with a sentinel). */
   private def pqMeans(assigned: DataFrame, sd: Int): DataFrame = {
-    val means = (0 until sd).map(i =>
-      (sum(element_at(col("sv"), i + 1).cast("decimal(27,10)")).cast("double") /
-        count(lit(1))).as(s"c$i"))
+    val aggs = tickSumCols(i => element_at(col("sv"), i + 1), sd) :+
+      count(lit(1)).as("_tn")
     assigned.groupBy(col("sub"), col("cell"))
-      .agg(means.head, means.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("sub"), col("cell"),
-        array((0 until sd).map(i => col(s"c$i")): _*).as("sc"))
+        array((0 until sd).map(i => tickMean(i, col("_tn"))): _*).as("sc"))
   }
 
   /** Train the m per-subspace codebooks: deterministic md5-seeded

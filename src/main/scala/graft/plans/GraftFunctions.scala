@@ -85,6 +85,14 @@ object GraftFunctions {
       "top 60 bits of md5(prefix || item) as BIGINT — the sketch-family hash, string-free", 2) {
       case Seq(p, x) => Md5Bits60(p, x)
     },
+    fn("graft_dec_ticks",
+      "unscaled BIGINT of CAST(x AS DECIMAL(27,10)) — the exact-mean tier's tick count, string-free", 1) {
+      case Seq(d) => DecTicks(d)
+    },
+    fn("graft_ticks_mean",
+      "exact DECIMAL(27,10) mean from 21-bit-split tick sums: bit-identical to CAST(SUM(dec) AS DOUBLE)/COUNT(1)", 4) {
+      case Seq(a, b, c, n) => TicksMeanDouble(a, b, c, n)
+    },
     fn("graft_wav_pcm",
       "[n_frames, peak_abs, sum_sq, n_zero_cross] of a 16-bit PCM WAV blob; NULL if not one", 1) {
       case Seq(b) => WavPcmStats(b)

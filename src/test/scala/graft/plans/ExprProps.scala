@@ -145,4 +145,114 @@ object ExprProps extends Properties("CompiledSimilarityExprs") {
         }: _*)
       aligned && spec
     }
+
+  // ---- graft_dec_ticks: the exact-mean tier's tick conversion ------------
+  //
+  // The ground truth is Spark's OWN Cast(double → decimal(27,10)) — not a
+  // re-derivation of its semantics — evaluated per value. The sweep runs
+  // millions of values per property pass: uniform embedding-magnitude
+  // doubles, random-exponent doubles, and the adversarial class the fast
+  // path's guard exists for (doubles at/next to scale-10 half-integer
+  // midpoints, where shortest-repr rounding and exact-binary rounding
+  // can disagree).
+  private def castTicks(d: Double): java.lang.Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, Decimal}
+    val r = Cast(Literal(d, DoubleType), DecimalType(27, 10)).eval(null)
+    if (r == null) null
+    else java.lang.Long.valueOf(
+      r.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue.longValueExact)
+  }
+
+  private def exprTicks(d: Double): java.lang.Long = {
+    val r = DecTicks(org.apache.spark.sql.catalyst.expressions.Literal(
+      d, org.apache.spark.sql.types.DoubleType)).eval(null)
+    if (r == null) null else r.asInstanceOf[java.lang.Long]
+  }
+
+  property("graft_dec_ticks == Cast(double AS decimal(27,10)) unscaled, " +
+    "multi-million-value sweep incl. adversarial midpoints") =
+    Prop.forAll(Gen.choose(0L, Long.MaxValue)) { seed0 =>
+      val rnd = new java.util.Random(seed0)
+      var i = 0
+      var bad: String = null
+      while (i < 500000 && bad == null) {
+        val d = (i % 5) match {
+          case 0 => (rnd.nextDouble() - 0.5) * 2.0                  // embeddings
+          case 1 => Math.scalb(rnd.nextDouble() - 0.5, rnd.nextInt(80) - 60)
+          case 2 =>                                                  // midpoint class
+            val k = rnd.nextLong() % 10000000000L
+            (k + (if (k < 0) -0.5 else 0.5)) * 1e-10
+          case 3 =>                                                  // midpoint neighbors
+            val k = rnd.nextLong() % 10000000000L
+            val m = (k + 0.5) * 1e-10
+            if (rnd.nextBoolean()) Math.nextUp(m) else Math.nextDown(m)
+          case _ => (rnd.nextLong() % 10000000000L) * 1e-10          // exact-tick class
+        }
+        val want = castTicks(d)
+        val got = exprTicks(d)
+        if (want != got && (want == null || !want.equals(got)))
+          bad = s"d=$d (bits=${java.lang.Double.doubleToLongBits(d)}) got=$got want=$want"
+        i += 1
+      }
+      Prop(bad == null) :| s"mismatch: $bad"
+    }
+
+  property("graft_dec_ticks edge cases: zeros, NaN/Inf null, subnormals, " +
+    "throw domains") = {
+    val nulls = Prop(exprTicks(Double.NaN) == null) :| "NaN" &&
+      Prop(exprTicks(Double.PositiveInfinity) == null) :| "+Inf" &&
+      Prop(exprTicks(Double.NegativeInfinity) == null) :| "-Inf"
+    val zeros = Prop(exprTicks(0.0) == 0L) :| "+0" &&
+      Prop(exprTicks(-0.0) == 0L) :| "-0" &&
+      Prop(exprTicks(Double.MinPositiveValue) == 0L) :| "subnormal" &&
+      Prop(exprTicks(-4.9e-11) == 0L) :| "below half-tick"
+    val exact = Prop(exprTicks(0.1) == 1000000000L) :| "0.1" &&
+      Prop(exprTicks(-2.5e-10) == -3L) :| "-2.5e-10 HALF_UP away from zero" &&
+      Prop(exprTicks(5e8) == castTicks(5e8)) :| "5e8 (slow-path magnitude)"
+    // |x| ≥ ~9.2e8: fits decimal(27,10) but not a BIGINT unscaled — loud
+    val longDomain = Prop(
+      try { exprTicks(9.3e8); false }
+      catch { case _: ArithmeticException => true }) :| "BIGINT domain throws"
+    // |x| ≥ 1e17: the ANSI cast itself throws — so must the expression
+    val overflow = Prop(
+      try { exprTicks(1e17); false }
+      catch { case _: ArithmeticException => true }) :| "decimal overflow throws"
+    nulls && zeros && exact && longDomain && overflow
+  }
+
+  property("tick-sum centroid means ≡ decimal-cast chain, bitwise, on " +
+    "random corpora") =
+    Prop.forAll(Gen.choose(0L, Long.MaxValue), Gen.choose(2, 5),
+      Gen.choose(1, 4)) { (seed0, dim, cells) =>
+      import TestSpark.spark.implicits._
+      val rnd = new java.util.Random(seed0)
+      val n = 40 + rnd.nextInt(60)
+      val rows = (0 until n).map { id =>
+        // mostly embedding-magnitude values, a few rough ones
+        val v = Array.fill(dim)(rnd.nextInt(10) match {
+          case 0 => Math.scalb(rnd.nextDouble() - 0.5, rnd.nextInt(40) - 35)
+          case _ => (rnd.nextDouble() - 0.5) * 2.0
+        })
+        (id.toLong, id % cells, v.toSeq)
+      }
+      val df = rows.toDF("corpus_id", "cell", "ce")
+      val got = graft.operators.Ann.centroids(df, dim)
+        .orderBy("cell").collect()
+      // the pre-r18 formula, verbatim
+      val means = (0 until dim).map(i =>
+        (sum(element_at(col("ce"), i + 1).cast("decimal(27,10)")).cast("double") /
+          count(lit(1))).as(s"c$i"))
+      val want = df.groupBy(col("cell"))
+        .agg(means.head, means.tail: _*)
+        .select(col("cell"), array((0 until dim).map(i => col(s"c$i")): _*).as("ce"))
+        .orderBy("cell").collect()
+      val pairs = got.zip(want)
+      Prop.all(pairs.map { case (g, w) =>
+        val gc = g.getSeq[Double](1).map(java.lang.Double.doubleToLongBits)
+        val wc = w.getSeq[Double](1).map(java.lang.Double.doubleToLongBits)
+        Prop(g.getInt(0) == w.getInt(0) && gc == wc) :|
+          s"cell ${g.get(0)}: got=${g.getSeq[Double](1)} want=${w.getSeq[Double](1)}"
+      }: _*) :| s"n=$n dim=$dim cells=$cells"
+    }
 }
