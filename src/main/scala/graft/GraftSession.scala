@@ -47,6 +47,22 @@ object GraftSession {
       // stages). Sized to hold a full window's classes; compiled classes
       // are KB-scale, so the ceiling is MBs of metaspace, not heap.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Measured and REJECTED (r18): spark.sql.codegen.useIdInClassName=
+      // false. The codegen cache keys on the generated source, and the
+      // default class name embeds codegenStageId — assigned in AQE
+      // stage-MATERIALIZATION order — so timing jitter renames
+      // otherwise-identical units and steady runs recompile them
+      // (CodegenMetrics: q_ingest_recall 18-50 Janino compiles per
+      // STEADY run, 0 with the id off; q_dedup_recall_geom cold
+      // 107 -> 55, its three geometry branches deduped). But the full
+      // 58-query window went 67.7 -> 84.4 s: one shared class serving
+      // many plan positions turns its hot virtual call sites
+      // megamorphic (each position sees different concrete iterator/
+      // relation types), and the JIT profile pollution costs the
+      // hot-loop queries far more than the recompiles cost the
+      // composed ones (q_dedup_recall 1.8 -> 5.8 s, q_simjoin_prefix
+      // 1.9 -> 4.7). Per-position classes keep inline caches
+      // monomorphic; the AQE-order recompiles are the lesser evil.
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     // Cluster-deployable: under spark-submit (or any pre-configured
