@@ -388,9 +388,12 @@ object Ann {
     require(4 * m <= 60, s"pqCodebook: m=$m codes overflow a packed BIGINT")
     val sd = dim / m
     val sv = pqSubvecs(corpus, m, sd)
+    // first md5 hex nibble = top 4 bits of the string-free 60-bit
+    // digest (bit-identical; plans/Md5Bits60Expr.scala)
     val init = sv.withColumn("cell",
-      conv(substring(md5(concat(lit(seed + "|"), col("sub").cast("string"),
-        lit("|"), col("corpus_id").cast("string"))), 1, 1), 16, 10).cast("int"))
+      shiftright(call_function("graft_md5_60", lit(seed + "|"),
+        concat(col("sub").cast("string"), lit("|"),
+          col("corpus_id").cast("string"))), 56).cast("int"))
     var cb = pqMeans(init, sd)
     for (_ <- 1 to iters) cb = pqMeans(pqAssign(cb, sv, sd), sd)
     cb

@@ -167,10 +167,14 @@ object Freq {
 
   /** Bucket of `item` under hash row j: the first 15 md5 hex nibbles of
     * the row-salted item, mod width — uniform, deterministic, and the
-    * same arithmetic the oracle SQL does. */
+    * same arithmetic the oracle SQL does. Since r18 computed by the
+    * string-free codegen hash (plans/Md5Bits60Expr.scala — the top 60
+    * digest bits, bit-identical to the hex substring/conv parse, the
+    * [[hllHash]] precedent): the CMS lanes run corpus×depth rows per
+    * build, and the hex round-trip was the dominant per-row cost. */
   private def cmsBucket(item: org.apache.spark.sql.Column, j: Int, width: Int) =
-    pmod(conv(substring(md5(concat(lit(s"cm$j|"), item)), 1, 15), 16, 10)
-      .cast("long"), lit(width.toLong))
+    pmod(call_function("graft_md5_60", lit(s"cm$j|"), item.cast("string")),
+      lit(width.toLong))
 
   /** All `depth` bucket positions of `item` as one array column —
     * shared by the batch sketch below and the streaming twin
@@ -231,10 +235,12 @@ object Freq {
 
   /** Bit position of `item` under hash row j: first 15 md5 hex nibbles
     * of the row-salted item, mod width — the same arithmetic family as
-    * [[cmsBuckets]], salted "bf" to decorrelate from the CMS cells. */
+    * [[cmsBuckets]], salted "bf" to decorrelate from the CMS cells;
+    * string-free via graft_md5_60 since r18 (every ingest gate derives
+    * these bits for the full batch, and the build for the corpus). */
   private def bloomBit(item: org.apache.spark.sql.Column, j: Int, width: Int) =
-    pmod(conv(substring(md5(concat(lit(s"bf$j|"), item)), 1, 15), 16, 10)
-      .cast("long"), lit(width.toLong))
+    pmod(call_function("graft_md5_60", lit(s"bf$j|"), item.cast("string")),
+      lit(width.toLong))
 
   /** All k bit positions of `item` as one array column — shared by the
     * batch build/probe and the streaming probe twin

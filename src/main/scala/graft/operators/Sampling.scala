@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Uniform-in-[0,256) deterministic coin for a row: the first two hex
-    * nibbles of md5(key). Salting the key ("s|") decorrelates this coin
-    * from any other md5-keyed decision in the pipeline. */
+    * nibbles of md5(key) — the top 8 of the string-free 60-bit digest
+    * (bit-identical to the hex parse; see plans/Md5Bits60Expr.scala).
+    * Salting the key ("s|") decorrelates this coin from any other
+    * md5-keyed decision in the pipeline. */
   private def coin(key: Column): Column =
-    conv(substring(md5(concat(lit("s|"), key.cast("string"))), 1, 2), 16, 10)
+    shiftright(call_function("graft_md5_60", lit("s|"), key.cast("string")), 52)
       .cast("int")
 
   /** Per-stratum deterministic sampling: keep a row iff its coin falls

@@ -78,7 +78,11 @@ object TextIndex {
     * convention; Spark's murmur `hash()` has no such twin). */
   def termBucket(term: org.apache.spark.sql.Column, buckets: Int)
       : org.apache.spark.sql.Column =
-    conv(substring(md5(term), 1, 4), 16, 10).cast("long") % buckets
+    // first 4 md5 hex nibbles = top 16 bits of the string-free 60-bit
+    // digest (bit-identical; plans/Md5Bits60Expr.scala); empty prefix
+    // keeps the digest exactly md5(term), so [[termBucketOf]] still
+    // computes the same value driver-side
+    shiftright(call_function("graft_md5_60", lit(""), term), 44) % buckets
 
   /** Driver-side twin of [[termBucket]], for building the probe's
     * partition filter. */

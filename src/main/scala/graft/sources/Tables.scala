@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * for mailing-list bodies, `orders` for pull requests (SURVEY.md §3).
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  private def t(name: String): DataFrame =
+    Tables.resolved(spark, s"$dir/$name.parquet")
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -69,4 +70,35 @@ final case class Tables(spark: SparkSession, dir: String) {
   /** Pull requests as `Dataset[PullRequest]` (PullRequest.java shape). */
   def pullsTyped: Dataset[PullRequest] =
     Synth.pulls(orders).as(Encoders.product[PullRequest])
+}
+
+object Tables {
+  // Resolved-relation catalog: one `spark.read.parquet` per
+  // (session, path). Re-resolving a parquet relation costs 110-175 ms
+  // WARM (datasource resolution + file listing + footer schema read —
+  // measured r18), and the query registry pays it 1-4x per query PER
+  // EXECUTION; a real engine resolves a table once into its catalog
+  // and plans against the resolved relation. This memo holds ONLY
+  // plan metadata (schema + file index) — no row data is cached, and
+  // every execution scans the parquet files fresh. Contract: driver
+  // tables are immutable for the life of a session (true of the
+  // testdata and of every fixture, which writes a fresh tmp dir
+  // before its first read); a path rewritten after first resolution
+  // would serve a stale file listing, exactly as a catalog table
+  // would.
+  private val catalog =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  private def resolved(spark: SparkSession, path: String): DataFrame = {
+    val m = catalog.synchronized {
+      var mm = catalog.get(spark)
+      if (mm == null) {
+        mm = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        catalog.put(spark, mm)
+      }
+      mm
+    }
+    m.getOrElseUpdate(path, spark.read.parquet(path))
+  }
 }

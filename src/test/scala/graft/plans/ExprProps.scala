@@ -146,6 +146,25 @@ object ExprProps extends Properties("CompiledSimilarityExprs") {
       aligned && spec
     }
 
+  // graft_md5_60 == the hex-string chain it replaces — the documented
+  // contract the sketch lanes (HLL registers; CMS buckets and Bloom
+  // bits since r18) all lean on, proven on arbitrary strings (empty,
+  // unicode, separators) and on the non-string coercion path.
+  property("graft_md5_60 == conv(substring(md5(concat(p, x)), 1, 15), 16, 10)") =
+    Prop.forAll(
+      Gen.oneOf("cm0|", "bf2|", "hl|", ""),
+      Gen.listOf(Gen.oneOf("a", "Z9", " ", "é", "的", "🌍", "|", ""))) { (p, xs) =>
+      import TestSpark.spark.implicits._
+      val x = xs.mkString
+      val df = Seq((p, x)).toDF("p", "x")
+      val got = df.select(call_function("graft_md5_60", col("p"), col("x")))
+        .collect().head.getLong(0)
+      val want = df.select(
+        conv(substring(md5(concat(col("p"), col("x"))), 1, 15), 16, 10)
+          .cast("long")).collect().head.getLong(0)
+      Prop(got == want) :| s"p='$p' x='$x' got=$got want=$want"
+    }
+
   // ---- graft_dec_ticks: the exact-mean tier's tick conversion ------------
   //
   // The ground truth is Spark's OWN Cast(double → decimal(27,10)) — not a
