@@ -91,17 +91,32 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     var errors = List.empty[(String, String)]
-    /** One timed execution: (wall sec, others-cores, steal-cores). */
-    def once(name: String): (Double, Double, Double) = {
+    // Codegen (Janino) compilations during a timed run: the r18 root
+    // cause of zero-steal steady-run outliers is AQE assigning
+    // codegenStageId in materialization order, renaming identical
+    // sources and missing the codegen cache — 18-50 recompiles per
+    // steady run on the composed queries. The counter makes that churn
+    // visible per query per run IN the artifact (VERDICT r18 #4), so a
+    // reader can attribute an outlier row to compile storms instead of
+    // guessing. CodegenMetrics.METRIC_COMPILATION_TIME is a histogram
+    // whose count is the number of compilations in this JVM.
+    def compileCount(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+    /** One timed execution:
+      * (wall sec, others-cores, steal-cores, codegen compiles). */
+    def once(name: String): (Double, Double, Double, Long) = {
       val (b0, st0, s0) = cpuJiffies()
+      val c0 = compileCount()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       val wall = (System.nanoTime() - t0) / 1e9
       val (b1, st1, s1) = cpuJiffies()
-      if (b0 < 0 || b1 < 0 || wall <= 0) (wall, -1.0, -1.0)
+      if (b0 < 0 || b1 < 0 || wall <= 0) (wall, -1.0, -1.0, compileCount() - c0)
       else ((wall,
         ((b1 - b0) - (s1 - s0)) / 100.0 / wall, // USER_HZ = 100
-        (st1 - st0) / 100.0 / wall))
+        (st1 - st0) / 100.0 / wall,
+        compileCount() - c0))
     }
     // Three executions per query: the first ("cold") pays JVM/codegen/JIT
     // warmup; the min of the remaining runs is steady-state engine
@@ -133,7 +148,7 @@ object Bench {
     require(steadyRuns >= 1, s"SPARK_GRAFT_BENCH_STEADY_RUNS=$steadyRuns")
     val timed = names.map { name =>
       try {
-        val (cold, _, _) = once(name)
+        val (cold, _, _, _) = once(name)
         var runs = List.fill(steadyRuns)(once(name))
         var retries = 0
         // others == -1 exactly means UNMEASURED (/proc unreadable), not
@@ -146,42 +161,58 @@ object Bench {
         // counted a -0.04 idle row as unmeasured and retried on it).
         def measured(o: Double) = o > -1.0
         while (runs.exists(r => measured(r._2)) &&
-            !runs.exists { case (_, o, _) => measured(o) && o < maxOthers } &&
+            !runs.exists { case (_, o, _, _) => measured(o) && o < maxOthers } &&
             retries < maxRetries) {
           System.err.println(f"bench: $name%s all steady runs contended " +
             f"(best others ${runs.map(_._2).min}%.2f cores), retrying...")
           retries += 1
           runs ::= once(name)
         }
-        val clean = runs.filter { case (_, o, _) => measured(o) && o < maxOthers }
-        val (steady, others, steal) = (if (clean.nonEmpty) clean else runs).minBy(_._1)
-        (name, cold, steady, others, steal)
+        val clean = runs.filter { case (_, o, _, _) => measured(o) && o < maxOthers }
+        val (steady, others, steal, compiles) =
+          (if (clean.nonEmpty) clean else runs).minBy(_._1)
+        (name, cold, steady, others, steal, compiles)
       } catch {
         case e: Throwable =>
           errors ::= (name -> e.toString.take(200))
-          (name, -1.0, -1.0, -1.0, -1.0)
+          (name, -1.0, -1.0, -1.0, -1.0, -1L)
       }
     }
-    val results = timed.map { case (n, _, s, _, _) => n -> s }
-    val colds = timed.map { case (n, c, _, _, _) => n -> c }
-    val otherRows = timed.map { case (n, _, _, o, _) => n -> o }
-    val stealRows = timed.map { case (n, _, _, _, st) => n -> st }
+    val results = timed.map { case (n, _, s, _, _, _) => n -> s }
+    val colds = timed.map { case (n, c, _, _, _, _) => n -> c }
+    val otherRows = timed.map { case (n, _, _, o, _, _) => n -> o }
+    val stealRows = timed.map { case (n, _, _, _, st, _) => n -> st }
+    val compileRows = timed.map { case (n, _, _, _, _, cc) => n -> cc }
 
-    val qs = results.map { case (k, v) => s"${Jsons.str(k)}:$v" }.mkString("{", ",", "}")
-    val cs = colds.map { case (k, v) => s"${Jsons.str(k)}:$v" }.mkString("{", ",", "}")
+    // r19 driver-contract repair (VERDICT r18 #1/#2): the driver captures
+    // only the LAST 2000 chars of the sbt output, and the full line with
+    // per-query cold/others/steal maps is ~6 KB — BENCH_r01..r18 ALL have
+    // parsed:null because the captured tail starts mid-JSON. The STDOUT
+    // line is therefore the contract-minimal record (total + queries map
+    // + status, ~1.7 KB at 58 queries, 3-decimal seconds — wall noise is
+    // >> 1 ms); the FULL record (cold, others_cores, steal_cores,
+    // compiles, tmp bytes, loads) is unchanged and lands in
+    // SPARK_GRAFT_BENCH_OUT and BENCH_full_log.jsonl, where it always
+    // lived. No timing methodology change; stdout keys are a subset,
+    // `queries` keys unchanged.
+    def d3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"${Jsons.str(k)}:${d3(v)}" }.mkString("{", ",", "}")
+    val cs = colds.map { case (k, v) => s"${Jsons.str(k)}:${d3(v)}" }.mkString("{", ",", "}")
     val os = otherRows.map { case (k, v) =>
       s"${Jsons.str(k)}:${"%.2f".formatLocal(java.util.Locale.ROOT, v)}"
     }.mkString("{", ",", "}")
     val sts = stealRows.map { case (k, v) =>
       s"${Jsons.str(k)}:${"%.2f".formatLocal(java.util.Locale.ROOT, v)}"
     }.mkString("{", ",", "}")
+    val ccs = compileRows.map { case (k, v) => s"${Jsons.str(k)}:$v" }
+      .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${Jsons.str(k)}:${Jsons.str(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val nContended = timed.count { case (_, _, s, o, _) => s >= 0 && o >= maxOthers }
+    val nContended = timed.count { case (_, _, s, o, _, _) => s >= 0 && o >= maxOthers }
     // a row whose contention could not be read is UNMEASURED, distinct
     // from clean: n_contended 0 with others_unmeasured > 0 means the
     // idle gate did not actually run for those rows (r14 ADVICE)
-    val nUnmeasured = timed.count { case (_, _, s, o, _) => s >= 0 && o <= -1.0 }
+    val nUnmeasured = timed.count { case (_, _, s, o, _, _) => s >= 0 && o <= -1.0 }
     // load_start/load_end make a contended window visible IN the artifact:
     // a reader comparing rounds can reject a run whose load_start exceeded
     // the gate instead of grading a measurement of the neighbors' work.
@@ -215,8 +246,15 @@ object Bench {
       else if (nUnmeasured > 0) "unmeasured"
       else "clean"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","window_status":"$windowStatus","n_queries":${names.size},"queries":$qs,"cold":$cs,"others_cores":$os,"steal_cores":$sts,"n_contended":$nContended,"others_unmeasured":$nUnmeasured,"tmp_store_bytes":$tmpStoreBytes,"errors":$es,"n_failed":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"sf":${Jsons.str(sfDir)}}"""
-    println(line)
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","window_status":"$windowStatus","n_queries":${names.size},"queries":$qs,"cold":$cs,"others_cores":$os,"steal_cores":$sts,"compiles":$ccs,"n_contended":$nContended,"others_unmeasured":$nUnmeasured,"tmp_store_bytes":$tmpStoreBytes,"errors":$es,"n_failed":${errors.size},"load_start":$loadStart,"load_end":$loadEnd,"sf":${Jsons.str(sfDir)}}"""
+    // Stdout gets the SLIM line (see the contract note above): it must
+    // survive a 2000-char tail capture, so only the driver-contract keys
+    // plus the window's quality self-description ride it.
+    val slim =
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","window_status":"$windowStatus","n_queries":${names.size},"queries":$qs,"n_contended":$nContended,"others_unmeasured":$nUnmeasured,"errors":$es,"n_failed":${errors.size},"sf":${Jsons.str(sfDir)}}"""
+    if (slim.length > 1900) System.err.println(
+      s"bench: WARNING stdout line ${slim.length} chars exceeds the 1900-char tail budget")
+    println(slim)
     // also land the line in a file, so the harness never has to scrape it
     // out of the sbt log tail (overridable for concurrent runs).
     // A CONTENDED window must not clobber a recent CLEAN artifact for
